@@ -1,0 +1,206 @@
+"""Image payload handling: decode, perceptual hash, PSNR invariant.
+
+The environment ships no image libraries (no PIL / OpenCV), so the
+engine carries two self-contained deterministic codecs:
+
+- ``ppm``: binary P6 (8-bit RGB), trivially seekable
+- ``png``: a minimal, spec-conformant PNG subset (8-bit RGB, filter
+  types 0-2, zlib), enough to exercise a real decode path with
+  compression in the sketch actors
+
+Other formats (jpeg/webp/...) are STUBS by design: ``decode_image``
+raises ``UnsupportedFormatError`` with the Ray-side plumbing (schema,
+actor signature, batch sizing) kept real — swap in a real codec on a
+cluster with the libs installed.
+
+pHash: 32x32 grayscale -> 2D DCT-II -> top-left 8x8 coefficients
+thresholded at their median (DC excluded from the median), packed to
+64 bits. The Hamming-similarity machinery over these mirrors
+sketch/AbstractBitSketch.java:74-88.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class UnsupportedFormatError(NotImplementedError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    # header: magic, width, height, maxval, then single whitespace byte
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            while data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        parts.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit ppm supported")
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# minimal PNG (8-bit RGB)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a png")
+    i = 8
+    w = h = None
+    idat = b""
+    while i < len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            if bit_depth != 8 or color_type != 2:
+                raise UnsupportedFormatError("png subset: 8-bit RGB only")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    filters = raw[:, 0]
+    out = raw[:, 1:].reshape(h, w, 3).astype(np.int16)
+    for y in range(h):
+        f = filters[y]
+        if f == 0:
+            continue
+        if f == 1:  # Sub
+            for x in range(1, w):
+                out[y, x] = (out[y, x] + out[y, x - 1]) & 0xFF
+        elif f == 2:  # Up
+            if y > 0:
+                out[y] = (out[y] + out[y - 1]) & 0xFF
+        else:
+            raise UnsupportedFormatError(f"png filter {f} not in subset")
+    return out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+_DECODERS = {"ppm": decode_ppm, "png": decode_png}
+_ENCODERS = {"ppm": encode_ppm, "png": encode_png}
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    dec = _DECODERS.get(fmt)
+    if dec is None:
+        raise UnsupportedFormatError(
+            f"format {fmt!r}: decoder not available in this environment "
+            "(jpeg/webp need external libs; plumbing is format-agnostic)"
+        )
+    return dec(data)
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    enc = _ENCODERS.get(fmt)
+    if enc is None:
+        raise UnsupportedFormatError(f"format {fmt!r}: encoder not available")
+    return enc(img)
+
+
+# ---------------------------------------------------------------------------
+# pHash / PSNR
+# ---------------------------------------------------------------------------
+
+_DCT_N = 32
+_i = np.arange(_DCT_N)
+_DCT_T = np.sqrt(2.0 / _DCT_N) * np.cos(np.pi * (2 * _i[None, :] + 1) * _i[:, None] / (2 * _DCT_N))
+_DCT_T[0, :] = np.sqrt(1.0 / _DCT_N)
+
+
+def _resample_nearest(gray: np.ndarray, n: int) -> np.ndarray:
+    h, w = gray.shape
+    ys = (np.arange(n) * h // n).astype(np.int64)
+    xs = (np.arange(n) * w // n).astype(np.int64)
+    return gray[np.ix_(ys, xs)]
+
+
+def _box_blur3(gray: np.ndarray) -> np.ndarray:
+    """3x3 box blur (edge-clamped): the smoothing step of classic pHash,
+    makes the hash stable under small per-pixel noise."""
+    p = np.pad(gray, 1, mode="edge")
+    return (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    ) / 9.0
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 image; returns int64."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gray = _box_blur3(gray)
+    small = _resample_nearest(gray, _DCT_N)
+    dct = _DCT_T @ small @ _DCT_T.T
+    block = dct[:8, :8].ravel()
+    med = np.median(block[1:])  # DC excluded from the threshold
+    bits = (block > med).astype(np.uint8)
+    val = int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,0 +1,483 @@
+"""Pure-numpy sketch + verify kernels (no Ray dependency).
+
+Reimplements, vectorized over Arrow batches, the algorithms of:
+
+- shingle hashing: sketch/HashUtils.java:213-258 (murmur3_128 / murmur3_32
+  of the UTF-16 chars of each k-shingle window)
+- weighted MinHash: sketch/MinHashSketch.java:51-179 (per-kmer XORShift
+  stream, ``weight`` steps per slot, signed-min selection, key halves
+  stored as the int32 signature)
+- bottom-k positional sketch: sketch/BottomOverlapSketch.java:525-559
+- the two-pass positional verify kernel: sketch/BottomOverlapSketch.java:592-630
+  (recordMatchingKmers :397-516, optimizeShifts :156-189, computeEdges
+  :90-137, computeKBottomSketchJaccard :304-364, jaccardToIdentity :391-395)
+- SimHash: sketch/SimHash.java:40-87 (per-bit majority vote)
+
+All functions operate on numpy arrays and are deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from mhray.murmur import murmur3_x64_128, murmur3_x86_32
+
+I64_MAX = np.iinfo(np.int64).max
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def encode_utf16_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate UTF-16LE code units of all texts.
+
+    Returns (units, offsets): ``units`` is a uint16 array, ``offsets`` has
+    len(texts)+1 entries; text i occupies units[offsets[i]:offsets[i+1]].
+    Matches Guava ``putUnencodedChars`` (UTF-16 code units, little-endian).
+    """
+    bufs = [t.encode("utf-16-le") for t in texts]
+    lens = np.fromiter((len(b) // 2 for b in bufs), dtype=np.int64, count=len(bufs))
+    offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    units = np.frombuffer(b"".join(bufs), dtype="<u2").astype(np.uint16, copy=False)
+    return units, offsets
+
+
+def _window_matrix(units: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-code-unit windows of every text as an (N, 2k) uint8 matrix.
+
+    Returns (windows_u8, row_offsets) where row_offsets[i]:row_offsets[i+1]
+    are the windows of text i (empty when the text is shorter than k).
+    """
+    n_texts = len(offsets) - 1
+    lens = np.diff(offsets)
+    counts = np.maximum(lens - k + 1, 0)
+    row_offsets = np.zeros(n_texts + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_offsets[1:])
+    total = int(row_offsets[-1])
+    if total == 0:
+        return np.empty((0, 2 * k), dtype=np.uint8), row_offsets
+    # start index (into units) of every window
+    starts = np.repeat(offsets[:-1], counts) + _concat_aranges(counts)
+    idx = starts[:, None] + np.arange(k)[None, :]
+    win = units[idx]  # (N, k) uint16
+    return np.ascontiguousarray(win).view(np.uint8).reshape(total, 2 * k), row_offsets
+
+
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """[0..counts[0]-1, 0..counts[1]-1, ...] without a Python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    nz = counts[counts > 0]
+    ends = np.cumsum(nz)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    out[ends[:-1]] = 1 - nz[:-1]
+    return np.cumsum(out)
+
+
+def shingle_hashes64(texts: list[str], k: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit murmur3_128 hash of every k-shingle of every text.
+
+    Mirrors HashUtils.computeSequenceHashesLong (sketch/HashUtils.java:237-258)
+    without the reverse-complement branch (N/A for text). Returns
+    (hashes uint64, row_offsets).
+    """
+    units, offsets = encode_utf16_batch(texts)
+    win, row_offsets = _window_matrix(units, offsets, k)
+    return murmur3_x64_128(win, seed), row_offsets
+
+
+def shingle_hashes32(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """int32 murmur3_32 hash per k-shingle (HashUtils.java:213-235)."""
+    units, offsets = encode_utf16_batch(texts)
+    win, row_offsets = _window_matrix(units, offsets, k)
+    return murmur3_x86_32(win), row_offsets
+
+
+# ---------------------------------------------------------------------------
+# weighted MinHash (XORShift family)  — MinHashSketch.java:51-179
+# ---------------------------------------------------------------------------
+
+
+def unique_in_first_occurrence_order(
+    hashes: np.ndarray, row_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row unique hashes in first-occurrence order, with counts.
+
+    Matches the Long2ObjectLinkedOpenHashMap accumulation at
+    MinHashSketch.java:66-81 (iteration order = insertion order).
+    Returns (keys, counts, urow_offsets).
+    """
+    n_rows = len(row_offsets) - 1
+    out_keys, out_counts, out_off = [], [], np.zeros(n_rows + 1, dtype=np.int64)
+    for i in range(n_rows):
+        seg = hashes[row_offsets[i] : row_offsets[i + 1]]
+        if len(seg) == 0:
+            out_off[i + 1] = out_off[i]
+            continue
+        uk, first_idx, cnt = np.unique(seg, return_index=True, return_counts=True)
+        order = np.argsort(first_idx, kind="stable")
+        out_keys.append(uk[order])
+        out_counts.append(cnt[order])
+        out_off[i + 1] = out_off[i] + len(uk)
+    if not out_keys:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), out_off)
+    return np.concatenate(out_keys), np.concatenate(out_counts), out_off
+
+
+def _xorshift_step(x: np.ndarray) -> np.ndarray:
+    # XORShift RNG, MinHashSketch.java:139-142 (Java long ops == uint64 ops)
+    x ^= x << np.uint64(21)
+    x ^= x >> np.uint64(35)
+    x ^= x << np.uint64(4)
+    return x
+
+
+def weighted_minhash(
+    keys: np.ndarray,
+    weights: np.ndarray,
+    urow_offsets: np.ndarray,
+    num_hashes: int,
+) -> np.ndarray:
+    """(n_rows, num_hashes) int32 signature matrix.
+
+    For each unique kmer ``key`` with integer weight w: a single XORShift
+    stream seeded at key runs num_hashes*w steps; slot ``word`` sees steps
+    [word*w, (word+1)*w) and keeps the signed-minimum; the winning kmer's
+    key low half (even slots) or high half (odd slots) is the signature
+    value (MinHashSketch.java:133-153). Rows with zero kmers get
+    int32.min signatures (callers must mask them out — the reference
+    throws ZeroNGramsFoundException instead, MinHashSketch.java:84-85).
+    """
+    n_rows = len(urow_offsets) - 1
+    best_val = np.full((n_rows, num_hashes), I64_MAX, dtype=np.int64)
+    best_key = np.zeros((n_rows, num_hashes), dtype=np.uint64)
+    if len(keys) == 0:
+        return _signature_from_keys(best_key, best_val)
+
+    counts = np.diff(urow_offsets)
+    row_of = np.repeat(np.arange(n_rows), counts)
+    weights = np.asarray(weights, dtype=np.int64)
+
+    for w in np.unique(weights):
+        w = int(w)
+        if w <= 0:
+            continue  # weight<=0 kmers are skipped (MinHashSketch.java:127-128)
+        sel = weights == w
+        keys_w = keys[sel]
+        rows_w = row_of[sel]
+        n_w = len(keys_w)
+        # segment starts of each row-run inside this weight group
+        starts_w = np.flatnonzero(np.diff(rows_w, prepend=-1))
+        urows_w = rows_w[starts_w]
+        seg_counts = np.diff(starts_w, append=n_w)
+        idx = np.arange(n_w)
+
+        x = keys_w.astype(np.uint64, copy=True)
+        for word in range(num_hashes):
+            m = None
+            for _ in range(w):
+                x = _xorshift_step(x)
+                xv = x.view(np.int64)
+                m = xv.copy() if m is None else np.minimum(m, xv)
+            rmin = np.minimum.reduceat(m, starts_w)
+            # first index attaining the min (Java strict `<` keeps earliest)
+            rmin_exp = np.repeat(rmin, seg_counts)
+            cand = np.where(m == rmin_exp, idx, n_w)
+            widx = np.minimum.reduceat(cand, starts_w)
+            wkeys = keys_w[widx]
+
+            col_val = best_val[:, word]
+            col_key = best_key[:, word]
+            cur = col_val[urows_w]
+            upd = rmin < cur
+            rows_upd = urows_w[upd]
+            col_val[rows_upd] = rmin[upd]
+            col_key[rows_upd] = wkeys[upd]
+
+    return _signature_from_keys(best_key, best_val)
+
+
+def _signature_from_keys(best_key: np.ndarray, best_val: np.ndarray) -> np.ndarray:
+    num_hashes = best_key.shape[1]
+    lo = (best_key & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    hi = (best_key >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    sig = np.where(np.arange(num_hashes)[None, :] % 2 == 0, lo, hi)
+    # rows never updated (no kmers): mark with int32.min so callers can drop
+    empty = best_val[:, 0] == I64_MAX
+    sig[empty, :] = np.iinfo(np.int32).min
+    return sig.astype(np.int32, copy=False)
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Slot-equality Jaccard estimate (MinHashSketch.java:237-252)."""
+    return float(np.mean(sig_a == sig_b))
+
+
+# ---------------------------------------------------------------------------
+# bottom-k positional sketch — BottomOverlapSketch.java:525-559
+# ---------------------------------------------------------------------------
+
+
+def bottom_sketch(hashes32: np.ndarray, sketch_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bs_hash, bs_pos): the sketch_size smallest hashes with positions.
+
+    Stable sort by signed int32 hash (radixSortIndirect is stable, ties
+    keep ascending position), truncated to min(sketch_size, n).
+    """
+    perm = np.argsort(hashes32, kind="stable")
+    k = min(sketch_size, len(hashes32))
+    perm = perm[:k]
+    return hashes32[perm], perm.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# verify kernel (§2.9) — BottomOverlapSketch.getOverlapInfo
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OverlapResult:
+    score: float
+    raw_score: float
+    a1: int
+    a2: int
+    b1: int
+    b2: int
+
+
+def _median_shift(shifts: np.ndarray) -> int:
+    # Utils.quickSelect(copy, count/2, count): k-th smallest, k = n//2
+    n = len(shifts)
+    k = n // 2
+    return int(np.partition(shifts, k)[k])
+
+
+def _update_state(shifts: np.ndarray, len1: int, len2: int, max_shift_pct: float):
+    """MatchData.performUpdate (BottomOverlapSketch.java:188-214)."""
+    if len(shifts) > 0:
+        median = _median_shift(shifts)
+        left = max(0, -median)
+        right = min(len1, len2 - median)
+        overlap = max(10, right - left)
+        abs_max = min(max(len1, len2), int(overlap * max_shift_pct))
+    else:
+        median = 0
+        abs_max = max(len1, len2) + 1
+    return median, abs_max
+
+
+def _valid_windows(median: int, abs_max: int, len1: int, len2: int):
+    # MatchData.valid1Lower/valid1Upper/valid2Lower/valid2Upper
+    v1l = max(0, -median - abs_max)
+    v1u = min(len1, len2 - median + abs_max)
+    v2l = max(0, median - abs_max)
+    v2u = min(len2, len1 + median + abs_max)
+    return v1l, v1u, v2l, v2u
+
+
+def _record_matching_kmers(
+    h1: np.ndarray, p1: np.ndarray, h2: np.ndarray, p2: np.ndarray,
+    median: int, abs_max: int, len1: int, len2: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized analog of recordMatchingKmers (BottomOverlapSketch.java:397-516).
+
+    For each hash value present in both window-filtered sketches it
+    records the (first1,first2) pair — gated on |shift-median|<=abs_max —
+    and, when either equal-hash run extends, the (last1,last2) pair
+    (recorded un-gated in the reference as well, :499-508). The
+    reference's intra-run pointer walk when the *first* pair's shift
+    fails is not reproduced (rare; affects repeated-shingle ties only).
+    Returns (pos1, pos2) match arrays in hash order.
+    """
+    v1l, v1u, v2l, v2u = _valid_windows(median, abs_max, len1, len2)
+    m1 = (p1 >= v1l) & (p1 < v1u)
+    m2 = (p2 >= v2l) & (p2 < v2u)
+    ah, ap = h1[m1], p1[m1]
+    bh, bp = h2[m2], p2[m2]
+    if len(ah) == 0 or len(bh) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    common = np.intersect1d(ah, bh)  # unique, ascending = merge order
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    af = np.searchsorted(ah, common, side="left")
+    al = np.searchsorted(ah, common, side="right") - 1
+    bf = np.searchsorted(bh, common, side="left")
+    bl = np.searchsorted(bh, common, side="right") - 1
+
+    first1, first2 = ap[af].astype(np.int64), bp[bf].astype(np.int64)
+    ok_first = np.abs((first2 - first1) - median) <= abs_max
+    has_run = (al > af) | (bl > bf)
+    last1, last2 = ap[al].astype(np.int64), bp[bl].astype(np.int64)
+
+    # interleave per common value: first (if gated ok) then last (if run)
+    n = len(common)
+    take_first = ok_first
+    take_last = has_run & ok_first  # runs only reached after a valid first
+    pos1 = np.empty(2 * n, dtype=np.int64)
+    pos2 = np.empty(2 * n, dtype=np.int64)
+    keep = np.zeros(2 * n, dtype=bool)
+    pos1[0::2], pos2[0::2], keep[0::2] = first1, first2, take_first
+    pos1[1::2], pos2[1::2], keep[1::2] = last1, last2, take_last
+    return pos1[keep], pos2[keep]
+
+
+def _optimize_shifts(pos1, pos2, median):
+    """optimizeShifts (BottomOverlapSketch.java:156-189): dedup consecutive
+    equal pos1 keeping the shift closest to the median."""
+    if len(pos1) == 0:
+        return pos1, pos2
+    shifts = pos2 - pos1
+    dist = np.abs(shifts - median)
+    keep1, keep2 = [], []
+    cur = 0
+    for i in range(1, len(pos1)):
+        if pos1[i] == pos1[cur]:
+            if dist[i] < dist[cur]:
+                cur = i
+        else:
+            keep1.append(cur)
+            cur = i
+    keep1.append(cur)
+    idx = np.asarray(keep1, dtype=np.int64)
+    return pos1[idx], pos2[idx]
+
+
+def _bottom_k_jaccard(h1, p1, h2, p2, a1, a2, b1, b2) -> float:
+    """computeKBottomSketchJaccard (BottomOverlapSketch.java:304-364).
+
+    Counts matches in a bounded merge of the two hash multisets
+    restricted to the estimated overlap region, stopping after k union
+    steps (k = min of the restricted sizes); matches consume first
+    within an equal value.
+    """
+    s1 = (p1 >= a1) & (p1 <= a2)
+    s2 = (p2 >= b1) & (p2 <= b2)
+    x1 = np.sort(h1[s1])
+    x2 = np.sort(h2[s2])
+    k = min(len(x1), len(x2))
+    if k == 0:
+        return 0.0
+    v1, c1 = np.unique(x1, return_counts=True)
+    v2, c2 = np.unique(x2, return_counts=True)
+    allv = np.union1d(v1, v2)
+    cc1 = np.zeros(len(allv), dtype=np.int64)
+    cc2 = np.zeros(len(allv), dtype=np.int64)
+    cc1[np.searchsorted(allv, v1)] = c1
+    cc2[np.searchsorted(allv, v2)] = c2
+    union_per_v = np.maximum(cc1, cc2)
+    inter_per_v = np.minimum(cc1, cc2)
+    cum_union = np.cumsum(union_per_v)
+    cut = int(np.searchsorted(cum_union, k))  # first idx with cum >= k
+    inter = int(inter_per_v[:cut].sum())
+    prev_union = int(cum_union[cut - 1]) if cut > 0 else 0
+    remaining = k - prev_union
+    if cut < len(allv) and remaining > 0:
+        inter += min(remaining, int(inter_per_v[cut]))
+    return inter / k
+
+
+def jaccard_to_identity(score: float, kmer_size: int) -> float:
+    """BottomOverlapSketch.jaccardToIdentity (:391-395)."""
+    if score <= 0.0:
+        return 0.0
+    d = -1.0 / kmer_size * np.log(2.0 * score / (1.0 + score))
+    return float(np.exp(-d))
+
+
+def verify_pair(
+    h1: np.ndarray, p1: np.ndarray, len1: int,
+    h2: np.ndarray, p2: np.ndarray, len2: int,
+    kmer_size: int, max_shift_pct: float,
+) -> OverlapResult | None:
+    """getOverlapInfo (BottomOverlapSketch.java:592-630): two merge
+    passes (second in the refined window), shift dedup, UMVU edges,
+    region-restricted bottom-k Jaccard -> identity score.
+
+    ``len1``/``len2`` are kmer counts (seq chars - k + 1), matching the
+    reference's seqLength field (BottomOverlapSketch.java:530)."""
+    median, abs_max = _update_state(np.empty(0, np.int64), len1, len2, max_shift_pct)
+    m1, m2 = _record_matching_kmers(h1, p1, h2, p2, median, abs_max, len1, len2)
+    if len(m1) == 0:
+        return None
+    median, abs_max = _update_state(m2 - m1, len1, len2, max_shift_pct)
+    m1, m2 = _record_matching_kmers(h1, p1, h2, p2, median, abs_max, len1, len2)
+    if len(m1) == 0:
+        return None
+    # optimizeShifts uses the median of the *pass-2* matches (performUpdate
+    # after the reset inside recordMatchingKmers)
+    median2, _ = _update_state(m2 - m1, len1, len2, max_shift_pct)
+    m1, m2 = _optimize_shifts(m1, m2, median2)
+    if len(m1) == 0:
+        return None
+
+    # computeEdges (:90-137): recompute state post-dedup, gate, UMVU
+    shifts = m2 - m1
+    median, abs_max = _update_state(shifts, len1, len2, max_shift_pct)
+    valid = np.abs(shifts - median) <= abs_max
+    n = int(valid.sum())
+    if n < 3:
+        return None
+    vp1, vp2 = m1[valid], m2[valid]
+    le1, re1 = int(vp1.min()), int(vp1.max())
+    le2, re2 = int(vp2.min()), int(vp2.max())
+    def _jround(x: float) -> int:  # Java Math.round = floor(x + 0.5)
+        return int(np.floor(x + 0.5))
+
+    a1 = max(0, _jround((n * le1 - re1) / (n - 1)))
+    a2 = min(len1, _jround((n * re1 - le1) / (n - 1)))
+    b1 = max(0, _jround((n * le2 - re2) / (n - 1)))
+    b2 = min(len2, _jround((n * re2 - le2) / (n - 1)))
+
+    j = _bottom_k_jaccard(h1, p1, h2, p2, a1, a2, b1, b2)
+    score = jaccard_to_identity(j, kmer_size)
+    return OverlapResult(score, float(n), a1, a2, b1, b2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash — sketch/SimHash.java:40-87
+# ---------------------------------------------------------------------------
+
+
+def simhash64(texts: list[str], k: int, seed: int = 0) -> np.ndarray:
+    """64-bit SimHash per text: per-bit majority vote over shingle hashes."""
+    hashes, row_offsets = shingle_hashes64(texts, k, seed)
+    n_rows = len(row_offsets) - 1
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if len(hashes) == 0:
+        return out.view(np.int64)
+    bits = np.unpackbits(hashes[:, None].view(np.uint8), axis=1, bitorder="little")
+    votes = 2 * bits.astype(np.int32) - 1  # (N, 64)
+    counts = np.diff(row_offsets)
+    nz = counts > 0
+    starts = row_offsets[:-1][nz]
+    sums = np.add.reduceat(votes, starts, axis=0)  # (rows_with_shingles, 64)
+    maj = (sums > 0).astype(np.uint8)
+    packed = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).ravel()
+    out[nz] = packed
+    return out.view(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """XOR-popcount Hamming distance (sketch/AbstractBitSketch.java:74-88)."""
+    x = np.bitwise_xor(a.view(np.uint64), b.view(np.uint64))
+    return np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+
+
+def phash_band_keys(phash: np.ndarray, n_bands: int, band_bits: int) -> np.ndarray:
+    """(N, n_bands) int64 band keys: band id in the high bits, the band's
+    bit-slice of the hash in the low bits (BitVectorIndex banding analog,
+    sketch/BitVectorIndex.java:85-116 with contiguous bit blocks)."""
+    u = phash.view(np.uint64)
+    mask = np.uint64((1 << band_bits) - 1)
+    out = np.empty((len(u), n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        sl = (u >> np.uint64(b * band_bits)) & mask
+        out[:, b] = (np.uint64(b) << np.uint64(48)) | sl
+    return out.view(np.int64)

@@ -1,0 +1,237 @@
+"""Kernel unit tests: shingling, weighted MinHash (vs a naive
+Java-faithful scalar reimplementation), bottom sketch, verify kernel."""
+
+import numpy as np
+import pytest
+
+from mhray import kernels as K
+from mhray.murmur import murmur3_x64_128_scalar, murmur3_x86_32_scalar
+
+# ---------------------------------------------------------------------------
+# naive scalar references (mirroring the Java line-by-line)
+# ---------------------------------------------------------------------------
+
+M64 = (1 << 64) - 1
+
+
+def xorshift_scalar(x: int) -> int:
+    # MinHashSketch.java:139-142 on Java signed longs == uint64 bit ops
+    x ^= (x << 21) & M64
+    x &= M64
+    x ^= x >> 35
+    x ^= (x << 4) & M64
+    return x & M64
+
+
+def to_signed(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def naive_weighted_minhash(keys, weights, num_hashes):
+    """Direct transcription of MinHashSketch.java:88-153."""
+    best = [(1 << 63) - 1] * num_hashes
+    hashes = [-(1 << 31)] * num_hashes
+    any_valid = False
+    for key, weight in zip(keys, weights):
+        if weight <= 0:
+            continue
+        any_valid = True
+        x = int(key)
+        for word in range(num_hashes):
+            for _ in range(weight):
+                x = xorshift_scalar(x)
+                if to_signed(x) < best[word]:
+                    best[word] = to_signed(x)
+                    if word % 2 == 0:
+                        v = int(key) & 0xFFFFFFFF
+                    else:
+                        v = (int(key) >> 32) & 0xFFFFFFFF
+                    hashes[word] = v - (1 << 32) if v >= (1 << 31) else v
+    if not any_valid:
+        return None
+    return np.asarray(hashes, dtype=np.int32)
+
+
+def naive_shingle_hashes64(text, k):
+    return [
+        murmur3_x64_128_scalar(text[i : i + k].encode("utf-16-le"))
+        for i in range(len(text) - k + 1)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_hashes64_matches_scalar():
+    texts = ["hello world foo", "abcabcabc", "xy"]
+    k = 4
+    hashes, off = K.shingle_hashes64(texts, k)
+    assert off.tolist() == [0, 12, 18, 18]  # "xy" shorter than k -> 0 windows
+    for t_i, text in enumerate(texts[:2]):
+        expect = naive_shingle_hashes64(text, k)
+        got = hashes[off[t_i] : off[t_i + 1]]
+        assert [int(g) for g in got] == expect
+
+
+def test_shingle_hashes32_matches_scalar():
+    texts = ["sphinx of black quartz"]
+    k = 5
+    hashes, off = K.shingle_hashes32(texts, k)
+    expect = [
+        murmur3_x86_32_scalar(texts[0][i : i + 5].encode("utf-16-le"))
+        for i in range(len(texts[0]) - 4)
+    ]
+    assert hashes.tolist() == expect
+
+
+def test_shingles_with_empty_rows_interleaved():
+    # regression: zero-window rows between non-empty rows must not
+    # corrupt window start offsets
+    texts = ["abcdefgh", "x", "", "ijklmnopqr", "yz", "stuvwxyzab"]
+    k = 4
+    hashes, off = K.shingle_hashes64(texts, k)
+    for i, t in enumerate(texts):
+        got = hashes[off[i] : off[i + 1]]
+        expect = naive_shingle_hashes64(t, k) if len(t) >= k else []
+        assert [int(g) for g in got] == expect, (i, t)
+
+
+def test_unique_first_occurrence_order():
+    h = np.array([5, 3, 5, 7, 3, 3], dtype=np.uint64)
+    off = np.array([0, 6])
+    keys, counts, uoff = K.unique_in_first_occurrence_order(h, off)
+    assert keys.tolist() == [5, 3, 7]
+    assert counts.tolist() == [2, 3, 1]
+    assert uoff.tolist() == [0, 3]
+
+
+# ---------------------------------------------------------------------------
+# weighted MinHash
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_minhash_matches_naive():
+    rng = np.random.default_rng(3)
+    num_hashes = 16
+    rows = []
+    for _ in range(5):
+        n = int(rng.integers(1, 12))
+        keys = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+        weights = rng.integers(1, 4, size=n).astype(np.int64)
+        rows.append((keys, weights))
+    all_keys = np.concatenate([k for k, _ in rows])
+    all_weights = np.concatenate([w for _, w in rows])
+    offsets = np.cumsum([0] + [len(k) for k, _ in rows])
+    sig = K.weighted_minhash(all_keys, all_weights, offsets, num_hashes)
+    for i, (keys, weights) in enumerate(rows):
+        expect = naive_weighted_minhash(keys.tolist(), weights.tolist(), num_hashes)
+        np.testing.assert_array_equal(sig[i], expect)
+
+
+def test_weighted_minhash_empty_row():
+    sig = K.weighted_minhash(
+        np.array([123], dtype=np.uint64),
+        np.array([1]),
+        np.array([0, 0, 1]),  # row 0 empty, row 1 has the kmer
+        8,
+    )
+    assert (sig[0] == np.iinfo(np.int32).min).all()
+    assert not (sig[1] == np.iinfo(np.int32).min).all()
+
+
+def test_minhash_similar_strings_share_slots():
+    a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    c = "completely different text with nothing shared at all zzz qqq www yy"
+    h, off = K.shingle_hashes64([a, b, c], 8)
+    keys, counts, uoff = K.unique_in_first_occurrence_order(h, off)
+    sig = K.weighted_minhash(keys, counts, uoff, 64)
+    sim_ab = K.minhash_jaccard(sig[0], sig[1])
+    sim_ac = K.minhash_jaccard(sig[0], sig[2])
+    assert sim_ab > 0.5
+    assert sim_ac < 0.1
+
+
+# ---------------------------------------------------------------------------
+# bottom sketch + verify kernel
+# ---------------------------------------------------------------------------
+
+
+def test_bottom_sketch_sorted_stable():
+    h = np.array([5, -3, 5, 1, -3], dtype=np.int32)
+    bs_h, bs_p = K.bottom_sketch(h, 4)
+    assert bs_h.tolist() == [-3, -3, 1, 5]
+    assert bs_p.tolist() == [1, 4, 3, 0]  # ties keep ascending position
+
+
+def _sketch(text, k=6, size=64):
+    h, off = K.shingle_hashes32([text], k)
+    bs_h, bs_p = K.bottom_sketch(h, size)
+    return bs_h, bs_p, len(h)
+
+
+def test_verify_identical_strings():
+    t = "the quick brown fox jumps over the lazy dog near the river bank"
+    h, p, L = _sketch(t)
+    res = K.verify_pair(h, p, L, h, p, L, 6, 0.2)
+    assert res is not None
+    assert res.score > 0.99
+    assert res.a1 == 0 and res.b1 == 0
+
+
+def test_verify_disjoint_strings():
+    h1, p1, L1 = _sketch("aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj")
+    h2, p2, L2 = _sketch("zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq")
+    res = K.verify_pair(h1, p1, L1, h2, p2, L2, 6, 0.2)
+    assert res is None or res.score < 0.3
+
+
+def test_verify_edited_string_scores_between():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "the quick brown fax jumps over the lazy dog near the rivzr bank today"
+    h1, p1, L1 = _sketch(a)
+    h2, p2, L2 = _sketch(b)
+    res = K.verify_pair(h1, p1, L1, h2, p2, L2, 6, 0.2)
+    assert res is not None
+    assert 0.5 < res.score < 1.0
+
+
+def test_verify_shifted_overlap():
+    core = "shared middle segment that both strings contain verbatim okay"
+    a = "prefix text one two three " + core
+    b = core + " suffix junk four five six"
+    h1, p1, L1 = _sketch(a, size=256)
+    h2, p2, L2 = _sketch(b, size=256)
+    res = K.verify_pair(h1, p1, L1, h2, p2, L2, 6, 0.5)
+    assert res is not None
+    # overlap region should sit at the end of a and the start of b
+    assert res.a1 > 10
+    assert res.b1 < 10
+
+
+def test_jaccard_to_identity():
+    assert K.jaccard_to_identity(1.0, 12) == pytest.approx(1.0)
+    assert K.jaccard_to_identity(0.0, 12) == 0.0
+    # threshold 0.78 at k=12 corresponds to j ~ 0.026
+    assert K.jaccard_to_identity(0.026, 12) == pytest.approx(0.78, abs=0.01)
+
+
+def test_simhash_similarity():
+    a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    c = "completely different text with nothing shared at all zzz qqq www yy"
+    sh = K.simhash64([a, b, c], 6)
+    d_ab = K.hamming64(sh[:1], sh[1:2])[0]
+    d_ac = K.hamming64(sh[:1], sh[2:3])[0]
+    assert d_ab < d_ac
+
+
+def test_phash_band_keys_shape():
+    ph = np.array([0x1234567890ABCDEF, -1], dtype=np.int64)
+    bands = K.phash_band_keys(ph, 4, 16)
+    assert bands.shape == (2, 4)
+    # identical hashes share all 4 band keys
+    bands2 = K.phash_band_keys(ph.copy(), 4, 16)
+    np.testing.assert_array_equal(bands, bands2)
