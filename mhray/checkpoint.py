@@ -1,0 +1,95 @@
+"""Per-stage checkpoints with manifests + lineage (north-rule resume).
+
+The reference's own checkpoint pattern is the ``-p`` precompute of
+binary sketch files reused across runs (main/MhapMain.java:384-451,
+impl/SequenceSketchStreamer.java:322-395). Generalized here: every
+stage writes partitioned parquet + a ``manifest.json`` (row counts,
+per-file lineage, config digest, wall time) and a ``_SUCCESS`` marker;
+a resumed run skips any stage whose marker + matching config digest
+exist and re-reads the parquet instead — so a failed job continues
+from the last completed stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def config_digest(cfg) -> str:
+    payload = json.dumps(asdict(cfg), sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _lineage(stage_dir: str) -> list[dict]:
+    out = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(stage_dir, name)
+        md = pq.ParquetFile(path).metadata
+        out.append({"file": name, "rows": md.num_rows,
+                    "bytes": os.path.getsize(path)})
+    return out
+
+
+def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
+                     resume: bool = True) -> "ray.data.Dataset":
+    """Run ``compute() -> Dataset`` with checkpoint/resume semantics.
+
+    On success the stage directory holds partitioned parquet, a
+    manifest.json (lineage + metrics record for the stage), and
+    _SUCCESS. A matching existing checkpoint short-circuits compute.
+    """
+    stage_dir = os.path.join(out_dir, name)
+    data_dir = os.path.join(stage_dir, "data")
+    marker = os.path.join(stage_dir, "_SUCCESS")
+    manifest_path = os.path.join(stage_dir, "manifest.json")
+    digest = config_digest(cfg) if cfg is not None else None
+
+    if resume and os.path.exists(marker) and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if digest is None or manifest.get("config_digest") == digest:
+            return ray.data.read_parquet(data_dir)
+
+    t0 = time.time()
+    ds = compute()
+    os.makedirs(data_dir, exist_ok=True)
+    for old in os.listdir(data_dir):  # clear a partial previous attempt
+        os.remove(os.path.join(data_dir, old))
+    if os.path.exists(marker):
+        os.remove(marker)
+    ds.write_parquet(data_dir)
+    lineage = _lineage(data_dir)
+    manifest = {
+        "stage": name,
+        "rows": sum(f["rows"] for f in lineage),
+        "partitions": lineage,
+        "duration_s": round(time.time() - t0, 3),
+        "config_digest": digest,
+        "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    with open(marker, "w") as f:
+        f.write("")
+    return ray.data.read_parquet(data_dir)
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    """All stage manifests under a run dir (the run's metrics records)."""
+    out = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name, "manifest.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out.append(json.load(f))
+    return out

@@ -99,6 +99,24 @@ def shingle_hashes32(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     return murmur3_x86_32(win), row_offsets
 
 
+def hash_strings64(texts: list[str], seed: int = 0) -> np.ndarray:
+    """murmur3_128 (h1) of each full text's UTF-16LE bytes, vectorized by
+    grouping equal-length strings (murmur is fixed-width vectorized).
+    Used as the exact-duplicate grouping key."""
+    n = len(texts)
+    out = np.empty(n, dtype=np.uint64)
+    bufs = [t.encode("utf-16-le") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    for ln in np.unique(lens):
+        idx = np.flatnonzero(lens == ln)
+        if ln == 0:
+            out[idx] = murmur3_x64_128(np.empty((1, 0), np.uint8), seed)[0]
+            continue
+        mat = np.frombuffer(b"".join(bufs[i] for i in idx), np.uint8).reshape(len(idx), ln)
+        out[idx] = murmur3_x64_128(mat, seed)
+    return out.view(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # weighted MinHash (XORShift family)  — MinHashSketch.java:51-179
 # ---------------------------------------------------------------------------
@@ -234,6 +252,51 @@ def bottom_sketch(hashes32: np.ndarray, sketch_size: int) -> tuple[np.ndarray, n
     k = min(sketch_size, len(hashes32))
     perm = perm[:k]
     return hashes32[perm], perm.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# sketch (de)serialization — the SequenceSketch byte framing analog
+# (impl/SequenceSketch.java:123-148): joins/shuffles carry sketches as
+# flat binary (Arrow acero joins reject nested list payload columns).
+# ---------------------------------------------------------------------------
+
+
+def pack_bottom_sketch(bs_hash: np.ndarray, bs_pos: np.ndarray, seq_len: int) -> bytes:
+    """[int32 seq_len][int32 k][k x int32 hashes][k x int32 positions]."""
+    k = len(bs_hash)
+    head = np.array([seq_len, k], dtype="<i4")
+    return head.tobytes() + bs_hash.astype("<i4").tobytes() + bs_pos.astype("<i4").tobytes()
+
+
+def unpack_bottom_sketch(blob: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    head = np.frombuffer(blob, dtype="<i4", count=2)
+    seq_len, k = int(head[0]), int(head[1])
+    body = np.frombuffer(blob, dtype="<i4", offset=8, count=2 * k)
+    return body[:k], body[k:], seq_len
+
+
+def binary_column_fixed_i32(col, width: int) -> np.ndarray:
+    """(N, width) int32 view of an Arrow binary column whose values all
+    hold ``width`` int32s (zero-copy per chunk where possible)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    mats = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+            ch.offset : ch.offset + len(ch) + 1
+        ]
+        data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        flat = data[offs[0] : offs[-1]]
+        mats.append(flat.view("<i4").reshape(len(ch), width))
+    if not mats:
+        return np.empty((0, width), dtype=np.int32)
+    return np.concatenate(mats) if len(mats) > 1 else mats[0]
 
 
 # ---------------------------------------------------------------------------

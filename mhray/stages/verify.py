@@ -1,0 +1,88 @@
+"""Stage 5-6: sketch-attach joins + positional verify.
+
+J2 (impl/MinHashSearch.java:206-208 ``sequenceVectorsHash.get``) becomes
+two hash joins attaching each side's bottom sketch to the candidate
+pair; the §2.9 verify kernel then runs as a stateless ``map_batches``
+(pure numpy per pair, no shared state — SURVEY.md §7.2). Sketches are
+~KB-sized rows, so this is a shuffle join, not a broadcast
+(SURVEY.md J2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mhray.config import MhapConfig
+from mhray.kernels import unpack_bottom_sketch, verify_pair
+
+
+def attach_sketches(pairs_ds, sketches_ds, num_partitions: int = 32,
+                    columns=("bs_blob",)):
+    """pairs(lo, hi, ...) ⋈ sketches on lo then hi."""
+    side = sketches_ds.select_columns(["iid", *columns])
+    lo_side = side.rename_columns(
+        {"iid": "_iid_lo", **{c: f"{c}_lo" for c in columns}})
+    hi_side = side.rename_columns(
+        {"iid": "_iid_hi", **{c: f"{c}_hi" for c in columns}})
+    joined = pairs_ds.join(
+        lo_side, join_type="inner", num_partitions=num_partitions,
+        on=("lo",), right_on=("_iid_lo",),
+    )
+    joined = joined.join(
+        hi_side, join_type="inner", num_partitions=num_partitions,
+        on=("hi",), right_on=("_iid_hi",),
+    )
+    # Ray's join drops the right-side key columns itself; guard anyway
+    leftover = [c for c in joined.schema().names if c.startswith("_iid_")]
+    return joined.drop_columns(leftover) if leftover else joined
+
+
+class VerifyPairs:
+    """map_batches fn: run the two-pass positional verify on each
+    candidate pair; keep rows with identity score >= threshold
+    (impl/MinHashSearch.java:228-233)."""
+
+    def __init__(self, cfg: MhapConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        blob_lo = batch.column("bs_blob_lo").to_pylist()
+        blob_hi = batch.column("bs_blob_hi").to_pylist()
+
+        keep = np.zeros(n, dtype=bool)
+        score = np.zeros(n, dtype=np.float64)
+        raw = np.zeros(n, dtype=np.float64)
+        edges = np.zeros((n, 4), dtype=np.int32)
+        for i in range(n):
+            h1, p1, l1 = unpack_bottom_sketch(blob_lo[i])
+            h2, p2, l2 = unpack_bottom_sketch(blob_hi[i])
+            res = verify_pair(h1, p1, l1, h2, p2, l2,
+                              cfg.ordered_kmer_size, cfg.max_shift)
+            if res is not None and res.score >= cfg.threshold:
+                keep[i] = True
+                score[i] = res.score
+                raw[i] = res.raw_score
+                edges[i] = (res.a1, res.a2, res.b1, res.b2)
+
+        kept = batch.filter(pa.array(keep)).drop_columns(
+            ["bs_blob_lo", "bs_blob_hi"])
+        return (
+            kept.append_column("score", pa.array(score[keep], pa.float64()))
+            .append_column("raw_score", pa.array(raw[keep], pa.float64()))
+            .append_column("a1", pa.array(edges[keep, 0], pa.int32()))
+            .append_column("a2", pa.array(edges[keep, 1], pa.int32()))
+            .append_column("b1", pa.array(edges[keep, 2], pa.int32()))
+            .append_column("b2", pa.array(edges[keep, 3], pa.int32()))
+        )
+
+
+def verify_candidates(pairs_ds, sketches_ds, cfg: MhapConfig,
+                      num_partitions: int = 32):
+    joined = attach_sketches(pairs_ds, sketches_ds, num_partitions)
+    return joined.map_batches(
+        VerifyPairs(cfg), batch_size=cfg.verify_batch_size,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

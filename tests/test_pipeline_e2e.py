@@ -1,0 +1,89 @@
+"""End-to-end: the distributed pipeline must reproduce the oracle's
+pairs and cluster assignments exactly (dup-pair recall >= 0.99 gate;
+here we assert full agreement), and resume from checkpoints."""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mhray import oracle as O
+from mhray.config import PRESETS
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(ray_session, small_corpus, tmp_path_factory):
+    from mhray.pipelines.dedup import pairs_with_ids, run_dedup
+
+    out = str(tmp_path_factory.mktemp("run"))
+    cfg = PRESETS["captions"]
+    res = run_dedup(small_corpus["images"], out, cfg, num_parts=4)
+    pairs = pairs_with_ids(res, num_parts=4).take_all()
+    clusters = res["clusters"].take_all()
+    return {"res": res, "pairs": pairs, "clusters": clusters,
+            "out": out, "cfg": cfg}
+
+
+@pytest.fixture(scope="module")
+def oracle_run(small_corpus):
+    imgs = pq.read_table(small_corpus["images"])
+    cfg = PRESETS["captions"]
+    return O.find_pairs(
+        imgs.column("image_id").to_pylist(),
+        imgs.column("caption").to_pylist(),
+        np.asarray(imgs.column("phash"), dtype=np.int64),
+        cfg,
+    )
+
+
+def test_pipeline_matches_oracle_pairs(pipeline_run, oracle_run):
+    oset = set(zip(oracle_run.pairs.column("lo_id").to_pylist(),
+                   oracle_run.pairs.column("hi_id").to_pylist()))
+    pset = {(p["lo_id"], p["hi_id"]) for p in pipeline_run["pairs"]}
+    missing = oset - pset
+    extra = pset - oset
+    recall = 1 - len(missing) / max(1, len(oset))
+    assert recall >= 0.99, f"missing={sorted(missing)[:5]}"
+    assert not extra, sorted(extra)[:5]
+
+
+def test_pipeline_truth_recall(pipeline_run, small_corpus):
+    truth = pq.read_table(small_corpus["truth_pairs"])
+    got = pa.table({
+        "lo_id": [p["lo_id"] for p in pipeline_run["pairs"]],
+        "hi_id": [p["hi_id"] for p in pipeline_run["pairs"]],
+    })
+    assert O.recall_against(truth, got) >= 0.99
+
+
+def test_pipeline_clusters_match_oracle(pipeline_run, oracle_run):
+    ocl = {r["image_id"]: r["cluster_id"] for r in oracle_run.clusters.to_pylist()}
+    pcl = {r["image_id"]: r["cluster_id"] for r in pipeline_run["clusters"]}
+    assert len(pcl) == len(ocl)
+    mismatches = [k for k in ocl if ocl[k] != pcl.get(k)]
+    assert not mismatches, mismatches[:5]
+
+
+def test_resume_skips_completed_stages(pipeline_run, small_corpus):
+    from mhray.pipelines.dedup import run_dedup
+
+    t0 = time.time()
+    res2 = run_dedup(small_corpus["images"], pipeline_run["out"],
+                     pipeline_run["cfg"], num_parts=4)
+    elapsed = time.time() - t0
+    assert elapsed < 10, f"resume took {elapsed:.1f}s — checkpoints not hit"
+    assert res2["clusters"].count() == len(pipeline_run["clusters"])
+
+
+def test_stage_manifests_record_lineage(pipeline_run):
+    from mhray.checkpoint import read_manifests
+
+    manifests = read_manifests(pipeline_run["out"])
+    names = {m["stage"] for m in manifests}
+    assert {"s1_sketches", "s3_rep_pairs", "s5_pairs", "s6_clusters"} <= names
+    for m in manifests:
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+        assert m["duration_s"] >= 0
+        assert m["config_digest"]
