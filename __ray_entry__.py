@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -20,25 +17,49 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the MHAP-style two-stage near-dup pipeline + union-find
+    clustering over the sf0.001 documents table — sketch actor pool ->
+    signature LSH shuffle -> positional verify -> cluster assignment."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from mhray.config import PRESETS
+    from mhray.stages.cluster import cluster_edges
+    from mhray.stages.dedup import minhash_text_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    cfg = PRESETS["captions"].with_(threshold=0.9)
+    pairs = minhash_text_pairs(docs, cfg).materialize()
+    pair_clusters = cluster_edges(pairs.select_columns(["lo", "hi"]))
+    ids = docs.select_columns(["doc_id"])
+    assigned = ids.join(
+        pair_clusters.rename_columns({"iid": "doc_id"}),
+        join_type="left_outer", num_partitions=4,
+        on=("doc_id",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "cluster_id": pa.compute.coalesce(
+                b.column("cluster_id"), b.column("doc_id").cast(pa.int64())),
+        }),
+        batch_format="pyarrow",
+    )
+    return assigned
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (see mhray/pipelines/queries.py for the catalog)."""
+    from mhray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; custom-hash
+    / heuristic operators are omitted (driver records rows-only)."""
+    from mhray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

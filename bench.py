@@ -1,0 +1,158 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "images_per_sec": ...}
+
+Headline = the flagship image+caption near-dup pipeline (sketch ->
+LSH -> verify -> cluster) over a deterministic synthetic corpus
+(BASELINE.json input_hint shape; cached under /tmp), plus a set of
+catalog queries over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+--scaling: runs the headline job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the identical corpus and reports both
+throughputs + scaling efficiency (the sandbox evidence for the
+two-cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("MHRAY_BENCH_ROWS", "50000"))
+CORPUS_SEED = 77
+
+
+def corpus_dir() -> str:
+    return f"/tmp/mhray_bench_corpus_{BENCH_ROWS}_{CORPUS_SEED}"
+
+
+def ensure_corpus() -> str:
+    d = corpus_dir()
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        from mhray.synth import SynthSpec, write_corpus
+
+        os.makedirs(d, exist_ok=True)
+        write_corpus(d, SynthSpec(n_rows=BENCH_ROWS, seed=CORPUS_SEED),
+                     n_files=32)
+        with open(marker, "w") as f:
+            f.write("")
+    return d
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from mhray.config import PRESETS
+    from mhray.pipelines.dedup import run_dedup
+
+    d = ensure_corpus()
+    out_dir = f"/tmp/mhray_bench_out_{num_cpus}_{time.time_ns()}"
+    cfg = PRESETS["captions"]
+    t0 = time.time()
+    res = run_dedup(os.path.join(d, "images"), out_dir, cfg,
+                    decode_pixels=True, num_parts=min(32, num_cpus),
+                    resume=False)
+    n_pairs = res["pairs"].count()
+    n_clusters = res["clusters"].count()
+    elapsed = time.time() - t0
+    return {
+        "sec": round(elapsed, 2),
+        "rows": BENCH_ROWS,
+        "images_per_sec": round(BENCH_ROWS / elapsed, 1),
+        "pairs": n_pairs,
+        "cluster_rows": n_clusters,
+    }
+
+
+def run_catalog_queries(sf_dir: str) -> dict[str, float]:
+    from mhray.pipelines.queries import QUERIES
+
+    names = ["q_pricing_summary", "q_join_agg", "q_topk_orders",
+             "q_events_hourly", "d_exact_dedup", "d_minhash_pairs",
+             "d_simhash_pairs", "e_knn_brute", "d_fingerprints"]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    if "--headline-only" in sys.argv:
+        stats = run_headline(NUM_CPUS)
+        print(json.dumps({"headline": stats, "num_cpus": NUM_CPUS}))
+        return
+
+    if "--scaling" in sys.argv:
+        ensure_corpus()  # generate once so both runs read identical input
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)["headline"]
+        t8 = results[8]["images_per_sec"]
+        t32 = results[32]["images_per_sec"]
+        efficiency = (t32 / t8) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling efficiency 8->32 cpus (headline dedup)",
+            "imgs_per_sec_8": t8,
+            "imgs_per_sec_32": t32,
+            "efficiency": round(efficiency, 3),
+            "sec_8": results[8]["sec"],
+            "sec_32": results[32]["sec"],
+            "rows": BENCH_ROWS,
+        }))
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    headline = run_headline(NUM_CPUS)
+    queries = run_catalog_queries(SF_DIR)
+    queries["flagship_dedup"] = headline["sec"]
+    total = round(sum(queries.values()), 2)
+    print(json.dumps({
+        "metric": "end-to-end dedup + catalog pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": headline["images_per_sec"],
+        "bench_rows": headline["rows"],
+        "pairs": headline["pairs"],
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

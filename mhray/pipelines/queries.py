@@ -1,0 +1,390 @@
+"""Driver-contract query catalog: every operator exposed as a
+``(sf_dir) -> Dataset/Table`` callable plus (where SQL-expressible) a
+DuckDB oracle string over the same parquet tables.
+
+Naming rule: every computed column is aliased identically in the Ray
+code and the SQL so the driver's order-insensitive value-hash compare
+sees the same schema. Float aggregates are rounded on BOTH sides to
+dodge summation-order ulps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from mhray.config import PRESETS
+
+
+def _read(sf_dir: str, table: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _cast_round(tbl: pa.Table, int_cols=(), scale_cols=None) -> pa.Table:
+    """Cast counters to int64 and SCALE float aggregates into int64
+    (value * 10^d, rounded) — float rounding is not bit-identical
+    across engines, scaled integers are."""
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if name in int_cols:
+            col = col.cast(pa.int64())
+        if scale_cols and name in scale_cols:
+            scaled = pc.multiply(col.cast(pa.float64()), 10.0 ** scale_cols[name])
+            # DuckDB ROUND is half-towards-infinity; match it exactly
+            col = pc.round(scaled, ndigits=0,
+                           round_mode="half_towards_infinity").cast(pa.int64())
+        cols[name] = col
+    return pa.table(cols)
+
+
+def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        i = tbl.column_names.index(c)
+        tbl = tbl.set_column(i, c, pc.round(tbl.column(c), ndigits=nd))
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# relational operators (sources, filters, aggregates, joins, sorts)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-like grouped aggregate (pre-aggregated under the hood by
+    Ray's hash aggregate — the A1/A4 grouped-count analog)."""
+    li = _read(sf_dir, "lineitem")
+    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="cnt"),
+    )
+    return agg.map_batches(
+        lambda b: _cast_round(b, ("cnt",),
+                              {"sum_qty": 2, "sum_price": 2, "avg_disc": 4}),
+        batch_format="pyarrow",
+    )
+
+
+def q_filter_project(sf_dir: str):
+    """Predicate + projection pushed to the scan (M6 min-length filter
+    analog as an Arrow filter expression)."""
+    li = _read(sf_dir, "lineitem")
+    return li.filter(expr="l_quantity >= 49 and l_discount > 0.09") \
+        .select_columns(["l_orderkey", "l_partkey", "l_quantity"])
+
+
+def q_topk_orders(sf_dir: str):
+    """Top-10 orders by total price (K5 MatchResult ordering analog:
+    sort desc + limit)."""
+    o = _read(sf_dir, "orders")
+    return o.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(10).select_columns(["o_orderkey", "o_totalprice"])
+
+
+def q_join_agg(sf_dir: str):
+    """orders ⋈ customer grouped rollup (J2 equi-join analog)."""
+    o = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    c = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    j = o.join(c, join_type="inner", num_partitions=8,
+               on=("o_custkey",), right_on=("c_custkey",))
+    agg = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="cnt"),
+        Sum("o_totalprice", alias_name="total"),
+    )
+    return agg.map_batches(
+        lambda b: _cast_round(b, ("cnt",), {"total": 2}),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_by_type(sf_dir: str):
+    """events rollup: count / sum / min / max per event type (A6/A8
+    telemetry-aggregate analog)."""
+    ev = _read(sf_dir, "events")
+    agg = ev.groupby("event_type").aggregate(
+        Count(alias_name="cnt"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return agg.map_batches(
+        lambda b: _cast_round(b, ("cnt",),
+                              {"sum_value": 2, "min_value": 4, "max_value": 4}),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Hour-bucketed event counts — the windowed-aggregate shape
+    (floor the timestamp inside map_batches, then a grouped count)."""
+    ev = _read(sf_dir, "events").select_columns(["ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"hour": hour, "value": batch.column("value")})
+
+    agg = ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("hour").aggregate(Count(alias_name="cnt"),
+                                   Sum("value", alias_name="sum_value"))
+    return agg.map_batches(
+        lambda b: _cast_round(b, ("cnt",), {"sum_value": 2}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / text family over documents
+# ---------------------------------------------------------------------------
+
+def d_exact_dedup(sf_dir: str):
+    from mhray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"))
+
+
+def d_jaccard_pairs(sf_dir: str):
+    from mhray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_read(sf_dir, "documents"), tau=0.8)
+    return out.rename_columns({"lo": "lo_id", "hi": "hi_id"})
+
+
+def d_token_stats(sf_dir: str):
+    from mhray.stages.text import token_stats
+
+    return _read(sf_dir, "documents").map_batches(
+        token_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def d_bpe_token_count(sf_dir: str):
+    from mhray.stages.text import bpe_token_count
+
+    return _read(sf_dir, "documents").map_batches(
+        bpe_token_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def d_lang_count(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+    agg = ds.groupby("lang").aggregate(Count(alias_name="cnt"))
+    return agg.map_batches(
+        lambda b: pa.table({"lang": b.column("lang"),
+                            "cnt": b.column("cnt").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def d_minhash_pairs(sf_dir: str):
+    """MHAP two-stage near-dup pairs on documents (rows-only check:
+    LSH + XORShift MinHash has no SQL equivalent)."""
+    from mhray.stages.dedup import minhash_text_pairs
+
+    cfg = PRESETS["captions"].with_(threshold=0.9)
+    out = minhash_text_pairs(_read(sf_dir, "documents"), cfg)
+    return out.select_columns(["lo", "hi", "shared_slots"])
+
+
+def d_simhash_pairs(sf_dir: str):
+    from mhray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents"), max_hamming=4)
+
+
+def d_lang_id(sf_dir: str):
+    from mhray.stages.text import lang_id
+
+    return _read(sf_dir, "documents").map_batches(
+        lang_id, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def d_quality(sf_dir: str):
+    from mhray.stages.text import quality_score
+
+    return _read(sf_dir, "documents").map_batches(
+        quality_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def d_fingerprints(sf_dir: str):
+    """Winnowed fingerprint count per doc (rows-only: murmur-based)."""
+    from mhray.stages.text import winnow_fingerprints
+
+    fps = _read(sf_dir, "documents").map_batches(
+        winnow_fingerprints, batch_format="pyarrow", zero_copy_batch=True)
+    agg = fps.groupby("doc_id").aggregate(Count(alias_name="n_fp"))
+    return agg.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "n_fp": b.column("n_fp").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def e_knn_brute(sf_dir: str):
+    from mhray.stages.ann import knn_brute
+
+    return knn_brute(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+def e_dup_cosine(sf_dir: str):
+    """Exact cosine near-dup pairs (brute-force baseline; broadcast
+    matrix). tau=0.4 yields a handful of pairs on the random testdata."""
+    from mhray.stages.ann import _embedding_matrix, _normalize
+
+    import ray
+
+    ds = _read(sf_dir, "embeddings")
+    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    vid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    vm = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    order = np.argsort(vid)
+    ref = ray.put((vid[order], vm[order]))
+    tau = 0.4
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids_sorted, mat = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        m = _normalize(_embedding_matrix(batch, "embedding"))
+        sims = m @ mat.T  # (B, N)
+        bi, nj = np.nonzero(sims >= tau)
+        lo = ids[bi]
+        hi = ids_sorted[nj]
+        keep = lo < hi
+        return pa.table({
+            "lo_id": pa.array(lo[keep], pa.int64()),
+            "hi_id": pa.array(hi[keep], pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def e_dup_lsh(sf_dir: str):
+    """LSH-bucketed variant (the scale path; rows-only check)."""
+    from mhray.stages.ann import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(sf_dir, "embeddings"), tau=0.4, n_bits=6)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_filter_project": q_filter_project,
+    "q_topk_orders": q_topk_orders,
+    "q_join_agg": q_join_agg,
+    "q_events_by_type": q_events_by_type,
+    "q_events_hourly": q_events_hourly,
+    "d_exact_dedup": d_exact_dedup,
+    "d_jaccard_pairs": d_jaccard_pairs,
+    "d_token_stats": d_token_stats,
+    "d_bpe_token_count": d_bpe_token_count,
+    "d_lang_count": d_lang_count,
+    "d_minhash_pairs": d_minhash_pairs,
+    "d_simhash_pairs": d_simhash_pairs,
+    "d_lang_id": d_lang_id,
+    "d_quality": d_quality,
+    "d_fingerprints": d_fingerprints,
+    "e_knn_brute": e_knn_brute,
+    "e_dup_cosine": e_dup_cosine,
+    "e_dup_lsh": e_dup_lsh,
+}
+
+ORACLE_SQL = {
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity) * 100, 0) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS sum_price,
+               CAST(ROUND(AVG(l_discount) * 10000, 0) AS BIGINT) AS avg_disc,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_filter_project": """
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        WHERE l_quantity >= 49 AND l_discount > 0.09
+    """,
+    "q_topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q_join_agg": """
+        SELECT c_mktsegment, COUNT(*) AS cnt,
+               CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_events_by_type": """
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value,
+               CAST(ROUND(MIN(value) * 10000, 0) AS BIGINT) AS min_value,
+               CAST(ROUND(MAX(value) * 10000, 0) AS BIGINT) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "q_events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt,
+               CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "d_exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+        FROM documents GROUP BY text
+    """,
+    "d_jaccard_pairs": """
+        WITH t AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS lo_id, b.doc_id AS hi_id
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= 0.8
+    """,
+    "d_token_stats": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               CAST(ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x IN ('the', 'a'))) AS DOUBLE)
+                     / GREATEST(len(string_split(text, ' ')), 1) * 10000, 0) AS BIGINT)
+                   AS stop_ratio
+        FROM documents
+    """,
+    "d_bpe_token_count": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    "d_lang_count": "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
+    "e_knn_brute": """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 10
+        )
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                            vec_id
+               ) AS rank
+        FROM q, embeddings e WHERE e.vec_id != q.qid
+        QUALIFY rank <= 5
+    """,
+    "e_dup_cosine": """
+        SELECT a.vec_id AS lo_id, b.vec_id AS hi_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    # d_minhash_pairs / d_simhash_pairs / d_lang_id / d_quality /
+    # d_fingerprints / e_dup_lsh: custom-hash / heuristic operators with
+    # no faithful ANSI-SQL equivalent -> rows-only driver check.
+}

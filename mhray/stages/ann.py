@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_brute: exact cosine top-k — the query matrix is broadcast ONCE via
+  ``ray.put`` and every batch computes a float64 matmul against it
+  (per-batch partial top-k = combiner; final rank per query after a
+  small groupby). This is the correctness baseline.
+- lsh_knn: random-hyperplane signed LSH (the CosineDistanceSketch
+  family, sketch/CosineDistanceSketch.java:40-66 +
+  HashUtils.randomGuassianVector :260-305) — bucket candidates then
+  exact rescoring, the scale path when a broadcast query matrix or
+  full matmul is too large.
+- embedding_dup_pairs: near-duplicate pairs by cosine >= tau via the
+  same LSH bucketing (self-join form).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    dim = len(flat) // len(arr)
+    return flat.reshape(len(arr), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(ds, query_ids: list[int], k: int = 5,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact top-k cosine neighbors for the given query ids.
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k by descending
+    cosine similarity (self excluded); ties broken by neighbor id.
+    """
+    q_rows = ds.filter(
+        expr=f"{id_col} in {[int(q) for q in query_ids]}"
+    ).take_all()
+    qid = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = _normalize(np.array([r[emb_col] for r in q_rows], dtype=np.float64))
+    order = np.argsort(qid)
+    qid, qm = qid[order], qm[order]
+    q_ref = ray.put((qid, qm))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        sims = qmat @ m.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            mask = ids != qids[qi]
+            cand_idx = np.flatnonzero(mask)
+            if len(cand_idx) == 0:
+                continue
+            take = min(k, len(cand_idx))
+            top = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
+            out_q.append(np.full(take, qids[qi]))
+            out_n.append(ids[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = np.asarray(group.column("sim"))
+        nbr = np.asarray(group.column("neighbor_id"))
+        order = np.lexsort((nbr, -sims))[:k]
+        return pa.table({
+            "query_id": group.column("query_id").take(order),
+            "neighbor_id": pa.array(nbr[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pyarrow")
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_bits, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def lsh_buckets(ds, n_bits: int = 12, seed: int = 7,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """(iid, bucket) via random-hyperplane sign LSH."""
+    planes_ref = None
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nonlocal planes_ref
+        m = _embedding_matrix(batch, emb_col)
+        planes = _hyperplanes(m.shape[1], n_bits, seed)
+        signs = (m @ planes.T) > 0  # (B, n_bits)
+        buckets = np.zeros(len(m), dtype=np.int64)
+        for b in range(n_bits):
+            buckets |= signs[:, b].astype(np.int64) << b
+        return pa.table({
+            "iid": batch.column(id_col).cast(pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+        })
+
+    return ds.map_batches(bucketize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def embedding_dup_pairs(ds, tau: float = 0.99, n_bits: int = 10,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        num_parts: int = 8, group_cap: int = 5000):
+    """(lo, hi) pairs with cosine >= tau; candidates = same LSH bucket.
+
+    Probabilistic recall (misses pairs split across every bucket);
+    for tau -> 1 the sign vectors nearly agree so one 10-bit table
+    catches almost all. Scale path for the brute-force variant.
+    """
+    from mhray.stages.candidates import _part_of, make_emit_pairs
+
+    buckets = lsh_buckets(ds, n_bits, 7, id_col, emb_col)
+
+    def to_parts(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column("bucket"), dtype=np.int64)
+        return pa.table({
+            "part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "iid": batch.column("iid"),
+        })
+
+    cands = buckets.map_batches(to_parts, batch_format="pyarrow") \
+        .groupby("part").map_groups(make_emit_pairs(group_cap),
+                                    batch_format="pyarrow") \
+        .groupby(["lo", "hi"]).count()
+
+    # rescore exactly: broadcast id->vector map (small side) per batch
+    vecs = ds.map_batches(
+        lambda b: pa.table({
+            "iid": b.column(id_col).cast(pa.int64()),
+            "emb": b.column(emb_col),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    vid = np.array([r["iid"] for r in vecs], dtype=np.int64)
+    vm = _normalize(np.array([r["emb"] for r in vecs], dtype=np.float64))
+    order = np.argsort(vid)
+    vec_ref = ray.put((vid[order], vm[order]))
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        ids_sorted, mat = ray.get(vec_ref)
+        lo = np.asarray(batch.column("lo"), dtype=np.int64)
+        hi = np.asarray(batch.column("hi"), dtype=np.int64)
+        a = mat[np.searchsorted(ids_sorted, lo)]
+        b = mat[np.searchsorted(ids_sorted, hi)]
+        sim = np.sum(a * b, axis=1)
+        keep = pa.array(sim >= tau)
+        return pa.table({
+            "lo": batch.column("lo").filter(keep),
+            "hi": batch.column("hi").filter(keep),
+        })
+
+    return cands.map_batches(rescore, batch_format="pyarrow",
+                             zero_copy_batch=True)

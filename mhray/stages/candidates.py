@@ -38,6 +38,18 @@ from mhray.config import MhapConfig
 INT32_MIN = np.iinfo(np.int32).min
 
 
+def auto_parts(requested=None, lo: int = 2, hi: int = 32):
+    """Shuffle/join partition count clamped to the cluster CPU count —
+    more join partitions than CPUs stalls the local hash-shuffle
+    aggregator pool."""
+    if requested is not None:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(lo, min(hi, cpus))
+
+
 # ---------------------------------------------------------------------------
 # explode
 # ---------------------------------------------------------------------------

@@ -1,0 +1,269 @@
+"""Deduplication operator family over document tables.
+
+- exact_dedup: hash-partitioned exact dedup (D1 analog — the duplicate
+  id guard of impl/MinHashSearch.java:109-118 generalized to content
+  identity): groupby(content hash) -> keep min id.
+- ngram_jaccard_pairs: EXACT set-similarity self-join (token-set
+  Jaccard >= tau) with prefix filtering (rare-token prefixes; the
+  standard ppjoin-style pruning, cf. "Distributed Streaming Set
+  Similarity Join", ICDE 2020): only pairs sharing a prefix token are
+  candidates — provably complete, so it matches a SQL oracle exactly.
+- simhash_pairs: SimHash banding + Hamming gate (F4/F6,
+  sketch/SimHash.java:40-87 + AbstractBitSketch.java:74-88).
+- minhash_text_pairs: the MHAP two-stage pipeline applied to a plain
+  (id, text) table — stage-1 signature LSH + positional verify.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from mhray.config import MhapConfig
+from mhray.stages.candidates import _part_of, auto_parts, make_emit_pairs
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One surviving (min-id) row key per distinct text: returns
+    (doc_id, group_size). Pure groupby — one shuffle."""
+    from mhray.kernels import hash_strings64
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings64(batch.column(text_col).to_pylist())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_hash": pa.array(h, pa.int64()),
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby("text_hash").aggregate(
+        ray.data.aggregate.Min(id_col, alias_name="keep_id"),
+        ray.data.aggregate.Count(alias_name="group_size"),
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            id_col: b.column("keep_id"),
+            "group_size": b.column("group_size").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact token-set Jaccard self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _token_blob(tokens: np.ndarray) -> bytes:
+    return np.sort(tokens.astype("<u8")).tobytes()
+
+
+def _blob_tokens(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob, dtype="<u8")
+
+
+def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
+                        id_col: str = "doc_id", num_parts: int | None = None,
+                        group_cap: int = 100000):
+    """(lo_id, hi_id) pairs with distinct-word-set Jaccard >= tau.
+
+    Exact: prefix filtering keeps completeness — a pair with Jaccard
+    >= tau must share at least one of each side's first
+    (|s| - ceil(tau*|s|) + 1) tokens in global rare-first order.
+    The token-frequency table is computed corpus-wide and broadcast
+    (ray.put) into the prefix stage. At 10^12 scale, cap the broadcast
+    to the top-K frequent tokens (unseen tokens are rarest-first
+    anyway); correctness is unaffected — ordering is a heuristic.
+    """
+    from mhray.kernels import hash_strings64
+
+    num_parts = auto_parts(num_parts)
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        out_id, out_blob, out_size = [], [], []
+        for i, t in enumerate(texts):
+            toks = sorted(set(t.split(" "))) if t else []
+            th = hash_strings64(toks).view(np.uint64) if toks else np.empty(0, np.uint64)
+            out_id.append(int(ids[i]))
+            out_blob.append(_token_blob(th))
+            out_size.append(len(th))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "tok_blob": pa.array(out_blob, pa.binary()),
+            "n_tok": pa.array(out_size, pa.int64()),
+        })
+
+    toks_ds = ds.map_batches(tokenize, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    # global token document-frequency (rare-first prefix ordering)
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("tok_blob").to_pylist()
+        toks = [np.frombuffer(b, dtype="<u8") for b in blobs]
+        flat = np.concatenate(toks) if toks else np.empty(0, np.uint64)
+        return pa.table({"tok": pa.array(flat.view(np.int64), pa.int64())})
+
+    freq = toks_ds.map_batches(explode_tokens, batch_format="pyarrow") \
+        .groupby("tok").count().rename_columns({"count()": "df"}).take_all()
+    fmap_keys = np.array([r["tok"] for r in freq], dtype=np.int64)
+    fmap_vals = np.array([r["df"] for r in freq], dtype=np.int64)
+    order = np.argsort(fmap_keys)
+    freq_ref = ray.put((fmap_keys[order], fmap_vals[order]))
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        keys_sorted, vals = ray.get(freq_ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        blobs = batch.column("tok_blob").to_pylist()
+        out_tok, out_iid = [], []
+        for i, b in enumerate(blobs):
+            th = np.frombuffer(b, dtype="<u8").view(np.int64)
+            s = len(th)
+            if s == 0:
+                continue
+            p = s - math.ceil(tau * s) + 1
+            pos = np.searchsorted(keys_sorted, th)
+            df = vals[np.minimum(pos, len(vals) - 1)]
+            # rare-first, tie-break by token value (deterministic)
+            sel = th[np.lexsort((th, df))][:p]
+            out_tok.append(sel)
+            out_iid.append(np.full(len(sel), ids[i]))
+        if not out_tok:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "iid": pa.array([], pa.int64())})
+        key = np.concatenate(out_tok)
+        iid = np.concatenate(out_iid)
+        return pa.table({
+            "part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "iid": pa.array(iid, pa.int64()),
+        })
+
+    cands = toks_ds.map_batches(prefix_explode, batch_format="pyarrow") \
+        .groupby("part").map_groups(make_emit_pairs(group_cap),
+                                    batch_format="pyarrow") \
+        .groupby(["lo", "hi"]).count()
+
+    # attach token blobs and compute exact Jaccard
+    side = toks_ds.select_columns([id_col, "tok_blob"])
+    j = cands.join(
+        side.rename_columns({id_col: "_ilo", "tok_blob": "blob_lo"}),
+        join_type="inner", num_partitions=num_parts, on=("lo",), right_on=("_ilo",),
+    ).join(
+        side.rename_columns({id_col: "_ihi", "tok_blob": "blob_hi"}),
+        join_type="inner", num_partitions=num_parts, on=("hi",), right_on=("_ihi",),
+    )
+
+    def jaccard_gate(batch: pa.Table) -> pa.Table:
+        lo_b = batch.column("blob_lo").to_pylist()
+        hi_b = batch.column("blob_hi").to_pylist()
+        n = batch.num_rows
+        keep = np.zeros(n, dtype=bool)
+        jac = np.zeros(n)
+        for i in range(n):
+            a = _blob_tokens(lo_b[i])
+            b = _blob_tokens(hi_b[i])
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jac[i] = inter / union if union else 1.0
+            keep[i] = jac[i] >= tau
+        return pa.table({
+            "lo": batch.column("lo").filter(pa.array(keep)),
+            "hi": batch.column("hi").filter(pa.array(keep)),
+        })
+
+    return j.map_batches(jaccard_gate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(ds, max_hamming: int = 6, k: int = 6,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_bands: int = 4, band_bits: int = 16,
+                  num_parts: int | None = None, group_cap: int = 2000):
+    """(lo, hi, hamming) pairs whose SimHash Hamming distance <=
+    max_hamming, candidates from contiguous-block banding."""
+    from mhray.kernels import hamming64, phash_band_keys, simhash64
+
+    num_parts = auto_parts(num_parts)
+
+    def add_simhash(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch.column(text_col).to_pylist(), k)
+        return pa.table({
+            "iid": batch.column(id_col).cast(pa.int64()),
+            "phash": pa.array(sh, pa.int64()),  # reuse phash explode path
+        })
+
+    sh_ds = ds.map_batches(add_simhash, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    from mhray.stages.candidates import explode_phash_bands
+
+    bands = sh_ds.map_batches(
+        explode_phash_bands,
+        fn_kwargs={"n_bands": n_bands, "band_bits": band_bits,
+                   "num_parts": num_parts},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs = bands.groupby("part").map_groups(
+        make_emit_pairs(group_cap, with_payload=True), batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
+        b = np.asarray(batch.column("phash_hi"), dtype=np.int64)
+        ham = hamming64(a, b).astype(np.int32)
+        keep = pa.array(ham <= max_hamming)
+        return pa.table({
+            "lo": batch.column("lo").filter(keep),
+            "hi": batch.column("hi").filter(keep),
+            "hamming": pa.array(ham[np.asarray(keep)], pa.int32()),
+        })
+
+    gated = pairs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return gated.groupby(["lo", "hi"]).min("hamming").rename_columns(
+        {"min(hamming)": "hamming"})
+
+
+# ---------------------------------------------------------------------------
+# MHAP two-stage pipeline on a plain text table
+# ---------------------------------------------------------------------------
+
+def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
+                       id_col: str = "doc_id", num_parts: int | None = None):
+    """(lo, hi, shared_slots, score, ...) via signature LSH + verify —
+    the MHAP flagship machinery on any (id, text) table."""
+    from mhray.stages.candidates import minhash_candidates
+    from mhray.stages.sketch import sketch_dataset
+    from mhray.stages.verify import verify_candidates
+
+    num_parts = auto_parts(num_parts)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return pa.table({
+            "image_id": pa.array([f"doc_{int(i):012d}" for i in ids]),
+            "bytes": pa.array([b""] * len(ids), pa.binary()),
+            "w": pa.array(np.zeros(len(ids), np.int32)),
+            "h": pa.array(np.zeros(len(ids), np.int32)),
+            "fmt": pa.array(["none"] * len(ids)),
+            "caption": batch.column(text_col),
+            "phash": pa.array(np.zeros(len(ids), np.int64)),
+        })
+
+    as_images = ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    sketches = sketch_dataset(as_images, cfg, decode_pixels=False)
+    valid = sketches.filter(expr="valid == True").materialize()
+    cands = minhash_candidates(valid, cfg, num_parts)
+    return verify_candidates(cands, valid, cfg, num_parts)

@@ -1,0 +1,90 @@
+"""Replicates the driver's correctness gate locally: run each catalog
+query through Ray AND its DuckDB oracle on the driver testdata, then
+compare row counts, column names, and order-insensitive values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        result = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        result = result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}")
+    assert len(ray_df) == len(sql_df), (
+        f"{name}: rows {len(ray_df)} != {len(sql_df)}")
+    a, b = _canon(ray_df), _canon(sql_df)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            np.testing.assert_allclose(
+                av.astype(np.float64), bv.astype(np.float64),
+                rtol=0, atol=1e-9, err_msg=f"{name}.{col}")
+        else:
+            assert (av == bv).all() or (
+                av.astype(str) == bv.astype(str)).all(), f"{name}.{col}"
+
+
+ORACLE_CHECKED = [
+    "q_pricing_summary", "q_filter_project", "q_topk_orders", "q_join_agg",
+    "q_events_by_type", "q_events_hourly", "d_exact_dedup",
+    "d_jaccard_pairs", "d_token_stats", "d_bpe_token_count", "d_lang_count",
+    "e_knn_brute", "e_dup_cosine",
+]
+ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs", "d_lang_id", "d_quality",
+             "d_fingerprints", "e_dup_lsh"]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_vs_oracle(name, duck, ray_session):
+    from mhray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    ray_df = _to_pandas(QUERIES[name](SF_DIR))
+    sql_df = duck.sql(ORACLE_SQL[name]).df()
+    _compare(ray_df, sql_df, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, ray_session):
+    from mhray.pipelines.queries import QUERIES
+
+    df = _to_pandas(QUERIES[name](SF_DIR))
+    assert df is not None and len(df) >= 0
+    assert len(df.columns) >= 1
+
+
+def test_registry_consistency():
+    from mhray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert set(ORACLE_CHECKED) == set(ORACLE_SQL)
+    assert set(ORACLE_CHECKED) | set(ROWS_ONLY) == set(QUERIES)
