@@ -3,15 +3,18 @@ image+caption table (the MhapMain computeMain lifecycle,
 main/MhapMain.java:377-552, re-expressed as streaming Ray Data stages;
 SURVEY.md §3.4).
 
-    images ─ sketch (actor pool; T1+T2+F4 fused) ──────────── [ckpt s1]
-       ├─ exact-caption groups: rep = min iid per caption_hash  [ckpt s2]
-       │    (collapses identical captions BEFORE the LSH explode —
-       │     the structural fix for hot boilerplate skew)
-       ├─ rep-level MinHash LSH -> slot-count gate -> verify    [ckpt s3]
-       ├─ pHash band LSH -> Hamming gate (image axis)           [ckpt s4]
-       ├─ final pairs = pHash pairs whose rep pair passes the
-       │    caption condition (same rep => identical caption)   [ckpt s5]
-       └─ union-find clusters + full assignment                 [ckpt s6]
+    images ─ s1: sketch actors (T1+T2+F4 fused) -> ONE caption_hash
+       │        shuffle assigning exact-caption representatives
+       │        (rep = min iid per identical caption — collapses hot
+       │        boilerplate BEFORE any LSH explode)        [ckpt s1]
+       ├─ s2: rep-level MinHash LSH -> slot-count gate ->
+       │        sketch-attach joins -> positional verify   [ckpt s2]
+       ├─ s3: pHash band LSH over all rows, Hamming gate;
+       │        rep ids ride the explode (no joins)        [ckpt s3]
+       ├─ s4: final pairs = pHash pairs whose caption
+       │        condition holds (same rep, or rep pair
+       │        verified >= threshold)                     [ckpt s4]
+       └─ s5: union-find clusters + full assignment        [ckpt s5]
 
 Semantics (mirrored by mhray.oracle): a pair is a duplicate iff
   shared-slots(sig) >= num_min_matches  AND  verify score >= threshold
@@ -28,10 +31,27 @@ import ray.data
 
 from mhray.checkpoint import stage_checkpoint
 from mhray.config import MhapConfig
-from mhray.stages.candidates import minhash_candidates, phash_candidates
+from mhray.stages.candidates import (_part_of, explode_phash_bands,
+                                     make_emit_pairs, minhash_candidates)
 from mhray.stages.cluster import assign_clusters, cluster_edges
 from mhray.stages.sketch import sketch_dataset
 from mhray.stages.verify import verify_candidates
+
+
+def _assign_reps(part: pa.Table) -> pa.Table:
+    """Within a caption_hash partition: rep_iid = min iid per caption
+    group (vectorized; one call per partition)."""
+    ch = np.asarray(part.column("caption_hash"), dtype=np.int64)
+    iid = np.asarray(part.column("iid"), dtype=np.int64)
+    order = np.lexsort((iid, ch))
+    ch_s = ch[order]
+    starts = np.flatnonzero(np.diff(ch_s, prepend=ch_s[0] - 1)) if len(ch_s) \
+        else np.empty(0, np.int64)
+    sizes = np.diff(np.append(starts, len(ch_s)))
+    rep_sorted = np.repeat(iid[order][starts], sizes)
+    rep = np.empty(len(iid), dtype=np.int64)
+    rep[order] = rep_sorted
+    return part.append_column("rep_iid", pa.array(rep, pa.int64()))
 
 
 def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
@@ -40,62 +60,83 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
               concurrency=None) -> dict:
     """Run the full pipeline; returns dataset handles + output paths."""
 
-    # s1: sketches ---------------------------------------------------------
+    # s1: sketches + exact-caption rep assignment (one shuffle) ------------
     def compute_sketches():
         images = ray.data.read_parquet(images_path)
-        return sketch_dataset(images, cfg, freq_ref=freq_ref,
-                              decode_pixels=decode_pixels,
-                              concurrency=concurrency)
+        sk = sketch_dataset(images, cfg, freq_ref=freq_ref,
+                            decode_pixels=decode_pixels,
+                            concurrency=concurrency)
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            ch = np.asarray(batch.column("caption_hash"), dtype=np.int64)
+            return batch.append_column(
+                "chpart", pa.array(_part_of(ch, num_parts), pa.int32()))
+
+        return sk.map_batches(add_part, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .groupby("chpart").map_groups(_assign_reps, batch_format="pyarrow")
 
     sketches = stage_checkpoint("s1_sketches", out_dir, compute_sketches, cfg,
                                 resume=resume)
     valid = sketches.filter(expr="valid == True")
 
-    # s2: exact-caption representatives -----------------------------------
-    def compute_reps():
-        return valid.groupby("caption_hash").min("iid").rename_columns(
-            {"min(iid)": "rep_iid"}
-        )
-
-    reps = stage_checkpoint("s2_reps", out_dir, compute_reps, cfg, resume=resume)
-
-    def compute_with_rep():
-        return valid.join(
-            reps, join_type="inner", num_partitions=num_parts,
-            on=("caption_hash",), right_on=("caption_hash",),
-        )
-
-    with_rep = stage_checkpoint("s2b_with_rep", out_dir, compute_with_rep, cfg,
-                                resume=resume)
-
-    # s3: caption axis at rep level ---------------------------------------
+    # s2: caption axis at rep level ---------------------------------------
     def compute_rep_pairs():
-        rep_rows = with_rep.filter(expr="iid == rep_iid")
+        rep_rows = valid.filter(expr="iid == rep_iid").materialize()
         cands = minhash_candidates(rep_rows, cfg, num_parts)
         return verify_candidates(cands, rep_rows, cfg, num_parts)
 
-    rep_pairs = stage_checkpoint("s3_rep_pairs", out_dir, compute_rep_pairs,
+    rep_pairs = stage_checkpoint("s2_rep_pairs", out_dir, compute_rep_pairs,
                                  cfg, resume=resume)
 
-    # s4: image axis (pHash banding) over all valid rows ------------------
+    # s3: image axis (pHash banding); rep ids ride along ------------------
     def compute_phash_pairs():
-        return phash_candidates(with_rep, cfg, num_parts)
+        from mhray.kernels import hamming64
 
-    phash_pairs = stage_checkpoint("s4_phash_pairs", out_dir,
+        bands = valid.map_batches(
+            explode_phash_bands,
+            fn_kwargs={"n_bands": cfg.phash_bands,
+                       "band_bits": cfg.phash_band_bits,
+                       "num_parts": num_parts,
+                       "extra_payload": ("rep_iid",)},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        pairs = bands.groupby("part").map_groups(
+            make_emit_pairs(cfg.band_group_cap, with_payload=True,
+                            payload_cols=("phash", "rep_iid")),
+            batch_format="pyarrow")
+
+        from mhray.stages.candidates import _pair_part, make_pair_min
+
+        def gate(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
+            b = np.asarray(batch.column("phash_hi"), dtype=np.int64)
+            ham = hamming64(a, b).astype(np.int32)
+            keep = ham <= cfg.phash_max_hamming
+            lo = np.asarray(batch.column("lo"), np.int64)[keep]
+            hi = np.asarray(batch.column("hi"), np.int64)[keep]
+            return pa.table({
+                "pair_part": pa.array(_pair_part(lo, hi, num_parts), pa.int32()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "rep_lo": batch.column("rep_iid_lo").filter(pa.array(keep)),
+                "rep_hi": batch.column("rep_iid_hi").filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep], pa.int32()),
+            })
+
+        gated = pairs.map_batches(gate, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        # dedupe the same pair found via multiple bands
+        return gated.groupby("pair_part").map_groups(
+            make_pair_min("hamming", payload_cols=("rep_lo", "rep_hi")),
+            batch_format="pyarrow")
+
+    phash_pairs = stage_checkpoint("s3_phash_pairs", out_dir,
                                    compute_phash_pairs, cfg, resume=resume)
 
-    # s5: final pairs = image pairs whose caption condition holds ---------
+    # s4: final pairs = image pairs whose caption condition holds ---------
     def compute_final_pairs():
-        id_rep = with_rep.select_columns(["iid", "rep_iid"])
-        p = phash_pairs.join(
-            id_rep.rename_columns({"iid": "_ilo", "rep_iid": "rep_lo"}),
-            join_type="inner", num_partitions=num_parts,
-            on=("lo",), right_on=("_ilo",),
-        ).join(
-            id_rep.rename_columns({"iid": "_ihi", "rep_iid": "rep_hi"}),
-            join_type="inner", num_partitions=num_parts,
-            on=("hi",), right_on=("_ihi",),
-        )
+        from mhray.rayutil import safe_join
 
         def canon(batch: pa.Table) -> pa.Table:
             rl = np.asarray(batch.column("rep_lo"), dtype=np.int64)
@@ -108,7 +149,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                 "rhi": pa.array(np.maximum(rl, rh), pa.int64()),
             })
 
-        p = p.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        p = phash_pairs.map_batches(canon, batch_format="pyarrow",
+                                    zero_copy_batch=True)
         same = p.filter(expr="same_rep == True").map_batches(
             lambda b: b.select(["lo", "hi", "hamming"]).append_column(
                 "score", pa.array(np.ones(b.num_rows), pa.float64())),
@@ -117,9 +159,17 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         rp = rep_pairs.select_columns(["lo", "hi", "score"]).rename_columns(
             {"lo": "rlo", "hi": "rhi", "score": "rep_score"}
         )
-        diff = p.filter(expr="same_rep == False").join(
-            rp, join_type="inner", num_partitions=num_parts,
+        diff = safe_join(
+            p.filter(expr="same_rep == False"), rp,
+            join_type="inner", num_partitions=max(2, min(8, num_parts)),
             on=("rlo", "rhi"), right_on=("rlo", "rhi"),
+            left_schema=pa.schema([
+                ("lo", pa.int64()), ("hi", pa.int64()),
+                ("hamming", pa.int32()), ("same_rep", pa.bool_()),
+                ("rlo", pa.int64()), ("rhi", pa.int64())]),
+            right_schema=pa.schema([
+                ("rlo", pa.int64()), ("rhi", pa.int64()),
+                ("rep_score", pa.float64())]),
         ).map_batches(
             lambda b: pa.table({
                 "lo": b.column("lo"), "hi": b.column("hi"),
@@ -130,17 +180,17 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         )
         return same.union(diff)
 
-    final_pairs = stage_checkpoint("s5_pairs", out_dir, compute_final_pairs,
+    final_pairs = stage_checkpoint("s4_pairs", out_dir, compute_final_pairs,
                                    cfg, resume=resume)
 
-    # s6: clusters ---------------------------------------------------------
+    # s5: clusters ---------------------------------------------------------
     def compute_clusters():
         pair_clusters = cluster_edges(final_pairs,
                                       max_rounds=cfg.cluster_max_rounds,
                                       num_partitions=num_parts)
         return assign_clusters(sketches, pair_clusters, num_parts)
 
-    clusters = stage_checkpoint("s6_clusters", out_dir, compute_clusters, cfg,
+    clusters = stage_checkpoint("s5_clusters", out_dir, compute_clusters, cfg,
                                 resume=resume)
 
     return {
@@ -155,12 +205,25 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
 
 def pairs_with_ids(result: dict, num_parts: int = 16) -> "ray.data.Dataset":
     """(lo, hi, ...) iid pairs -> (lo_id, hi_id, ...) string-id pairs."""
-    ids = result["sketches"].select_columns(["iid", "image_id"])
-    p = result["pairs"].join(
-        ids.rename_columns({"iid": "_ilo", "image_id": "lo_id"}),
-        join_type="inner", num_partitions=num_parts, on=("lo",), right_on=("_ilo",),
-    ).join(
-        ids.rename_columns({"iid": "_ihi", "image_id": "hi_id"}),
-        join_type="inner", num_partitions=num_parts, on=("hi",), right_on=("_ihi",),
+    from mhray.rayutil import attach_payload
+
+    ids = result["sketches"].select_columns(["iid", "image_id"]).materialize()
+    ids_schema = pa.schema([("iid", pa.int64()), ("image_id", pa.string())])
+    pair_schema = pa.schema([
+        ("lo", pa.int64()), ("hi", pa.int64()),
+        ("hamming", pa.int32()), ("score", pa.float64())])
+    p = attach_payload(result["pairs"], "lo", ids, "iid", ("image_id",),
+                       "lo", num_parts, pairs_schema=pair_schema,
+                       side_schema=ids_schema)
+    mid = pa.schema(list(pair_schema) + [pa.field("image_id_lo", pa.string())])
+    p = attach_payload(p, "hi", ids, "iid", ("image_id",), "hi", num_parts,
+                       pairs_schema=mid, side_schema=ids_schema)
+    return p.map_batches(
+        lambda b: pa.table({
+            "lo_id": b.column("image_id_lo"),
+            "hi_id": b.column("image_id_hi"),
+            "score": b.column("score"),
+            "hamming": b.column("hamming"),
+        }),
+        batch_format="pyarrow",
     )
-    return p.select_columns(["lo_id", "hi_id", "score", "hamming"])

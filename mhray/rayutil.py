@@ -1,0 +1,138 @@
+"""Ray Data robustness utilities.
+
+Ray's sort-based groupby/aggregate emits schema-less EMPTY blocks for
+empty partitions; map_batches UDFs are skipped for them, so they
+survive into downstream hash joins, whose per-partition pyarrow join
+then fails with 'No match ... for key field'. ``safe_join`` scrubs
+both sides:
+
+- ``repartition(n)`` coalesces blocks, absorbing schema-less empties
+  into typed neighbors (cheap: no key shuffle);
+- when a side could be ENTIRELY empty (e.g. zero candidate pairs), a
+  typed empty block is unioned in so the join can still resolve the
+  schema.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def scrub_blocks(ds, schema: pa.Schema | None = None, num_blocks: int = 8):
+    """Remove schema-less empty blocks; optionally guarantee a typed
+    schema even for an all-empty dataset."""
+    out = ds.repartition(num_blocks)
+    if schema is not None:
+        out = out.union(ray.data.from_arrow(schema.empty_table()))
+    return out
+
+
+def safe_join(left, right, join_type: str, num_partitions: int,
+              on: tuple, right_on: tuple,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Dataset.join with empty-block scrubbing on both sides."""
+    left = scrub_blocks(left, left_schema, num_partitions)
+    right = scrub_blocks(right, right_schema, num_partitions)
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions, on=on, right_on=right_on)
+
+
+def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
+                   payload_cols: tuple, out_suffix: str,
+                   num_parts: int = 16, how: str = "inner",
+                   pairs_schema: pa.Schema | None = None,
+                   side_schema: pa.Schema | None = None):
+    """Equi-join expressed as ONE sort shuffle (union + groupby part +
+    partition-local merge) instead of a join-operator actor pool —
+    the cheap path for attaching per-key payloads (e.g. sketches) to a
+    pair table. The side must have UNIQUE keys.
+
+    Returns pairs columns + ``<payload>_<out_suffix>`` columns; with
+    how='inner' pairs without a matching side key are dropped.
+    """
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    def _pa_schema(ds) -> pa.Schema:
+        # NOTE: schema() on a lazy dataset triggers execution — callers
+        # with non-trivial upstream plans should pass schemas explicitly
+        s = ds.schema()
+        return getattr(s, "base_schema", s)
+
+    pair_schema = pairs_schema if pairs_schema is not None else _pa_schema(pairs_ds)
+    pair_names = pair_schema.names
+    side_schema = side_schema if side_schema is not None else _pa_schema(side_ds)
+    payload_types = {c: side_schema.field(c).type for c in payload_cols}
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        from mhray.stages.candidates import _part_of
+
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        cols = {n: batch.column(n) for n in pair_names}
+        cols["__part"] = pa.array(_part_of(key, num_parts), pa.int32())
+        cols["__role"] = pa.array(np.zeros(len(key), np.int8), pa.int8())
+        cols["__key"] = pa.array(key, pa.int64())
+        for c in payload_cols:
+            cols[f"__p_{c}"] = pa.nulls(len(key), payload_types[c])
+        return pa.table(cols)
+
+    def tag_side(batch: pa.Table) -> pa.Table:
+        from mhray.stages.candidates import _part_of
+
+        key = np.asarray(batch.column(side_key), dtype=np.int64)
+        n = len(key)
+        cols = {}
+        for name in pair_names:
+            cols[name] = pa.nulls(n, pair_schema.field(name).type)
+        cols["__part"] = pa.array(_part_of(key, num_parts), pa.int32())
+        cols["__role"] = pa.array(np.ones(n, np.int8), pa.int8())
+        cols["__key"] = pa.array(key, pa.int64())
+        for c in payload_cols:
+            cols[f"__p_{c}"] = batch.column(c)
+        return pa.table(cols)
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow",
+                                  zero_copy_batch=True).union(
+        side_ds.map_batches(tag_side, batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+    def merge(part: pa.Table) -> pa.Table:
+        role = np.asarray(part.column("__role"))
+        keys = np.asarray(part.column("__key"), dtype=np.int64)
+        is_side = role == 1
+        side_keys = keys[is_side]
+        order = np.argsort(side_keys)
+        side_sorted = side_keys[order]
+        pr_mask = ~is_side
+        pr_keys = keys[pr_mask]
+        pos = np.searchsorted(side_sorted, pr_keys)
+        pos_c = np.minimum(pos, max(0, len(side_sorted) - 1))
+        found = (side_sorted[pos_c] == pr_keys) if len(side_sorted) \
+            else np.zeros(len(pr_keys), bool)
+        if how == "inner":
+            keep_rows = np.flatnonzero(pr_mask)[found]
+            gather = pos_c[found]
+        else:
+            keep_rows = np.flatnonzero(pr_mask)
+            gather = np.where(found, pos_c, 0)
+        out = {}
+        for name in pair_names:
+            out[name] = part.column(name).take(pa.array(keep_rows, pa.int64()))
+        side_rows = np.flatnonzero(is_side)[order]
+        for c in payload_cols:
+            if len(side_rows) == 0:
+                col = pa.nulls(len(keep_rows), payload_types[c])
+            else:
+                col = part.column(f"__p_{c}").take(
+                    pa.array(side_rows[gather], pa.int64()))
+                if how != "inner":
+                    col = pc.if_else(pa.array(found), col,
+                                     pa.nulls(len(found), payload_types[c]))
+            out[f"{c}_{out_suffix}"] = col
+        return pa.table(out)
+
+    return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")

@@ -38,6 +38,19 @@ from mhray.config import MhapConfig
 INT32_MIN = np.iinfo(np.int32).min
 
 
+def coerce_schema(ds, schema: pa.Schema):
+    """Normalize empty schema-less blocks (emitted by sort-based
+    groupby on empty partitions) to a typed empty table — joins on the
+    result would otherwise fail with 'no match for key field'."""
+
+    def fix(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        return batch.cast(schema) if batch.schema != schema else batch
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def auto_parts(requested=None, lo: int = 2, hi: int = 32):
     """Shuffle/join partition count clamped to the cluster CPU count —
     more join partitions than CPUs stalls the local hash-shuffle
@@ -72,24 +85,27 @@ def explode_minhash(batch: pa.Table, num_hashes: int, num_parts: int) -> pa.Tabl
 
 
 def explode_phash_bands(batch: pa.Table, n_bands: int, band_bits: int,
-                        num_parts: int) -> pa.Table:
-    """(phash, iid) -> (part, key, iid, phash) band rows; phash is
-    carried so the Hamming gate needs no extra join."""
+                        num_parts: int, extra_payload: tuple = ()) -> pa.Table:
+    """(phash, iid[, extras]) -> (part, key, iid, phash[, extras]) band
+    rows; phash (and any requested extra int64 columns, e.g. rep_iid)
+    ride along so downstream gates need no joins."""
     from mhray.kernels import phash_band_keys
 
     ph = np.asarray(batch.column("phash"), dtype=np.int64)
     iids = np.asarray(batch.column("iid"), dtype=np.int64)
     keys = phash_band_keys(ph, n_bands, band_bits)  # (N, B)
     flat = keys.ravel()
-    out_iids = np.repeat(iids, n_bands)
-    out_ph = np.repeat(ph, n_bands)
     part = _part_of(flat, num_parts)
-    return pa.table({
+    cols = {
         "part": pa.array(part, pa.int32()),
         "key": pa.array(flat, pa.int64()),
-        "iid": pa.array(out_iids, pa.int64()),
-        "phash": pa.array(out_ph, pa.int64()),
-    })
+        "iid": pa.array(np.repeat(iids, n_bands), pa.int64()),
+        "phash": pa.array(np.repeat(ph, n_bands), pa.int64()),
+    }
+    for name in extra_payload:
+        v = np.asarray(batch.column(name), dtype=np.int64)
+        cols[name] = pa.array(np.repeat(v, n_bands), pa.int64())
+    return pa.table(cols)
 
 
 def _part_of(keys: np.ndarray, num_parts: int) -> np.ndarray:
@@ -99,6 +115,15 @@ def _part_of(keys: np.ndarray, num_parts: int) -> np.ndarray:
     x *= np.uint64(0xFF51AFD7ED558CCD)
     x ^= x >> np.uint64(33)
     return (x % np.uint64(num_parts)).astype(np.int32)
+
+
+def _pair_part(lo: np.ndarray, hi: np.ndarray, num_parts: int) -> np.ndarray:
+    """Partition id for an (lo, hi) pair key — multi-key groupbys are
+    slow in Ray's sort shuffle, so pair aggregation re-partitions on a
+    mixed single key and aggregates partition-locally."""
+    x = lo.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= hi.view(np.uint64) + np.uint64(0x517CC1B727220A95)
+    return _part_of(x.view(np.int64), num_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +169,9 @@ def _pairs_within_groups(keys: np.ndarray, iids: np.ndarray, cap: int,
     if not lo_parts:
         empty = np.empty(0, np.int64)
         if payload is not None:
-            return empty, empty, np.empty(0, bool), dropped, empty, empty
+            pempty = np.empty((0, payload.shape[1]) if payload.ndim == 2 else 0,
+                              np.int64)
+            return empty, empty, np.empty(0, bool), dropped, pempty, pempty
         return empty, empty, np.empty(0, bool), dropped
     lo = np.concatenate(lo_parts)
     hi = np.concatenate(hi_parts)
@@ -165,15 +192,21 @@ def _upper_triangle_cols(g: int) -> np.ndarray:
     return a + 1 + offset
 
 
-def make_emit_pairs(cap: int, with_payload: bool = False):
+def make_emit_pairs(cap: int, with_payload: bool = False,
+                    payload_cols: tuple = ("phash",),
+                    num_parts: int | None = None):
     """map_groups(part) fn: pairs within every key group of the
-    partition, with per-pair partial counts (combiner before shuffle #2)."""
+    partition, with per-pair partial counts (combiner before shuffle #2).
+    With payload_cols, each named int64 column rides along as
+    <name>_lo / <name>_hi on every pair."""
 
     def emit_pairs(part: pa.Table) -> pa.Table:
         keys = np.asarray(part.column("key"), dtype=np.int64)
         iids = np.asarray(part.column("iid"), dtype=np.int64)
         if with_payload:
-            payload = np.asarray(part.column("phash"), dtype=np.int64)
+            payload = np.stack([
+                np.asarray(part.column(c), dtype=np.int64)
+                for c in payload_cols], axis=1)
             lo, hi, capped, dropped, plo, phi = _pairs_within_groups(
                 keys, iids, cap, payload)
         else:
@@ -182,24 +215,94 @@ def make_emit_pairs(cap: int, with_payload: bool = False):
             print(f"[mhray] candidate group cap: dropped {dropped} ids in one partition")
         # partial pair-count within the partition (pre-aggregate):
         if with_payload:
-            tbl = pa.table({
+            cols = {
                 "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
                 "capped": pa.array(capped),
-                "phash_lo": pa.array(plo, pa.int64()),
-                "phash_hi": pa.array(phi, pa.int64()),
-            })
-            return tbl.group_by(["lo", "hi", "phash_lo", "phash_hi"]).aggregate(
-                [("capped", "max")]
-            ).rename_columns(["lo", "hi", "phash_lo", "phash_hi", "capped"])
+            }
+            names = []
+            for ci, c in enumerate(payload_cols):
+                cols[f"{c}_lo"] = pa.array(plo[:, ci], pa.int64())
+                cols[f"{c}_hi"] = pa.array(phi[:, ci], pa.int64())
+                names += [f"{c}_lo", f"{c}_hi"]
+            tbl = pa.table(cols)
+            agg = tbl.group_by(["lo", "hi", *names]).aggregate([("capped", "max")])
+            agg = agg.rename_columns(["lo", "hi", *names, "capped"])
+            if num_parts is not None:
+                agg = agg.append_column("pair_part", pa.array(_pair_part(
+                    np.asarray(agg.column("lo"), np.int64),
+                    np.asarray(agg.column("hi"), np.int64), num_parts),
+                    pa.int32()))
+            return agg
         tbl = pa.table({
             "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
             "capped": pa.array(capped),
             "n": pa.array(np.ones(len(lo), np.int64)),
         })
         agg = tbl.group_by(["lo", "hi"]).aggregate([("n", "sum"), ("capped", "max")])
-        return agg.rename_columns(["lo", "hi", "partial_count", "capped"])
+        agg = agg.rename_columns(["lo", "hi", "partial_count", "capped"])
+        if num_parts is not None:
+            agg = agg.append_column("pair_part", pa.array(_pair_part(
+                np.asarray(agg.column("lo"), np.int64),
+                np.asarray(agg.column("hi"), np.int64), num_parts),
+                pa.int32()))
+        return agg
 
     return emit_pairs
+
+
+def make_count_gate(min_matches: int):
+    """groupby(pair_part).map_groups fn: total the per-partition partial
+    counts of each (lo, hi) pair and gate on min_matches — the
+    HitCounter threshold (MinHashSearch.java:204) without a slow
+    multi-key sort shuffle."""
+
+    def count_gate(part: pa.Table) -> pa.Table:
+        lo = np.asarray(part.column("lo"), dtype=np.int64)
+        hi = np.asarray(part.column("hi"), dtype=np.int64)
+        cnt = np.asarray(part.column("partial_count"), dtype=np.int64)
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s, cnt_s = lo[order], hi[order], cnt[order]
+        new_grp = np.ones(len(lo_s), dtype=bool)
+        if len(lo_s) > 1:
+            new_grp[1:] = (np.diff(lo_s) != 0) | (np.diff(hi_s) != 0)
+        starts = np.flatnonzero(new_grp)
+        sums = np.add.reduceat(cnt_s, starts) if len(starts) else np.empty(0, np.int64)
+        keep = sums >= min_matches
+        return pa.table({
+            "lo": pa.array(lo_s[starts][keep], pa.int64()),
+            "hi": pa.array(hi_s[starts][keep], pa.int64()),
+            "shared_slots": pa.array(sums[keep], pa.int64()),
+        })
+
+    return count_gate
+
+
+def make_pair_min(value_col: str, payload_cols: tuple = ()):
+    """groupby(pair_part).map_groups fn: per-pair minimum of value_col
+    (deduping a pair found via multiple bands), carrying payload columns
+    (identical within a pair) from the first occurrence."""
+
+    def pair_min(part: pa.Table) -> pa.Table:
+        lo = np.asarray(part.column("lo"), dtype=np.int64)
+        hi = np.asarray(part.column("hi"), dtype=np.int64)
+        val = np.asarray(part.column(value_col))
+        order = np.lexsort((val, hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        new_grp = np.ones(len(lo_s), dtype=bool)
+        if len(lo_s) > 1:
+            new_grp[1:] = (np.diff(lo_s) != 0) | (np.diff(hi_s) != 0)
+        starts = np.flatnonzero(new_grp)
+        idx = order[starts]  # min value row per pair (val sorted first)
+        cols = {
+            "lo": pa.array(lo[idx], pa.int64()),
+            "hi": pa.array(hi[idx], pa.int64()),
+            value_col: part.column(value_col).take(pa.array(idx, pa.int64())),
+        }
+        for c in payload_cols:
+            cols[c] = part.column(c).take(pa.array(idx, pa.int64()))
+        return pa.table(cols)
+
+    return pair_min
 
 
 # ---------------------------------------------------------------------------
@@ -218,12 +321,11 @@ def minhash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     pairs = bands.groupby("part").map_groups(
-        make_emit_pairs(cfg.band_group_cap), batch_format="pyarrow"
+        make_emit_pairs(cfg.band_group_cap, num_parts=num_parts),
+        batch_format="pyarrow"
     )
-    counted = pairs.groupby(["lo", "hi"]).sum("partial_count").rename_columns(
-        {"sum(partial_count)": "shared_slots"}
-    )
-    return counted.filter(expr=f"shared_slots >= {cfg.num_min_matches}")
+    return pairs.groupby("pair_part").map_groups(
+        make_count_gate(cfg.num_min_matches), batch_format="pyarrow")
 
 
 def phash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
@@ -256,7 +358,13 @@ def phash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
         })
 
     gated = pairs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pair_part", pa.array(_pair_part(
+            np.asarray(batch.column("lo"), np.int64),
+            np.asarray(batch.column("hi"), np.int64), num_parts), pa.int32()))
+
     # dedupe the same pair found via multiple bands
-    return gated.groupby(["lo", "hi"]).min("hamming").rename_columns(
-        {"min(hamming)": "hamming"}
-    )
+    return gated.map_batches(add_pair_part, batch_format="pyarrow") \
+        .groupby("pair_part").map_groups(make_pair_min("hamming"),
+                                         batch_format="pyarrow")

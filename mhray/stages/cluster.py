@@ -20,19 +20,28 @@ import ray.data
 
 
 def cluster_edges(pairs_ds, max_rounds: int = 50,
-                  num_partitions: int = 16) -> "ray.data.Dataset":
+                  num_partitions: int = 16,
+                  driver_threshold: int = 2_000_000) -> "ray.data.Dataset":
     """pairs(lo, hi) -> (iid, cluster_id) for every node in a pair.
 
     Label propagation with path-halving via a label->label join each
     round; converges in O(log n) rounds for the small dense clusters
     near-dup detection produces (diameter-bound in general).
+
+    Edge sets are orders of magnitude smaller than the corpus (only
+    verified duplicate pairs), so below ``driver_threshold`` edges the
+    union-find runs driver-side in one pass — the distributed rounds
+    remain the scale path (force with driver_threshold=0).
     """
     edges = pairs_ds.select_columns(["lo", "hi"]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(pa.table({
             "iid": pa.array([], pa.int64()),
             "cluster_id": pa.array([], pa.int64()),
         }))
+    if n_edges <= driver_threshold:
+        return _cluster_driver_side(edges)
 
     # undirected: both directions, so min-label flows both ways
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -107,10 +116,67 @@ def cluster_edges(pairs_ds, max_rounds: int = 50,
     return labels.rename_columns({"node": "iid", "label": "cluster_id"})
 
 
-def assign_clusters(sketches_ds, pair_clusters, num_partitions: int = 16):
+def _cluster_driver_side(edges) -> "ray.data.Dataset":
+    """Union-find with path compression over a driver-resident edge
+    list (numpy label contraction to fixpoint)."""
+    df = edges.to_pandas()
+    lo = df["lo"].to_numpy(dtype=np.int64)
+    hi = df["hi"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    a, b = inv[: len(lo)], inv[len(lo):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        la = np.minimum(label[a], label[b])
+        np.minimum.at(label, a, la)
+        np.minimum.at(label, b, la)
+        # pointer jumping to the current root
+        changed = True
+        while changed:
+            nxt = label[label]
+            changed = bool((nxt != label).any())
+            label = nxt
+        if (label[a] == label[b]).all():
+            break
+    return ray.data.from_arrow(pa.table({
+        "iid": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array(nodes[label], pa.int64()),
+    }))
+
+
+def assign_clusters(sketches_ds, pair_clusters, num_partitions: int = 16,
+                    broadcast_threshold: int = 10_000_000):
     """Full assignment (image_id, iid, cluster_id): nodes not in any
-    accepted pair are singleton clusters of themselves."""
+    accepted pair are singleton clusters of themselves.
+
+    The pair-cluster table holds only nodes that appear in a verified
+    dup pair; below ``broadcast_threshold`` it is ray.put once and
+    looked up per batch (no corpus-wide shuffle); above, a left join."""
     base = sketches_ds.select_columns(["image_id", "iid"])
+    n = pair_clusters.count()
+    if n <= broadcast_threshold:
+        rows = pair_clusters.to_pandas()
+        keys = rows["iid"].to_numpy(dtype=np.int64)
+        vals = rows["cluster_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            iid = np.asarray(batch.column("iid"), dtype=np.int64)
+            if len(k):
+                pos = np.minimum(np.searchsorted(k, iid), len(k) - 1)
+                cl = np.where(k[pos] == iid, v[pos], iid)
+            else:
+                cl = iid
+            return pa.table({
+                "image_id": batch.column("image_id"),
+                "iid": batch.column("iid"),
+                "cluster_id": pa.array(cl, pa.int64()),
+            })
+
+        return base.map_batches(lookup, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     joined = base.join(
         pair_clusters, join_type="left_outer", num_partitions=num_partitions,
         on=("iid",), right_on=("iid",),

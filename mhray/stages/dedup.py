@@ -149,10 +149,15 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
             "iid": pa.array(iid, pa.int64()),
         })
 
+    from mhray.rayutil import scrub_blocks
+
     cands = toks_ds.map_batches(prefix_explode, batch_format="pyarrow") \
         .groupby("part").map_groups(make_emit_pairs(group_cap),
                                     batch_format="pyarrow") \
         .groupby(["lo", "hi"]).count()
+    cands = scrub_blocks(cands, pa.schema([
+        ("lo", pa.int64()), ("hi", pa.int64()), ("count()", pa.int64())]),
+        num_parts)
 
     # attach token blobs and compute exact Jaccard
     side = toks_ds.select_columns([id_col, "tok_blob"])

@@ -1,0 +1,144 @@
+"""Corpus shingle-frequency statistics job (the FrequencyCounts
+*generation* path, SURVEY.md A5/S6) + CountMin sketch (A3).
+
+The reference consumes a precomputed k-mer frequency TSV (-f,
+sketch/FrequencyCounts.java:63-229); generating one from the corpus is
+exactly a flat_map(shingles) -> groupby(hash).count() -> filter(freq >=
+cutoff) pass whose (small) result is put in the object store and read
+once per sketch actor.
+
+At 10^12-document scale the exact groupby becomes the job's biggest
+shuffle; CountMin (sketch/CountMin.java:42-112) is the approximate
+alternative: per-block partial sketches merged by elementwise addition
+(a tree-reduce over numpy arrays), with width sized from (eps, delta).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from mhray.config import MhapConfig
+
+
+def shingle_freq_table(ds, cfg: MhapConfig, text_col: str = "caption",
+                       min_count: int = 2):
+    """Exact document-frequency table: (shingle_hash, doc_freq) where
+    doc_freq is the fraction of all shingle OCCURRENCES (matching the
+    reference's 'fraction of total' file format,
+    docs/source/quickstart.rst:25-33). Only hashes above ``min_count``
+    survive (the table must stay broadcastable)."""
+    from mhray.kernels import shingle_hashes64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h, _ = shingle_hashes64(texts, cfg.kmer_size)
+        # per-batch partial count (combiner before the shuffle)
+        uk, uc = np.unique(h, return_counts=True)
+        return pa.table({
+            "shingle_hash": pa.array(uk.view(np.int64), pa.int64()),
+            "n": pa.array(uc, pa.int64()),
+        })
+
+    counts = ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("shingle_hash").sum("n") \
+        .rename_columns({"sum(n)": "n"}).materialize()
+    total = counts.sum("n") or 1
+    kept = counts.filter(expr=f"n >= {min_count}")
+
+    def to_freq(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.float64)
+        h = np.asarray(batch.column("shingle_hash"), dtype=np.int64)
+        return pa.table({
+            "shingle_hash": pa.array(h.view(np.uint64), pa.uint64()),
+            "doc_freq": pa.array(n / total, pa.float64()),
+        })
+
+    return kept.map_batches(to_freq, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def freq_table_ref(ds, cfg: MhapConfig, text_col: str = "caption",
+                   min_count: int = 2):
+    """Materialize the frequency table and ``ray.put`` it for sketch
+    actors (the kmerFilter load pattern, main/MhapMain.java:339-373)."""
+    freq_ds = shingle_freq_table(ds, cfg, text_col, min_count)
+    refs = freq_ds.to_arrow_refs()
+    table = pa.concat_tables([ray.get(r) for r in refs])
+    return ray.put(table)
+
+
+# ---------------------------------------------------------------------------
+# CountMin sketch (approximate counting at scale) — sketch/CountMin.java
+# ---------------------------------------------------------------------------
+
+class CountMin:
+    """depth x width counter grid; add = increment one cell per row,
+    query = min over rows (CountMin.java:71-112). Sized from (eps,
+    delta): width = ceil(e/eps), depth = ceil(ln(1/delta)) (:42-68)."""
+
+    def __init__(self, eps: float = 1e-5, delta: float = 1e-3,
+                 seed: int = 11, grid: np.ndarray | None = None):
+        self.width = int(np.ceil(np.e / eps))
+        self.depth = int(np.ceil(np.log(1.0 / delta)))
+        self.seed = seed
+        self.grid = (grid if grid is not None
+                     else np.zeros((self.depth, self.width), dtype=np.int64))
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        x = keys.view(np.uint64)[None, :].repeat(self.depth, axis=0)
+        salts = (np.arange(self.depth, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15) + np.uint64(self.seed))[:, None]
+        x = x ^ salts
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        return (x % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, keys: np.ndarray, counts: np.ndarray | None = None):
+        cols = self._cols(keys)
+        c = counts if counts is not None else np.ones(len(keys), np.int64)
+        for d in range(self.depth):
+            np.add.at(self.grid[d], cols[d], c)
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        cols = self._cols(keys)
+        est = self.grid[0][cols[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.grid[d][cols[d]])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        return CountMin(grid=self.grid + other.grid, seed=self.seed,
+                        eps=np.e / self.width, delta=np.exp(-self.depth))
+
+
+def countmin_shingle_counts(ds, cfg: MhapConfig, text_col: str = "caption",
+                            eps: float = 1e-4, delta: float = 1e-2):
+    """Distributed CountMin of corpus shingles: per-block partial
+    sketches, merged by elementwise addition on the driver (a
+    tree-merge at real scale). Returns the merged CountMin."""
+    from mhray.kernels import shingle_hashes64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm = CountMin(eps=eps, delta=delta)
+        h, _ = shingle_hashes64(batch.column(text_col).to_pylist(),
+                                cfg.kmer_size)
+        if len(h):
+            cm.add(h)
+        return pa.table({"grid": pa.array([cm.grid.tobytes()], pa.binary()),
+                         "depth": pa.array([cm.depth], pa.int32()),
+                         "width": pa.array([cm.width], pa.int32())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    merged = CountMin(eps=eps, delta=delta)
+    for p in parts:
+        grid = np.frombuffer(p["grid"], dtype=np.int64).reshape(
+            p["depth"], p["width"])
+        merged.grid += grid
+    return merged

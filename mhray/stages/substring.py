@@ -1,0 +1,136 @@
+"""Exact long-substring duplicate pass (the north-star suffix-array
+axis): find pairs of texts sharing an exact substring of >= L chars
+that MinHash can miss (short texts with one long verbatim quote).
+
+Ray-Data-first formulation: winnowed L-gram fingerprints
+(flat_map) -> fingerprint groupby -> candidate pairs -> exact verify.
+Winnowing guarantee: any common substring of length >= gram + window - 1
+shares at least one selected fingerprint, so candidates are complete
+for the guarantee length; the verify step then computes the true
+longest common substring per pair (no false positives).
+
+The per-pair verify uses a hash-indexed longest-common-substring
+search (binary search over length with rolling window hashes) —
+the suffix-array spirit without per-partition suffix arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mhray.stages.candidates import _part_of, auto_parts, make_emit_pairs
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Length of the longest common substring via binary search over
+    candidate lengths with window-hash sets (O((n+m) log min(n,m)))."""
+    from mhray.kernels import encode_utf16_batch
+
+    if not a or not b:
+        return 0
+
+    def has_common(L: int) -> bool:
+        if L > len(a) or L > len(b):
+            return False
+        units_a, _ = encode_utf16_batch([a])
+        units_b, _ = encode_utf16_batch([b])
+        wa = np.lib.stride_tricks.sliding_window_view(units_a, L)
+        wb = np.lib.stride_tricks.sliding_window_view(units_b, L)
+        # hash windows then confirm a real match (collision-proof)
+        ha = wa.astype(np.uint64).dot(
+            np.uint64(1099511628211) ** np.arange(L, dtype=np.uint64))
+        hb = wb.astype(np.uint64).dot(
+            np.uint64(1099511628211) ** np.arange(L, dtype=np.uint64))
+        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        for x, y in zip(ia, ib):
+            if a[x : x + L] == b[y : y + L]:
+                return True
+        return False
+
+    lo, hi = 0, min(len(a), len(b))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_common(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def substring_pairs(ds, min_len: int = 32, window: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_parts: int | None = None, group_cap: int = 2000):
+    """(lo, hi, lcs_len) pairs whose longest common substring is
+    >= min_len. Guarantee length = gram + window - 1 = min_len, so
+    gram = min_len - window + 1."""
+    from mhray.kernels import shingle_hashes64
+
+    num_parts = auto_parts(num_parts)
+    gram = max(4, min_len - window + 1)
+
+    texts_ds = ds.select_columns([id_col, text_col]).materialize()
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        hashes, offs = shingle_hashes64(texts, gram)
+        out_key, out_iid = [], []
+        for i in range(len(texts)):
+            seg = hashes[offs[i]: offs[i + 1]]
+            if len(seg) == 0:
+                continue
+            if len(seg) <= window:
+                sel = np.array([seg.min()])
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(seg, window)
+                sel = np.unique(w.min(axis=1))
+            out_key.append(sel.view(np.int64))
+            out_iid.append(np.full(len(sel), ids[i]))
+        if not out_key:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "iid": pa.array([], pa.int64())})
+        key = np.concatenate(out_key)
+        iid = np.concatenate(out_iid)
+        return pa.table({
+            "part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "iid": pa.array(iid, pa.int64()),
+        })
+
+    from mhray.rayutil import scrub_blocks
+
+    cands = texts_ds.map_batches(fingerprint, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("part").map_groups(make_emit_pairs(group_cap),
+                                    batch_format="pyarrow") \
+        .groupby(["lo", "hi"]).count()
+    cands = scrub_blocks(cands, pa.schema([
+        ("lo", pa.int64()), ("hi", pa.int64()), ("count()", pa.int64())]),
+        num_parts)
+
+    side = texts_ds
+    j = cands.join(
+        side.rename_columns({id_col: "_ilo", text_col: "text_lo"}),
+        join_type="inner", num_partitions=num_parts, on=("lo",), right_on=("_ilo",),
+    ).join(
+        side.rename_columns({id_col: "_ihi", text_col: "text_hi"}),
+        join_type="inner", num_partitions=num_parts, on=("hi",), right_on=("_ihi",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch.column("text_lo").to_pylist()
+        tb = batch.column("text_hi").to_pylist()
+        n = batch.num_rows
+        lcs = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            lcs[i] = longest_common_substring_len(ta[i], tb[i])
+        keep = pa.array(lcs >= min_len)
+        return pa.table({
+            "lo": batch.column("lo").filter(keep),
+            "hi": batch.column("hi").filter(keep),
+            "lcs_len": pa.array(lcs[np.asarray(keep)], pa.int64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -19,23 +19,26 @@ from mhray.kernels import unpack_bottom_sketch, verify_pair
 
 def attach_sketches(pairs_ds, sketches_ds, num_partitions: int = 32,
                     columns=("bs_blob",)):
-    """pairs(lo, hi, ...) ⋈ sketches on lo then hi."""
-    side = sketches_ds.select_columns(["iid", *columns])
-    lo_side = side.rename_columns(
-        {"iid": "_iid_lo", **{c: f"{c}_lo" for c in columns}})
-    hi_side = side.rename_columns(
-        {"iid": "_iid_hi", **{c: f"{c}_hi" for c in columns}})
-    joined = pairs_ds.join(
-        lo_side, join_type="inner", num_partitions=num_partitions,
-        on=("lo",), right_on=("_iid_lo",),
-    )
-    joined = joined.join(
-        hi_side, join_type="inner", num_partitions=num_partitions,
-        on=("hi",), right_on=("_iid_hi",),
-    )
-    # Ray's join drops the right-side key columns itself; guard anyway
-    leftover = [c for c in joined.schema().names if c.startswith("_iid_")]
-    return joined.drop_columns(leftover) if leftover else joined
+    """pairs(lo, hi, ...) ⋈ sketches on lo then hi — expressed as two
+    sort-shuffle payload attaches (rayutil.attach_payload) rather than
+    join operators, whose per-join aggregator actor pools dominate at
+    moderate pair counts."""
+    from mhray.rayutil import attach_payload
+
+    # materialize the narrow projection once: it is consumed by BOTH
+    # attach passes (otherwise the upstream plan re-executes per pass)
+    side = sketches_ds.select_columns(["iid", *columns]).materialize()
+    side_schema = getattr(side.schema(), "base_schema", side.schema())
+    pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                             ("shared_slots", pa.int64())])
+    j = attach_payload(pairs_ds, "lo", side, "iid", columns, "lo",
+                       num_partitions, pairs_schema=pair_schema,
+                       side_schema=side_schema)
+    mid_schema = pa.schema(list(pair_schema) + [
+        pa.field(f"{c}_lo", side_schema.field(c).type) for c in columns])
+    j = attach_payload(j, "hi", side, "iid", columns, "hi", num_partitions,
+                       pairs_schema=mid_schema, side_schema=side_schema)
+    return j
 
 
 class VerifyPairs:
@@ -81,6 +84,9 @@ class VerifyPairs:
 
 def verify_candidates(pairs_ds, sketches_ds, cfg: MhapConfig,
                       num_partitions: int = 32):
+    # candidate-pair tables are small relative to the corpus; fewer join
+    # partitions = fewer aggregator actors to spin up
+    num_partitions = max(2, min(8, num_partitions))
     joined = attach_sketches(pairs_ds, sketches_ds, num_partitions)
     return joined.map_batches(
         VerifyPairs(cfg), batch_size=cfg.verify_batch_size,

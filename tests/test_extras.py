@@ -1,0 +1,187 @@
+"""Tests: frequency job, CountMin, substring pass, multimodal stages,
+M4 export, histogram stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mhray.config import PRESETS
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# CountMin (pure kernel)
+# ---------------------------------------------------------------------------
+
+def test_countmin_exactish():
+    from mhray.stages.freqjob import CountMin
+
+    cm = CountMin(eps=1e-3, delta=1e-2)
+    keys = np.arange(100, dtype=np.uint64) * np.uint64(2654435761)
+    counts = np.arange(1, 101, dtype=np.int64)
+    cm.add(keys, counts)
+    est = cm.query(keys)
+    assert (est >= counts).all()          # one-sided error
+    assert (est <= counts + 5).all()      # small table, tiny load
+
+    cm2 = CountMin(eps=1e-3, delta=1e-2)
+    cm2.add(keys, counts)
+    merged = cm.merge(cm2)
+    np.testing.assert_array_equal(merged.query(keys) >= 2 * counts, True)
+
+
+def test_freq_table_job(ray_session):
+    import ray.data
+
+    from mhray.freq import FreqTable
+    from mhray.stages.freqjob import shingle_freq_table
+
+    cfg = PRESETS["captions"]
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet").map_batches(
+        lambda b: pa.table({"caption": b.column("text")}),
+        batch_format="pyarrow",
+    )
+    freq = shingle_freq_table(docs, cfg, min_count=2)
+    tbl = freq.to_pandas()
+    assert len(tbl) > 0
+    assert (tbl.doc_freq > 0).all() and (tbl.doc_freq <= 1).all()
+    ft = FreqTable.from_arrow(pa.Table.from_pandas(tbl),
+                              filter_cutoff=1e-6, idf_range=3.0)
+    some = tbl.shingle_hash.to_numpy()[:10].astype(np.uint64)
+    idf = ft.scaled_idf(some)
+    assert ((idf >= 1.0) & (idf <= 3.0 + 1e-9)).all()
+
+
+def test_countmin_job(ray_session):
+    import ray.data
+
+    from mhray.stages.freqjob import countmin_shingle_counts
+
+    cfg = PRESETS["captions"]
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet").limit(50) \
+        .map_batches(lambda b: pa.table({"caption": b.column("text")}),
+                     batch_format="pyarrow")
+    cm = countmin_shingle_counts(docs, cfg, eps=1e-3, delta=1e-2)
+    assert cm.grid.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# substring pass
+# ---------------------------------------------------------------------------
+
+def test_lcs_kernel():
+    from mhray.stages.substring import longest_common_substring_len
+
+    assert longest_common_substring_len("abcdefgh", "xxxcdefyy") == 4
+    assert longest_common_substring_len("same text", "same text") == 9
+    assert longest_common_substring_len("abc", "xyz") == 0
+    assert longest_common_substring_len("", "abc") == 0
+
+
+def test_substring_pairs(ray_session):
+    import ray.data
+
+    from mhray.stages.substring import substring_pairs
+
+    shared = "this exact shared segment appears verbatim in both documents ok"
+    rows = [
+        {"doc_id": 1, "text": "prefix one two three " + shared},
+        {"doc_id": 2, "text": shared + " suffix four five six"},
+        {"doc_id": 3, "text": "completely unrelated text with nothing shared"},
+        {"doc_id": 4, "text": "another unrelated document body here"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = substring_pairs(ds, min_len=32, num_parts=2).take_all()
+    pairs = {(r["lo"], r["hi"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+    lcs = [r["lcs_len"] for r in out if (r["lo"], r["hi"]) == (1, 2)][0]
+    assert lcs >= len(shared)
+
+
+# ---------------------------------------------------------------------------
+# multimodal stages
+# ---------------------------------------------------------------------------
+
+def test_image_feature_stage(small_corpus, ray_session):
+    import ray.data
+
+    from mhray.stages.multimodal import image_features
+
+    images = ray.data.read_parquet(small_corpus["images"]).limit(64)
+    out = image_features(images, concurrency=2).take_all()
+    assert len(out) == 64
+    assert all(r["decode_ok"] for r in out)
+    assert any(r["mean_luma"] > 0 for r in out)
+
+
+def test_image_resize_stage(small_corpus, ray_session):
+    import ray.data
+
+    from mhray.imageops import decode_image
+    from mhray.stages.multimodal import ImageResizeStage
+
+    images = ray.data.read_parquet(small_corpus["images"]).limit(8)
+    out = images.map_batches(ImageResizeStage, fn_constructor_kwargs={"side": 16},
+                             concurrency=2, batch_format="pyarrow").take_all()
+    assert all(r["resized"] for r in out)
+    img = decode_image(out[0]["bytes"], out[0]["fmt"])
+    assert img.shape == (16, 16, 3)
+
+
+def test_audio_video_stubs():
+    from mhray.stages.multimodal import AudioFeatureStage, VideoFrameSampleStage
+
+    batch = pa.table({"id": ["a1"], "bytes": [b"\x00" * 100], "fmt": ["wav"]})
+    out = AudioFeatureStage(dim=4)(batch)
+    assert out.column("stub").to_pylist() == [True]
+    assert len(out.column("audio_embedding")[0].as_py()) == 4
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(strict=True)(batch)
+
+    vb = pa.table({"video_id": ["v1", "v2"]})
+    frames = VideoFrameSampleStage(n_frames=3)(vb)
+    assert frames.num_rows == 6
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True)(vb)
+
+
+# ---------------------------------------------------------------------------
+# export + histogram
+# ---------------------------------------------------------------------------
+
+def test_m4_export(tmp_path, ray_session):
+    import os
+
+    import ray.data
+
+    from mhray.export import write_m4
+
+    pairs = ray.data.from_items([
+        {"lo": 1, "hi": 2, "score": 0.95, "shared_slots": 10,
+         "a1": 0, "a2": 50, "b1": 0, "b2": 49},
+        {"lo": 3, "hi": 4, "score": 0.80, "shared_slots": 4,
+         "a1": 5, "a2": 40, "b1": 2, "b2": 38},
+    ])
+    out = str(tmp_path / "m4")
+    write_m4(pairs, out)
+    files = sorted(os.listdir(out))
+    assert files
+    lines = open(os.path.join(out, files[0])).read().strip().splitlines()
+    assert len(lines) >= 1
+    parts = lines[0].split()
+    assert len(parts) == 12
+    assert float(parts[2]) == pytest.approx(0.05, abs=1e-6)
+
+
+def test_histogram_stats(ray_session):
+    import ray.data
+
+    from mhray.export import histogram_stats
+
+    ds = ray.data.from_items([{"v": i % 10} for i in range(1000)])
+    st = histogram_stats(ds, "v", percentile=0.9)
+    assert st["n"] == 1000
+    assert st["mean"] == pytest.approx(4.5)
+    assert st["percentile"] >= 8

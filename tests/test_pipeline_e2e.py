@@ -82,8 +82,23 @@ def test_stage_manifests_record_lineage(pipeline_run):
 
     manifests = read_manifests(pipeline_run["out"])
     names = {m["stage"] for m in manifests}
-    assert {"s1_sketches", "s3_rep_pairs", "s5_pairs", "s6_clusters"} <= names
+    assert {"s1_sketches", "s2_rep_pairs", "s3_phash_pairs",
+            "s4_pairs", "s5_clusters"} <= names
     for m in manifests:
         assert m["rows"] == sum(p["rows"] for p in m["partitions"])
         assert m["duration_s"] >= 0
         assert m["config_digest"]
+
+
+def test_distributed_cluster_path_matches_driver(pipeline_run, ray_session):
+    """The distributed label-propagation rounds (the scale path) must
+    produce the same components as the driver-side union-find."""
+    from mhray.stages.cluster import cluster_edges
+
+    pairs = pipeline_run["res"]["pairs"]
+    fast = {r["iid"]: r["cluster_id"]
+            for r in cluster_edges(pairs, driver_threshold=10**9).take_all()}
+    dist = {r["iid"]: r["cluster_id"]
+            for r in cluster_edges(pairs, driver_threshold=0,
+                                   num_partitions=4).take_all()}
+    assert fast == dist
