@@ -23,6 +23,18 @@ import pyarrow.parquet as pq
 import ray.data
 
 
+def parquet_num_rows(path: str) -> int:
+    """Total rows of a parquet file/dir from footer metadata only —
+    no Ray execution (Dataset.count() costs a full op launch)."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def config_digest(cfg) -> str:
     payload = json.dumps(asdict(cfg), sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]

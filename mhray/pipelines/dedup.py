@@ -57,24 +57,76 @@ def _assign_reps(part: pa.Table) -> pa.Table:
 def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
               freq_ref=None, decode_pixels: bool = True,
               num_parts: int = 32, resume: bool = True,
-              concurrency=None) -> dict:
+              concurrency=None,
+              rep_broadcast_threshold: int = 2_000_000,
+              rep_pairs_broadcast_threshold: int = 2_000_000) -> dict:
     """Run the full pipeline; returns dataset handles + output paths."""
 
-    # s1: sketches + exact-caption rep assignment (one shuffle) ------------
+    # s1: sketches + exact-caption rep assignment -------------------------
+    # Small corpora: a NARROW (caption_hash, iid) aggregate is broadcast
+    # and looked up per batch — the wide sketch rows never shuffle.
+    # Above the threshold: one caption_hash-partitioned shuffle of the
+    # sketch table (the scale path; rep map no longer driver-resident).
     def compute_sketches():
+        import ray as _ray
+
         images = ray.data.read_parquet(images_path)
         sk = sketch_dataset(images, cfg, freq_ref=freq_ref,
                             decode_pixels=decode_pixels,
                             concurrency=concurrency)
+        from mhray.checkpoint import parquet_num_rows
+
+        n_rows = parquet_num_rows(images_path)
+        if n_rows <= rep_broadcast_threshold:
+            # rep map via per-batch PARTIAL min-aggregates collected to
+            # the driver (tiny) — a full Ray groupby has seconds of
+            # fixed cost this path avoids; the wide rows never re-scan
+            sk = sk.materialize()
+
+            def partial_rep(batch: pa.Table) -> pa.Table:
+                ch = np.asarray(batch.column("caption_hash"), dtype=np.int64)
+                iid = np.asarray(batch.column("iid"), dtype=np.int64)
+                order = np.lexsort((iid, ch))
+                ch_s = ch[order]
+                first = np.ones(len(ch_s), dtype=bool)
+                first[1:] = np.diff(ch_s) != 0
+                return pa.table({
+                    "caption_hash": pa.array(ch_s[first], pa.int64()),
+                    "iid": pa.array(iid[order][first], pa.int64()),
+                })
+
+            partials = sk.select_columns(["caption_hash", "iid"]).map_batches(
+                partial_rep, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+            ch_all = np.array([r["caption_hash"] for r in partials], np.int64)
+            iid_all = np.array([r["iid"] for r in partials], np.int64)
+            order = np.lexsort((iid_all, ch_all))
+            ch_s, iid_s = ch_all[order], iid_all[order]
+            first = np.ones(len(ch_s), dtype=bool)
+            if len(ch_s) > 1:
+                first[1:] = np.diff(ch_s) != 0
+            ref = _ray.put((ch_s[first], iid_s[first]))
+
+            def lookup(batch: pa.Table) -> pa.Table:
+                k, v = _ray.get(ref)
+                ch = np.asarray(batch.column("caption_hash"), dtype=np.int64)
+                pos = np.minimum(np.searchsorted(k, ch), max(0, len(k) - 1))
+                rep = np.where(k[pos] == ch, v[pos],
+                               np.asarray(batch.column("iid"), np.int64))
+                return batch.append_column("rep_iid", pa.array(rep, pa.int64()))
+
+            return sk.map_batches(lookup, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
         def add_part(batch: pa.Table) -> pa.Table:
             ch = np.asarray(batch.column("caption_hash"), dtype=np.int64)
             return batch.append_column(
                 "chpart", pa.array(_part_of(ch, num_parts), pa.int32()))
 
-        return sk.map_batches(add_part, batch_format="pyarrow",
-                              zero_copy_batch=True) \
+        with_part = sk.map_batches(add_part, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
             .groupby("chpart").map_groups(_assign_reps, batch_format="pyarrow")
+        return with_part.drop_columns(["chpart"])
 
     sketches = stage_checkpoint("s1_sketches", out_dir, compute_sketches, cfg,
                                 resume=resume)
@@ -156,6 +208,37 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                 "score", pa.array(np.ones(b.num_rows), pa.float64())),
             batch_format="pyarrow",
         )
+        n_rep_pairs = rep_pairs.count()
+        if n_rep_pairs <= rep_pairs_broadcast_threshold:
+            # broadcast the verified rep-pair scores (small side)
+            import ray as _ray
+
+            rows = rep_pairs.select_columns(["lo", "hi", "score"]).to_pandas()
+            score_map = {
+                (int(l), int(h)): float(s)
+                for l, h, s in zip(rows["lo"], rows["hi"], rows["score"])
+            }
+            ref = _ray.put(score_map)
+
+            def attach_score(batch: pa.Table) -> pa.Table:
+                m = _ray.get(ref)
+                rlo = np.asarray(batch.column("rlo"), np.int64)
+                rhi = np.asarray(batch.column("rhi"), np.int64)
+                scores = np.full(len(rlo), -1.0)
+                for i in range(len(rlo)):
+                    scores[i] = m.get((int(rlo[i]), int(rhi[i])), -1.0)
+                keep = pa.array(scores >= 0)
+                return pa.table({
+                    "lo": batch.column("lo").filter(keep),
+                    "hi": batch.column("hi").filter(keep),
+                    "hamming": batch.column("hamming").filter(keep),
+                    "score": pa.array(scores[scores >= 0], pa.float64()),
+                })
+
+            diff = p.filter(expr="same_rep == False").map_batches(
+                attach_score, batch_format="pyarrow", zero_copy_batch=True)
+            return same.union(diff)
+
         rp = rep_pairs.select_columns(["lo", "hi", "score"]).rename_columns(
             {"lo": "rlo", "hi": "rhi", "score": "rep_score"}
         )

@@ -20,6 +20,59 @@ import pyarrow as pa
 import ray.data
 
 
+def _attach_broadcast(pairs_ds, key_col, side_ds, side_key, payload_cols,
+                      out_suffix, how, pair_names, payload_types):
+    import numpy as np
+
+    import ray
+
+    side_tbl = pa.concat_tables(
+        [ray.get(r) for r in side_ds.to_arrow_refs()],
+        promote_options="default")
+    keys = np.asarray(side_tbl.column(side_key), dtype=np.int64)
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    payloads = {c: side_tbl.column(c).take(pa.array(order, pa.int64()))
+                .combine_chunks() for c in payload_cols}
+    ref = ray.put((keys_sorted, payloads))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        ks, pl = ray.get(ref)
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+            found = ks[pos] == k
+        else:
+            pos = np.zeros(len(k), np.int64)
+            found = np.zeros(len(k), bool)
+        out = {}
+        if how == "inner":
+            keep = pa.array(found)
+            for name in pair_names:
+                out[name] = batch.column(name).filter(keep)
+            idx = pa.array(pos[found], pa.int64())
+            for c in payload_cols:
+                out[f"{c}_{out_suffix}"] = (
+                    pl[c].take(idx) if len(ks)
+                    else pa.nulls(0, payload_types[c]))
+        else:
+            for name in pair_names:
+                out[name] = batch.column(name)
+            for c in payload_cols:
+                if len(ks):
+                    col = pl[c].take(pa.array(pos, pa.int64()))
+                    col = pa.compute.if_else(
+                        pa.array(found), col,
+                        pa.nulls(len(k), payload_types[c]))
+                else:
+                    col = pa.nulls(len(k), payload_types[c])
+                out[f"{c}_{out_suffix}"] = col
+        return pa.table(out)
+
+    return pairs_ds.map_batches(lookup, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def scrub_blocks(ds, schema: pa.Schema | None = None, num_blocks: int = 8):
     """Remove schema-less empty blocks; optionally guarantee a typed
     schema even for an all-empty dataset."""
@@ -44,7 +97,8 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
                    payload_cols: tuple, out_suffix: str,
                    num_parts: int = 16, how: str = "inner",
                    pairs_schema: pa.Schema | None = None,
-                   side_schema: pa.Schema | None = None):
+                   side_schema: pa.Schema | None = None,
+                   broadcast_threshold_rows: int = 300_000):
     """Equi-join expressed as ONE sort shuffle (union + groupby part +
     partition-local merge) instead of a join-operator actor pool —
     the cheap path for attaching per-key payloads (e.g. sketches) to a
@@ -67,6 +121,17 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
     pair_names = pair_schema.names
     side_schema = side_schema if side_schema is not None else _pa_schema(side_ds)
     payload_types = {c: side_schema.field(c).type for c in payload_cols}
+
+    # small side -> broadcast once via ray.put and look up per batch
+    # (no shuffle at all); large side -> union + partition merge below
+    try:
+        n_side = side_ds.count()
+    except Exception:
+        n_side = None
+    if n_side is not None and n_side <= broadcast_threshold_rows:
+        return _attach_broadcast(pairs_ds, key_col, side_ds, side_key,
+                                 payload_cols, out_suffix, how,
+                                 pair_names, payload_types)
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         from mhray.stages.candidates import _part_of

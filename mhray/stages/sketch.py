@@ -141,9 +141,12 @@ def sketch_dataset(images_ds, cfg: MhapConfig, freq_ref=None,
 
         # autoscaling actor pool capped BELOW the cluster CPU count so
         # downstream operators (write, shuffle aggregators) keep CPUs —
-        # a fixed pool equal to the CPU count deadlocks the stream
+        # a fixed pool equal to the CPU count deadlocks the stream.
+        # min = half the cap: a cold pool ramping from 1 actor wastes
+        # the first seconds of every run
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, cpus - 2))
+        hi = max(2, cpus - 2)
+        concurrency = (max(1, hi // 2), hi)
     return images_ds.map_batches(
         SketchStage,
         fn_constructor_kwargs={
