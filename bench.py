@@ -27,28 +27,29 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("MHRAY_BENCH_ROWS", "50000"))
+SCALING_ROWS = int(os.environ.get("MHRAY_SCALING_ROWS", "150000"))
 CORPUS_SEED = 77
 
 
-def corpus_dir() -> str:
-    return f"/tmp/mhray_bench_corpus_{BENCH_ROWS}_{CORPUS_SEED}"
+def corpus_dir(rows: int) -> str:
+    return f"/tmp/mhray_bench_corpus_{rows}_{CORPUS_SEED}"
 
 
-def ensure_corpus() -> str:
-    d = corpus_dir()
+def ensure_corpus(rows: int) -> str:
+    d = corpus_dir(rows)
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        from mhray.synth import SynthSpec, write_corpus
+        from mhray.synth import SynthSpec, write_corpus_parallel
 
         os.makedirs(d, exist_ok=True)
-        write_corpus(d, SynthSpec(n_rows=BENCH_ROWS, seed=CORPUS_SEED),
-                     n_files=32)
+        write_corpus_parallel(d, SynthSpec(n_rows=rows, seed=CORPUS_SEED),
+                              n_shards=32)
         with open(marker, "w") as f:
             f.write("")
     return d
 
 
-def run_headline(num_cpus: int) -> dict:
+def run_headline(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -62,7 +63,7 @@ def run_headline(num_cpus: int) -> dict:
     from mhray.config import PRESETS
     from mhray.pipelines.dedup import run_dedup
 
-    d = ensure_corpus()
+    d = ensure_corpus(rows)
     out_dir = f"/tmp/mhray_bench_out_{num_cpus}_{time.time_ns()}"
     cfg = PRESETS["captions"]
     t0 = time.time()
@@ -74,8 +75,8 @@ def run_headline(num_cpus: int) -> dict:
     elapsed = time.time() - t0
     return {
         "sec": round(elapsed, 2),
-        "rows": BENCH_ROWS,
-        "images_per_sec": round(BENCH_ROWS / elapsed, 1),
+        "rows": rows,
+        "images_per_sec": round(rows / elapsed, 1),
         "pairs": n_pairs,
         "cluster_rows": n_clusters,
     }
@@ -101,15 +102,17 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     if "--headline-only" in sys.argv:
-        stats = run_headline(NUM_CPUS)
+        rows = int(os.environ.get("MHRAY_HEADLINE_ROWS", BENCH_ROWS))
+        stats = run_headline(NUM_CPUS, rows)
         print(json.dumps({"headline": stats, "num_cpus": NUM_CPUS}))
         return
 
     if "--scaling" in sys.argv:
-        ensure_corpus()  # generate once so both runs read identical input
+        ensure_corpus(SCALING_ROWS)  # generate once; both runs read it
         results = {}
         for cpus in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       MHRAY_HEADLINE_ROWS=str(SCALING_ROWS))
             proc = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 capture_output=True, text=True, env=env,
@@ -128,7 +131,7 @@ def main() -> None:
             "efficiency": round(efficiency, 3),
             "sec_8": results[8]["sec"],
             "sec_32": results[32]["sec"],
-            "rows": BENCH_ROWS,
+            "rows": SCALING_ROWS,
         }))
         return
 

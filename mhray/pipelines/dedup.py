@@ -9,12 +9,10 @@ SURVEY.md §3.4).
        │        boilerplate BEFORE any LSH explode)        [ckpt s1]
        ├─ s2: rep-level MinHash LSH -> slot-count gate ->
        │        sketch-attach joins -> positional verify   [ckpt s2]
-       ├─ s3: pHash band LSH over all rows, Hamming gate;
-       │        rep ids ride the explode (no joins)        [ckpt s3]
-       ├─ s4: final pairs = pHash pairs whose caption
-       │        condition holds (same rep, or rep pair
-       │        verified >= threshold)                     [ckpt s4]
-       └─ s5: union-find clusters + full assignment        [ckpt s5]
+       ├─ s3: pHash band LSH over all rows, Hamming gate,
+       │        + final caption gate (same rep, or rep pair
+       │        verified >= threshold) — fused             [ckpt s3]
+       └─ s4: union-find clusters + full assignment        [ckpt s4]
 
 Semantics (mirrored by mhray.oracle): a pair is a duplicate iff
   shared-slots(sig) >= num_min_matches  AND  verify score >= threshold
@@ -141,9 +139,12 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
     rep_pairs = stage_checkpoint("s2_rep_pairs", out_dir, compute_rep_pairs,
                                  cfg, resume=resume)
 
-    # s3: image axis (pHash banding); rep ids ride along ------------------
-    def compute_phash_pairs():
+    # s3: image axis (pHash banding) + final caption gate, fused ---------
+    # (pHash pairs and the final-pair gate are both cheap; one stage =
+    # one checkpoint cycle less)
+    def compute_final_pairs():
         from mhray.kernels import hamming64
+        from mhray.stages.candidates import _pair_part, make_pair_min
 
         bands = valid.map_batches(
             explode_phash_bands,
@@ -157,8 +158,6 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             make_emit_pairs(cfg.band_group_cap, with_payload=True,
                             payload_cols=("phash", "rep_iid")),
             batch_format="pyarrow")
-
-        from mhray.stages.candidates import _pair_part, make_pair_min
 
         def gate(batch: pa.Table) -> pa.Table:
             a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
@@ -176,19 +175,12 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                 "hamming": pa.array(ham[keep], pa.int32()),
             })
 
-        gated = pairs.map_batches(gate, batch_format="pyarrow",
-                                  zero_copy_batch=True)
         # dedupe the same pair found via multiple bands
-        return gated.groupby("pair_part").map_groups(
-            make_pair_min("hamming", payload_cols=("rep_lo", "rep_hi")),
-            batch_format="pyarrow")
-
-    phash_pairs = stage_checkpoint("s3_phash_pairs", out_dir,
-                                   compute_phash_pairs, cfg, resume=resume)
-
-    # s4: final pairs = image pairs whose caption condition holds ---------
-    def compute_final_pairs():
-        from mhray.rayutil import safe_join
+        phash_pairs = pairs.map_batches(gate, batch_format="pyarrow",
+                                        zero_copy_batch=True) \
+            .groupby("pair_part").map_groups(
+                make_pair_min("hamming", payload_cols=("rep_lo", "rep_hi")),
+                batch_format="pyarrow")
 
         def canon(batch: pa.Table) -> pa.Table:
             rl = np.asarray(batch.column("rep_lo"), dtype=np.int64)
@@ -201,8 +193,10 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                 "rhi": pa.array(np.maximum(rl, rh), pa.int64()),
             })
 
+        # materialize before branching: `p` feeds BOTH the same-rep and
+        # diff-rep branches — lazy, the whole pHash LSH would run twice
         p = phash_pairs.map_batches(canon, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+                                    zero_copy_batch=True).materialize()
         same = p.filter(expr="same_rep == True").map_batches(
             lambda b: b.select(["lo", "hi", "hamming"]).append_column(
                 "score", pa.array(np.ones(b.num_rows), pa.float64())),
@@ -215,8 +209,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
 
             rows = rep_pairs.select_columns(["lo", "hi", "score"]).to_pandas()
             score_map = {
-                (int(l), int(h)): float(s)
-                for l, h, s in zip(rows["lo"], rows["hi"], rows["score"])
+                (int(l), int(h)): float(sc)
+                for l, h, sc in zip(rows["lo"], rows["hi"], rows["score"])
             }
             ref = _ray.put(score_map)
 
@@ -238,6 +232,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             diff = p.filter(expr="same_rep == False").map_batches(
                 attach_score, batch_format="pyarrow", zero_copy_batch=True)
             return same.union(diff)
+
+        from mhray.rayutil import safe_join
 
         rp = rep_pairs.select_columns(["lo", "hi", "score"]).rename_columns(
             {"lo": "rlo", "hi": "rhi", "score": "rep_score"}
@@ -263,7 +259,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         )
         return same.union(diff)
 
-    final_pairs = stage_checkpoint("s4_pairs", out_dir, compute_final_pairs,
+    final_pairs = stage_checkpoint("s3_pairs", out_dir, compute_final_pairs,
                                    cfg, resume=resume)
 
     # s5: clusters ---------------------------------------------------------
@@ -273,13 +269,12 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                                       num_partitions=num_parts)
         return assign_clusters(sketches, pair_clusters, num_parts)
 
-    clusters = stage_checkpoint("s5_clusters", out_dir, compute_clusters, cfg,
+    clusters = stage_checkpoint("s4_clusters", out_dir, compute_clusters, cfg,
                                 resume=resume)
 
     return {
         "sketches": sketches,
         "rep_pairs": rep_pairs,
-        "phash_pairs": phash_pairs,
         "pairs": final_pairs,
         "clusters": clusters,
         "out_dir": out_dir,

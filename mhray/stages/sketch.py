@@ -53,9 +53,11 @@ class SketchStage:
     """Callable class for ``map_batches`` (actor pool when concurrency>1)."""
 
     def __init__(self, cfg: MhapConfig, freq_ref=None, decode_pixels: bool = False,
-                 simhash_kmer: int = 6):
+                 with_simhash: bool = False, simhash_kmer: int = 6):
         self.cfg = cfg
         self.decode_pixels = decode_pixels
+        self.with_simhash = with_simhash  # opt-in: ~0.9 ms/row, unused
+                                          # by the flagship gates
         self.simhash_kmer = simhash_kmer
         self.freq: FreqTable | None = None
         if freq_ref is not None:
@@ -98,7 +100,6 @@ class SketchStage:
             bh, bp = K.bottom_sketch(seg, cfg.ordered_sketch_size)
             bs_blob.append(K.pack_bottom_sketch(bh, bp, len(seg)))
 
-        simhash = K.simhash64(captions, self.simhash_kmer)
         caption_hash = K.hash_strings64(captions)
 
         caption_lens = np.fromiter((len(c) for c in captions), np.int32, n)
@@ -120,17 +121,20 @@ class SketchStage:
                 except (UnsupportedFormatError, ValueError):
                     pass  # keep the provided phash
 
-        return pa.table({
+        out = {
             "image_id": pa.array(image_ids, pa.string()),
             "iid": pa.array(iids, pa.int64()),
             "minhash": _binary_from_matrix(sig),
             "bs_blob": pa.array(bs_blob, pa.binary()),
             "caption_len": pa.array(caption_lens, pa.int32()),
             "caption_hash": pa.array(caption_hash, pa.int64()),
-            "simhash": pa.array(simhash, pa.int64()),
             "phash": pa.array(phash, pa.int64()),
             "valid": pa.array(valid.astype(bool)),
-        })
+        }
+        if self.with_simhash:
+            out["simhash"] = pa.array(
+                K.simhash64(captions, self.simhash_kmer), pa.int64())
+        return pa.table(out)
 
 
 def sketch_dataset(images_ds, cfg: MhapConfig, freq_ref=None,

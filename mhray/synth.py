@@ -45,6 +45,8 @@ class SynthSpec:
     vocab_size: int = 4000
     caption_words: tuple[int, int] = (9, 16)
     seed: int = 1234
+    id_offset: int = 0                 # first image ordinal (parallel shards)
+    cluster_offset: int = 0            # first cluster id (parallel shards)
 
 
 def _make_vocab(rng: np.random.Generator, size: int) -> list[str]:
@@ -115,12 +117,12 @@ def generate_corpus(spec: SynthSpec) -> tuple[pa.Table, pa.Table, pa.Table]:
     n_near = int(n * spec.near_miss_fraction)
     n_short = int(n * spec.short_caption_fraction)
 
-    next_cluster = 0
+    next_cluster = spec.cluster_offset
     i = 0
 
     def emit(caption: str, img: np.ndarray, fmt: str, cluster: int) -> None:
         nonlocal i
-        image_id = f"img_{i:012d}"
+        image_id = f"img_{spec.id_offset + i:012d}"
         data = encode_image(img, fmt)
         rows_id.append(image_id)
         rows_bytes.append(data)
@@ -232,6 +234,54 @@ def write_corpus(out_dir: str, spec: SynthSpec, n_files: int = 8) -> dict[str, s
     pq.write_table(truth_clusters, os.path.join(out_dir, "truth_clusters.parquet"))
     return {
         "images": img_dir,
+        "truth_pairs": os.path.join(out_dir, "truth_pairs.parquet"),
+        "truth_clusters": os.path.join(out_dir, "truth_clusters.parquet"),
+    }
+
+
+def _write_shard(args) -> tuple[str, str]:
+    out_dir, spec, shard_idx = args
+    img_dir = os.path.join(out_dir, "images")
+    images, truth_pairs, truth_clusters = generate_corpus(spec)
+    pq.write_table(images, os.path.join(img_dir, f"part-{shard_idx:05d}.parquet"))
+    tp = os.path.join(out_dir, f"_tp_{shard_idx:05d}.parquet")
+    tc = os.path.join(out_dir, f"_tc_{shard_idx:05d}.parquet")
+    pq.write_table(truth_pairs, tp)
+    pq.write_table(truth_clusters, tc)
+    return tp, tc
+
+
+def write_corpus_parallel(out_dir: str, spec: SynthSpec, n_shards: int = 16,
+                          processes: int | None = None) -> dict[str, str]:
+    """Multi-process deterministic generation: shard s gets its own
+    seeded generator and disjoint id/cluster ranges, so output is
+    byte-identical regardless of process count."""
+    import multiprocessing as mp
+    from dataclasses import replace
+
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    per = (spec.n_rows + n_shards - 1) // n_shards
+    shard_specs = []
+    for s in range(n_shards):
+        rows = min(per, spec.n_rows - s * per)
+        if rows <= 0:
+            break
+        shard_specs.append((out_dir, replace(
+            spec, n_rows=rows, seed=spec.seed + 7919 * s,
+            id_offset=spec.id_offset + s * per,
+            cluster_offset=spec.cluster_offset + s * per * 2,
+        ), s))
+    with mp.Pool(processes or min(16, len(shard_specs))) as pool:
+        parts = pool.map(_write_shard, shard_specs)
+    tp_all = pa.concat_tables([pq.read_table(tp) for tp, _ in parts])
+    tc_all = pa.concat_tables([pq.read_table(tc) for _, tc in parts])
+    pq.write_table(tp_all, os.path.join(out_dir, "truth_pairs.parquet"))
+    pq.write_table(tc_all, os.path.join(out_dir, "truth_clusters.parquet"))
+    for tp, tc in parts:
+        os.remove(tp)
+        os.remove(tc)
+    return {
+        "images": os.path.join(out_dir, "images"),
         "truth_pairs": os.path.join(out_dir, "truth_pairs.parquet"),
         "truth_clusters": os.path.join(out_dir, "truth_clusters.parquet"),
     }

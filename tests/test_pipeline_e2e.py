@@ -82,8 +82,8 @@ def test_stage_manifests_record_lineage(pipeline_run):
 
     manifests = read_manifests(pipeline_run["out"])
     names = {m["stage"] for m in manifests}
-    assert {"s1_sketches", "s2_rep_pairs", "s3_phash_pairs",
-            "s4_pairs", "s5_clusters"} <= names
+    assert {"s1_sketches", "s2_rep_pairs", "s3_pairs",
+            "s4_clusters"} <= names
     for m in manifests:
         assert m["rows"] == sum(p["rows"] for p in m["partitions"])
         assert m["duration_s"] >= 0
