@@ -271,6 +271,95 @@ def e_dup_lsh(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings"), tau=0.4, n_bits=6)
 
 
+
+
+def q_semi_join(sf_dir: str):
+    """Semi-join via broadcast key set (the 'broadcast small side'
+    pattern): order-priority counts for BUILDING-segment customers."""
+    import ray
+
+    o = _read(sf_dir, "orders").select_columns(["o_custkey", "o_orderpriority"])
+    keys = _read(sf_dir, "customer").filter(
+        expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"]).to_pandas()
+    key_arr = np.sort(keys["c_custkey"].to_numpy(dtype=np.int64))
+    ref = ray.put(key_arr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(k, ck), max(0, len(k) - 1))
+        mask = pa.array(k[pos] == ck if len(k) else np.zeros(len(ck), bool))
+        return batch.filter(mask)
+
+    agg = o.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("o_orderpriority").aggregate(Count(alias_name="cnt"))
+    return agg.map_batches(lambda b: _cast_round(b, ("cnt",)),
+                           batch_format="pyarrow")
+
+
+def q_anti_join(sf_dir: str):
+    """Anti-join via broadcast key set: customers with no high-value
+    (> 400k) order."""
+    import ray
+
+    c = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    ok = _read(sf_dir, "orders").filter(expr="o_totalprice > 400000") \
+        .select_columns(["o_custkey"]).to_pandas()
+    key_arr = np.unique(ok["o_custkey"].to_numpy(dtype=np.int64))
+    ref = ray.put(key_arr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(k, ck), max(0, len(k) - 1))
+        mask = pa.array(~(k[pos] == ck) if len(k) else np.ones(len(ck), bool))
+        return batch.filter(mask)
+
+    return c.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_distinct_parts(sf_dir: str):
+    """Distinct-count via groupby (the 'unique' wide op)."""
+    li = _read(sf_dir, "lineitem").select_columns(["l_partkey"])
+    n = li.groupby("l_partkey").count().count()
+    return pa.table({"cnt": pa.array([n], pa.int64())})
+
+
+def q_union_names(sf_dir: str):
+    """union_all of two sources -> grouped count by first letter."""
+    r = _read(sf_dir, "region").select_columns(["r_name"]).rename_columns(
+        {"r_name": "name"})
+    n = _read(sf_dir, "nation").select_columns(["n_name"]).rename_columns(
+        {"n_name": "name"})
+    u = r.union(n)
+
+    def first_letter(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "letter": pc.utf8_slice_codeunits(batch.column("name"), 0, 1)})
+
+    agg = u.map_batches(first_letter, batch_format="pyarrow") \
+        .groupby("letter").aggregate(Count(alias_name="cnt"))
+    return agg.map_batches(lambda b: _cast_round(b, ("cnt",)),
+                           batch_format="pyarrow")
+
+
+def ev_user_topk(sf_dir: str):
+    """Top-5 users by total event value (groupby + sort + limit)."""
+    ev = _read(sf_dir, "events").select_columns(["user_id", "value"])
+    agg = ev.groupby("user_id").aggregate(Sum("value", alias_name="total"))
+    agg = agg.map_batches(lambda b: _cast_round(b, (), {"total": 2}),
+                          batch_format="pyarrow")
+    return agg.sort(["total", "user_id"], descending=[True, False]).limit(5)
+
+
+def d_substring_pairs(sf_dir: str):
+    """Exact long-substring dup pairs (winnowed fingerprints + LCS
+    verify; rows-only check — LCS is not ANSI-SQL-expressible)."""
+    from mhray.stages.substring import substring_pairs
+
+    return substring_pairs(_read(sf_dir, "documents"), min_len=40)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -295,6 +384,12 @@ QUERIES = {
     "e_knn_brute": e_knn_brute,
     "e_dup_cosine": e_dup_cosine,
     "e_dup_lsh": e_dup_lsh,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_distinct_parts": q_distinct_parts,
+    "q_union_names": q_union_names,
+    "ev_user_topk": ev_user_topk,
+    "d_substring_pairs": d_substring_pairs,
 }
 
 ORACLE_SQL = {
@@ -384,7 +479,33 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
+    "q_semi_join": """
+        SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+    """,
+    "q_anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 400000)
+    """,
+    "q_distinct_parts": """
+        SELECT COUNT(DISTINCT l_partkey) AS cnt FROM lineitem
+    """,
+    "q_union_names": """
+        SELECT substr(name, 1, 1) AS letter, COUNT(*) AS cnt FROM (
+            SELECT r_name AS name FROM region
+            UNION ALL SELECT n_name FROM nation
+        ) GROUP BY 1
+    """,
+    "ev_user_topk": """
+        SELECT user_id, CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS total
+        FROM events GROUP BY user_id
+        ORDER BY total DESC, user_id LIMIT 5
+    """,
     # d_minhash_pairs / d_simhash_pairs / d_lang_id / d_quality /
-    # d_fingerprints / e_dup_lsh: custom-hash / heuristic operators with
-    # no faithful ANSI-SQL equivalent -> rows-only driver check.
+    # d_fingerprints / e_dup_lsh / d_substring_pairs: custom-hash /
+    # heuristic operators with no faithful ANSI-SQL equivalent ->
+    # rows-only driver check.
 }

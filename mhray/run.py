@@ -1,0 +1,82 @@
+"""CLI entry point — the `ray job submit` surface.
+
+    ray job submit --working-dir . -- python -m mhray.run \
+        --input /data/images --out /data/dedup_run \
+        --preset captions --num-parts 64
+
+Connects to the cluster Ray (or local), runs the flagship pipeline
+with checkpoint/resume, writes pairs + clusters + run metrics, prints
+a one-line JSON summary. Re-running with the same --out resumes from
+completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mhray.run")
+    ap.add_argument("--input", required=True, help="images table (parquet dir)")
+    ap.add_argument("--out", required=True, help="run/checkpoint directory")
+    ap.add_argument("--preset", default="captions",
+                    choices=["default", "fast", "sensitive", "captions"])
+    ap.add_argument("--num-parts", type=int, default=32)
+    ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--no-decode", action="store_true",
+                    help="trust the phash column instead of decoding pixels")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--freq-table", default=None,
+                    help="optional shingle-frequency parquet (tf-idf weighting)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 ignore_reinit_error=True)
+    import pyarrow.parquet as pq
+
+    from mhray.config import PRESETS
+    from mhray.pipelines.dedup import pairs_with_ids, run_dedup
+
+    cfg = PRESETS[args.preset]
+    if args.threshold is not None:
+        cfg = cfg.with_(threshold=args.threshold)
+
+    freq_ref = None
+    if args.freq_table:
+        freq_ref = ray.put(pq.read_table(args.freq_table))
+
+    t0 = time.time()
+    res = run_dedup(args.input, args.out, cfg, freq_ref=freq_ref,
+                    decode_pixels=not args.no_decode,
+                    num_parts=args.num_parts, resume=not args.no_resume)
+    pairs_path = os.path.join(args.out, "pairs_with_ids")
+    if os.path.exists(pairs_path):  # re-runs must not append a second copy
+        import shutil
+
+        shutil.rmtree(pairs_path)
+    pairs_with_ids(res, args.num_parts).repartition(
+        max(1, min(args.num_parts, 16))).write_parquet(pairs_path)
+    n_pairs = res["pairs"].count()
+    n_rows = res["clusters"].count()
+
+    from mhray.checkpoint import read_manifests
+
+    summary = {
+        "rows": n_rows,
+        "pairs": n_pairs,
+        "sec": round(time.time() - t0, 2),
+        "out": args.out,
+        "stages": {m["stage"]: m["duration_s"] for m in read_manifests(args.out)},
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -185,3 +185,29 @@ def test_histogram_stats(ray_session):
     assert st["n"] == 1000
     assert st["mean"] == pytest.approx(4.5)
     assert st["percentile"] >= 8
+
+
+def test_cli_entry(tmp_path):
+    """`python -m mhray.run` (the ray job submit surface) end-to-end."""
+    import os
+    import subprocess
+    import sys
+
+    from mhray.synth import SynthSpec, write_corpus
+
+    d = str(tmp_path)
+    paths = write_corpus(d, SynthSpec(n_rows=150, seed=4), n_files=2)
+    env = dict(os.environ, RAY_ADDRESS="local",
+               PYTHONPATH="/root/repo")
+    p = subprocess.run(
+        [sys.executable, "-m", "mhray.run", "--input", paths["images"],
+         "--out", d + "/run", "--num-parts", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=280)
+    assert p.returncode == 0, p.stderr[-800:]
+    import json
+
+    summary = json.loads([l for l in p.stdout.splitlines()
+                          if l.startswith("{")][-1])
+    assert summary["rows"] == 150
+    assert os.path.exists(d + "/run/pairs_with_ids")

@@ -58,10 +58,11 @@ ORACLE_CHECKED = [
     "q_pricing_summary", "q_filter_project", "q_topk_orders", "q_join_agg",
     "q_events_by_type", "q_events_hourly", "d_exact_dedup",
     "d_jaccard_pairs", "d_token_stats", "d_bpe_token_count", "d_lang_count",
-    "e_knn_brute", "e_dup_cosine",
+    "e_knn_brute", "e_dup_cosine", "q_semi_join", "q_anti_join",
+    "q_distinct_parts", "q_union_names", "ev_user_topk",
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs", "d_lang_id", "d_quality",
-             "d_fingerprints", "e_dup_lsh"]
+             "d_fingerprints", "e_dup_lsh", "d_substring_pairs"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
