@@ -196,6 +196,38 @@ def phash64(img: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def phash64_batch(imgs: list[np.ndarray]) -> np.ndarray:
+    """Batched pHash: per-image gray+resample (cheap), then ONE batched
+    DCT einsum over the whole batch. Bit-identical to phash64."""
+    n = len(imgs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    luma = np.array([0.299, 0.587, 0.114])
+    grays = np.empty((n, _DCT_N, _DCT_N), dtype=np.float64)
+    # group by shape: gray/blur/resample run batched per shape group
+    by_shape: dict[tuple, list[int]] = {}
+    for i, img in enumerate(imgs):
+        by_shape.setdefault(img.shape, []).append(i)
+    for shape, idx in by_shape.items():
+        stack = np.stack([imgs[i] for i in idx]).astype(np.float64)
+        g = stack @ luma  # (B, h, w)
+        p = np.pad(g, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        blur = (
+            p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:]
+            + p[:, 1:-1, :-2] + p[:, 1:-1, 1:-1] + p[:, 1:-1, 2:]
+            + p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:]
+        ) / 9.0
+        h, w = shape[0], shape[1]
+        ys = (np.arange(_DCT_N) * h // _DCT_N).astype(np.int64)
+        xs = (np.arange(_DCT_N) * w // _DCT_N).astype(np.int64)
+        grays[np.asarray(idx)] = blur[:, ys][:, :, xs]
+    dct = (_DCT_T @ grays) @ _DCT_T.T  # batched BLAS matmuls
+    block = dct[:, :8, :8].reshape(n, 64)
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint8)
+    return np.packbits(bits, axis=1, bitorder="little").view(np.uint64).ravel().view(np.int64)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:

@@ -46,6 +46,30 @@ def encode_utf16_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return units, offsets
 
 
+def encode_utf16_arrow(col) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-16 code units straight from an Arrow string column.
+
+    ASCII fast path: for pure-ASCII data the UTF-8 buffer widened to
+    uint16 IS the UTF-16LE code-unit stream — no per-row Python encode,
+    no string materialization. Falls back to ``encode_utf16_batch`` when
+    any non-ASCII byte is present.
+    """
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.uint16), np.zeros(1, np.int64)
+    off_buf = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    body = data[off_buf[0] : off_buf[-1]]
+    if len(body) and body.max() >= 128:
+        return encode_utf16_batch(col.to_pylist())
+    return body.astype(np.uint16), off_buf - off_buf[0]
+
+
 def _window_matrix(units: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-code-unit windows of every text as an (N, 2k) uint8 matrix.
 
@@ -80,39 +104,50 @@ def _concat_aranges(counts: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-def shingle_hashes64(texts: list[str], k: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def _units_of(texts) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(texts, list):
+        return encode_utf16_batch(texts)
+    return encode_utf16_arrow(texts)
+
+
+def shingle_hashes64(texts, k: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """64-bit murmur3_128 hash of every k-shingle of every text.
 
     Mirrors HashUtils.computeSequenceHashesLong (sketch/HashUtils.java:237-258)
-    without the reverse-complement branch (N/A for text). Returns
+    without the reverse-complement branch (N/A for text). ``texts`` may
+    be a list[str] or an Arrow string column (ASCII fast path). Returns
     (hashes uint64, row_offsets).
     """
-    units, offsets = encode_utf16_batch(texts)
+    units, offsets = _units_of(texts)
     win, row_offsets = _window_matrix(units, offsets, k)
     return murmur3_x64_128(win, seed), row_offsets
 
 
-def shingle_hashes32(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+def shingle_hashes32(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """int32 murmur3_32 hash per k-shingle (HashUtils.java:213-235)."""
-    units, offsets = encode_utf16_batch(texts)
+    units, offsets = _units_of(texts)
     win, row_offsets = _window_matrix(units, offsets, k)
     return murmur3_x86_32(win), row_offsets
 
 
-def hash_strings64(texts: list[str], seed: int = 0) -> np.ndarray:
+def hash_strings64(texts, seed: int = 0) -> np.ndarray:
     """murmur3_128 (h1) of each full text's UTF-16LE bytes, vectorized by
     grouping equal-length strings (murmur is fixed-width vectorized).
-    Used as the exact-duplicate grouping key."""
-    n = len(texts)
+    Accepts list[str] or an Arrow string column. Used as the
+    exact-duplicate grouping key."""
+    units, offsets = _units_of(texts)
+    n = len(offsets) - 1
     out = np.empty(n, dtype=np.uint64)
-    bufs = [t.encode("utf-16-le") for t in texts]
-    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    lens = np.diff(offsets)
+    starts = offsets[:-1]
     for ln in np.unique(lens):
         idx = np.flatnonzero(lens == ln)
         if ln == 0:
             out[idx] = murmur3_x64_128(np.empty((1, 0), np.uint8), seed)[0]
             continue
-        mat = np.frombuffer(b"".join(bufs[i] for i in idx), np.uint8).reshape(len(idx), ln)
+        gather = starts[idx][:, None] + np.arange(ln)[None, :]
+        mat = np.ascontiguousarray(units[gather]).view(np.uint8).reshape(
+            len(idx), 2 * int(ln))
         out[idx] = murmur3_x64_128(mat, seed)
     return out.view(np.int64)
 

@@ -31,7 +31,7 @@ import pyarrow as pa
 from mhray import kernels as K
 from mhray.config import MhapConfig
 from mhray.freq import FreqTable, tfidf_weights
-from mhray.imageops import UnsupportedFormatError, decode_image, phash64
+from mhray.imageops import UnsupportedFormatError, decode_image, phash64_batch
 from mhray.oracle import image_iid
 
 INT32_MIN = np.iinfo(np.int32).min
@@ -77,13 +77,14 @@ class SketchStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        captions = batch.column("caption").to_pylist()
+        caption_col = batch.column("caption")
         image_ids = batch.column("image_id").to_pylist()
-        n = len(captions)
+        n = batch.num_rows
         iids = image_iid(image_ids)
 
-        # stage-1 signature (weighted MinHash over k-shingles)
-        h64, off64 = K.shingle_hashes64(captions, cfg.kmer_size)
+        # stage-1 signature (weighted MinHash over k-shingles); the
+        # Arrow column goes straight into the shingler (ASCII fast path)
+        h64, off64 = K.shingle_hashes64(caption_col, cfg.kmer_size)
         keys, counts, uoff = K.unique_in_first_occurrence_order(h64, off64)
         weights = tfidf_weights(keys, counts, self.freq, cfg.repeat_weight)
         if self.freq is not None and cfg.remove_unique == 1:
@@ -93,16 +94,17 @@ class SketchStage:
         # stage-2 positional bottom sketch, serialized to the binary
         # framing (SequenceSketch.java:123-148 analog) so joins can
         # carry it as a flat payload
-        h32, off32 = K.shingle_hashes32(captions, cfg.ordered_kmer_size)
+        h32, off32 = K.shingle_hashes32(caption_col, cfg.ordered_kmer_size)
         bs_blob = []
         for i in range(n):
             seg = h32[off32[i]: off32[i + 1]]
             bh, bp = K.bottom_sketch(seg, cfg.ordered_sketch_size)
             bs_blob.append(K.pack_bottom_sketch(bh, bp, len(seg)))
 
-        caption_hash = K.hash_strings64(captions)
+        caption_hash = K.hash_strings64(caption_col)
 
-        caption_lens = np.fromiter((len(c) for c in captions), np.int32, n)
+        caption_lens = pa.compute.utf8_length(caption_col).to_numpy(
+            zero_copy_only=False).astype(np.int32)
         valid = (
             (sig[:, 0] != INT32_MIN)
             & (np.diff(off64) > 0)
@@ -115,11 +117,15 @@ class SketchStage:
         if self.decode_pixels:
             raw = batch.column("bytes").to_pylist()
             fmts = batch.column("fmt").to_pylist()
+            decoded, idx = [], []
             for i in range(n):
                 try:
-                    phash[i] = phash64(decode_image(raw[i], fmts[i]))
+                    decoded.append(decode_image(raw[i], fmts[i]))
+                    idx.append(i)
                 except (UnsupportedFormatError, ValueError):
                     pass  # keep the provided phash
+            if decoded:
+                phash[np.asarray(idx)] = phash64_batch(decoded)
 
         out = {
             "image_id": pa.array(image_ids, pa.string()),
@@ -133,7 +139,8 @@ class SketchStage:
         }
         if self.with_simhash:
             out["simhash"] = pa.array(
-                K.simhash64(captions, self.simhash_kmer), pa.int64())
+                K.simhash64(caption_col.to_pylist(), self.simhash_kmer),
+                pa.int64())
         return pa.table(out)
 
 
