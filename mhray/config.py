@@ -43,6 +43,8 @@ class MhapConfig:
     phash_max_hamming: int = 10         # accept gate on candidate pairs
 
     # --- exact-substring (suffix-array/winnowing) pass ---
+    substr_pass: bool = False           # fold exact-substring pairs into the
+                                        # flagship's caption condition
     substr_min_length: int = 32         # minimal shared-substring length
     substr_window: int = 16             # winnowing window (fingerprint sampling)
 

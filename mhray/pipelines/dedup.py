@@ -231,7 +231,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
 
             diff = p.filter(expr="same_rep == False").map_batches(
                 attach_score, batch_format="pyarrow", zero_copy_batch=True)
-            return same.union(diff)
+            return _with_substring(same.union(diff))
 
         from mhray.rayutil import safe_join
 
@@ -257,7 +257,80 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             }),
             batch_format="pyarrow",
         )
-        return same.union(diff)
+        return _with_substring(same.union(diff))
+
+    def _with_substring(pairs_so_far):
+        """Optional north-star axis: exact long-substring caption pairs
+        (winnowed fingerprints + LCS verify) gated by the same image
+        condition, unioned into the caption pairs and deduped."""
+        if not cfg.substr_pass:
+            return pairs_so_far
+
+        from mhray.kernels import hamming64, phash_band_keys
+        from mhray.rayutil import attach_payload
+        from mhray.stages.candidates import _pair_part, make_pair_min
+        from mhray.stages.substring import substring_pairs
+
+        def to_doc(batch: pa.Table) -> pa.Table:
+            from mhray.oracle import image_iid
+
+            return pa.table({
+                "doc_id": pa.array(
+                    image_iid(batch.column("image_id").to_pylist()),
+                    pa.int64()),
+                "text": batch.column("caption"),
+            })
+
+        texts = ray.data.read_parquet(
+            images_path, columns=["image_id", "caption"]
+        ).map_batches(to_doc, batch_format="pyarrow", zero_copy_batch=True)
+        sp = substring_pairs(texts, min_len=cfg.substr_min_length,
+                             window=cfg.substr_window, num_parts=num_parts)
+        ph_side = valid.select_columns(["iid", "phash"]).materialize()
+        ph_schema = pa.schema([("iid", pa.int64()), ("phash", pa.int64())])
+        sp_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                               ("lcs_len", pa.int64())])
+        sp = attach_payload(sp, "lo", ph_side, "iid", ("phash",), "lo",
+                            num_parts, pairs_schema=sp_schema,
+                            side_schema=ph_schema)
+        mid = pa.schema(list(sp_schema) + [pa.field("phash_lo", pa.int64())])
+        sp = attach_payload(sp, "hi", ph_side, "iid", ("phash",), "hi",
+                            num_parts, pairs_schema=mid, side_schema=ph_schema)
+
+        def substr_gate(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
+            b = np.asarray(batch.column("phash_hi"), dtype=np.int64)
+            ham = hamming64(a, b).astype(np.int32)
+            band_hit = (
+                phash_band_keys(a, cfg.phash_bands, cfg.phash_band_bits)
+                == phash_band_keys(b, cfg.phash_bands, cfg.phash_band_bits)
+            ).any(axis=1)
+            keep = (ham <= cfg.phash_max_hamming) & band_hit
+            return pa.table({
+                "lo": batch.column("lo").filter(pa.array(keep)),
+                "hi": batch.column("hi").filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep], pa.int32()),
+                "score": pa.array(np.ones(int(keep.sum())), pa.float64()),
+            })
+
+        sub = sp.map_batches(substr_gate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+        # dedupe pairs found by both axes (keep the max score)
+        def add_part(batch: pa.Table) -> pa.Table:
+            lo = np.asarray(batch.column("lo"), np.int64)
+            hi = np.asarray(batch.column("hi"), np.int64)
+            neg = pa.array(-np.asarray(batch.column("score"), np.float64))
+            return batch.append_column(
+                "pair_part", pa.array(_pair_part(lo, hi, num_parts), pa.int32())
+            ).append_column("neg_score", neg)
+
+        merged = pairs_so_far.union(sub).map_batches(
+            add_part, batch_format="pyarrow")
+        deduped = merged.groupby("pair_part").map_groups(
+            make_pair_min("neg_score", payload_cols=("hamming", "score")),
+            batch_format="pyarrow")
+        return deduped.drop_columns(["neg_score"])
 
     final_pairs = stage_checkpoint("s3_pairs", out_dir, compute_final_pairs,
                                    cfg, resume=resume)
@@ -272,6 +345,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
     clusters = stage_checkpoint("s4_clusters", out_dir, compute_clusters, cfg,
                                 resume=resume)
 
+    _write_run_summary(out_dir)
+
     return {
         "sketches": sketches,
         "rep_pairs": rep_pairs,
@@ -279,6 +354,42 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         "clusters": clusters,
         "out_dir": out_dir,
     }
+
+
+def _write_run_summary(out_dir: str) -> None:
+    """Run-level metrics record: row totals, reject/representative
+    counts (from the checkpoint parquet footers/columns, no Ray ops),
+    plus per-stage durations — alongside each stage's per-partition
+    lineage manifest."""
+    import json
+    import os
+
+    import duckdb
+
+    from mhray.checkpoint import read_manifests
+
+    s1 = os.path.join(out_dir, "s1_sketches", "data", "*.parquet")
+    pairs = os.path.join(out_dir, "s3_pairs", "data", "*.parquet")
+    try:
+        n, rejects, reps = duckdb.sql(
+            f"SELECT COUNT(*), SUM(CASE WHEN valid THEN 0 ELSE 1 END), "
+            f"COUNT(DISTINCT rep_iid) FROM read_parquet('{s1}')"
+        ).fetchone()
+        n_pairs = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{pairs}')").fetchone()[0]
+    except Exception:
+        return  # partial run; stage manifests still carry lineage
+    summary = {
+        "rows": int(n),
+        "rejected_rows": int(rejects or 0),
+        "distinct_captions": int(reps),
+        "pairs": int(n_pairs),
+        "stages": {m["stage"]: {"sec": m["duration_s"], "rows": m["rows"],
+                                "partitions": len(m["partitions"])}
+                   for m in read_manifests(out_dir)},
+    }
+    with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
 
 
 def pairs_with_ids(result: dict, num_parts: int = 16) -> "ray.data.Dataset":

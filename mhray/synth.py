@@ -39,6 +39,10 @@ class SynthSpec:
     max_cluster_size: int = 5
     edit_rate: float = 0.02            # per-char caption edit rate inside clusters
     near_miss_fraction: float = 0.02   # rows paired w/ high-edit captions (non-dup)
+    substring_fraction: float = 0.0    # pairs sharing ONLY a long verbatim
+                                       # segment inside long distinct captions
+                                       # (stage-1 MinHash gate misses them)
+    substring_seg_chars: int = 48
     boilerplate_fraction: float = 0.02 # rows sharing one hot caption (non-dup)
     short_caption_fraction: float = 0.01  # captions shorter than the shingle size
     img_size: int = 32
@@ -162,6 +166,22 @@ def generate_corpus(spec: SynthSpec) -> tuple[pa.Table, pa.Table, pa.Table]:
         cluster = next_cluster
         next_cluster += 1
         emit(boilerplate, _base_image(rng, spec.img_size), "ppm", cluster)
+
+    # --- substring dups: long captions sharing one verbatim segment ---------
+    n_substr = int(n * spec.substring_fraction)
+    for _ in range(n_substr // 2):
+        seg_words = []
+        while sum(len(w) + 1 for w in seg_words) < spec.substring_seg_chars:
+            seg_words.append(vocab[int(rng.integers(0, len(vocab)))])
+        seg = " ".join(seg_words)
+        base_img = _base_image(rng, spec.img_size)
+        cluster = next_cluster
+        next_cluster += 1
+        for _ in range(2):
+            body = _base_caption(rng, vocab, 90, 120)  # long: dilutes Jaccard
+            cut = int(rng.integers(0, max(1, len(body) - 1)))
+            cap = body[:cut] + " " + seg + " " + body[cut:]
+            emit(cap, _noise_variant(rng, base_img), "ppm", cluster)
 
     # --- near misses: heavily edited caption pairs, distinct images ---------
     for _ in range(n_near // 2):
