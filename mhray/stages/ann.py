@@ -126,27 +126,38 @@ def lsh_buckets(ds, n_bits: int = 12, seed: int = 7,
 
 
 def embedding_dup_pairs(ds, tau: float = 0.99, n_bits: int = 10,
+                        n_tables: int = 4,
                         id_col: str = "vec_id", emb_col: str = "embedding",
                         num_parts: int = 8, group_cap: int = 5000):
-    """(lo, hi) pairs with cosine >= tau; candidates = same LSH bucket.
-
-    Probabilistic recall (misses pairs split across every bucket);
-    for tau -> 1 the sign vectors nearly agree so one 10-bit table
-    catches almost all. Scale path for the brute-force variant.
+    """(lo, hi) pairs with cosine >= tau; candidates = same bucket in
+    ANY of ``n_tables`` independent sign-LSH tables (multi-table
+    probing: per-table hit prob p = (1 - theta/pi)^n_bits, union
+    recall 1-(1-p)^L). Probabilistic recall by design — the scale path
+    for the exact broadcast variant.
     """
     from mhray.stages.candidates import _part_of, make_emit_pairs
 
-    buckets = lsh_buckets(ds, n_bits, 7, id_col, emb_col)
-
     def to_parts(batch: pa.Table) -> pa.Table:
-        key = np.asarray(batch.column("bucket"), dtype=np.int64)
+        m = _embedding_matrix(batch, emb_col)
+        iid = np.asarray(batch.column(id_col), dtype=np.int64)
+        keys, iids = [], []
+        for t in range(n_tables):
+            planes = _hyperplanes(m.shape[1], n_bits, seed=7 + 101 * t)
+            signs = (m @ planes.T) > 0
+            b = np.zeros(len(m), dtype=np.int64)
+            for j in range(n_bits):
+                b |= signs[:, j].astype(np.int64) << j
+            keys.append(b | (np.int64(t) << 48))  # table id in high bits
+            iids.append(iid)
+        key = np.concatenate(keys)
         return pa.table({
             "part": pa.array(_part_of(key, num_parts), pa.int32()),
             "key": pa.array(key, pa.int64()),
-            "iid": batch.column("iid"),
+            "iid": pa.array(np.concatenate(iids), pa.int64()),
         })
 
-    cands = buckets.map_batches(to_parts, batch_format="pyarrow") \
+    cands = ds.map_batches(to_parts, batch_format="pyarrow",
+                           zero_copy_batch=True) \
         .groupby("part").map_groups(make_emit_pairs(group_cap),
                                     batch_format="pyarrow") \
         .groupby(["lo", "hi"]).count()
