@@ -360,6 +360,83 @@ def d_substring_pairs(sf_dir: str):
     return substring_pairs(_read(sf_dir, "documents"), min_len=40)
 
 
+
+
+def ev_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the stateful per-key windowed operator, expressed as a per-user
+    map_groups with vectorized gap detection."""
+    ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.asarray(group.column("ts").cast(pa.int64()))  # microseconds
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        order = np.lexsort((ts, uid))
+        ts_s, uid_s = ts[order], uid[order]
+        new_user = np.ones(len(uid_s), dtype=bool)
+        new_user[1:] = np.diff(uid_s) != 0
+        gap = np.ones(len(ts_s), dtype=np.int64)
+        gap[1:] = (np.diff(ts_s) > 30 * 60 * 1_000_000).astype(np.int64)
+        brk = (new_user | (gap.astype(bool))).astype(np.int64)
+        # per-user running session ordinal
+        sess = np.cumsum(brk)
+        # rebase per user so session_id starts at 1 for every user
+        user_start = np.zeros(len(uid_s), dtype=np.int64)
+        firsts = np.flatnonzero(new_user)
+        user_start[firsts] = sess[firsts] - 1
+        user_base = np.maximum.accumulate(user_start)
+        sid = sess - user_base
+        out = pa.table({
+            "user_id": pa.array(uid_s, pa.int64()),
+            "session_id": pa.array(sid, pa.int64()),
+            "n": pa.array(np.ones(len(sid), np.int64)),
+        })
+        return out.group_by(["user_id", "session_id"]).aggregate(
+            [("n", "sum")]).rename_columns(["user_id", "session_id", "n_events"])
+
+    # partition by user hash so each group call sees whole users
+    from mhray.stages.candidates import _part_of
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        return batch.append_column("upart",
+                                   pa.array(_part_of(uid, 8), pa.int32()))
+
+    return ev.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("upart").map_groups(sessions, batch_format="pyarrow")
+
+
+def ev_top_event_per_type(sf_dir: str):
+    """Per-group argmax (window-function analog): the highest-value
+    event id per event type. Per-batch partial argmax (combiner) ->
+    tiny per-type groupby for the final winner."""
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_type", "event_id", "value"])
+
+    def top1(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        et = batch.column("event_type").to_pylist()
+        best: dict[str, tuple] = {}
+        for i in range(len(v)):
+            key = (-v[i], eid[i])
+            cur = best.get(et[i])
+            if cur is None or key < cur:
+                best[et[i]] = key
+        return pa.table({
+            "event_type": pa.array(list(best.keys()), pa.string()),
+            "event_id": pa.array([int(k[1]) for k in best.values()], pa.int64()),
+            "value": pa.array([-k[0] for k in best.values()], pa.float64()),
+        })
+
+    partial = ev.map_batches(top1, batch_format="pyarrow", zero_copy_batch=True)
+    final = partial.groupby("event_type").map_groups(top1,
+                                                     batch_format="pyarrow")
+    return final.map_batches(
+        lambda b: b.select(["event_type", "event_id"]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -389,6 +466,8 @@ QUERIES = {
     "q_distinct_parts": q_distinct_parts,
     "q_union_names": q_union_names,
     "ev_user_topk": ev_user_topk,
+    "ev_sessionize": ev_sessionize,
+    "ev_top_event_per_type": ev_top_event_per_type,
     "d_substring_pairs": d_substring_pairs,
 }
 
@@ -503,6 +582,30 @@ ORACLE_SQL = {
         SELECT user_id, CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS total
         FROM events GROUP BY user_id
         ORDER BY total DESC, user_id LIMIT 5
+    """,
+    "ev_sessionize": """
+        WITH x AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), y AS (
+            SELECT user_id,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM x
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM y GROUP BY user_id, session_id
+    """,
+    "ev_top_event_per_type": """
+        SELECT event_type, event_id FROM (
+            SELECT event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
     # d_minhash_pairs / d_simhash_pairs / d_lang_id / d_quality /
     # d_fingerprints / e_dup_lsh / d_substring_pairs: custom-hash /

@@ -60,6 +60,7 @@ ORACLE_CHECKED = [
     "d_jaccard_pairs", "d_token_stats", "d_bpe_token_count", "d_lang_count",
     "e_knn_brute", "e_dup_cosine", "q_semi_join", "q_anti_join",
     "q_distinct_parts", "q_union_names", "ev_user_topk",
+    "ev_sessionize", "ev_top_event_per_type",
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs", "d_lang_id", "d_quality",
              "d_fingerprints", "e_dup_lsh", "d_substring_pairs"]
