@@ -123,7 +123,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
 
         with_part = sk.map_batches(add_part, batch_format="pyarrow",
                                    zero_copy_batch=True) \
-            .groupby("chpart").map_groups(_assign_reps, batch_format="pyarrow")
+            .groupby("chpart", num_partitions=num_parts).map_groups(_assign_reps, batch_format="pyarrow")
         return with_part.drop_columns(["chpart"])
 
     sketches = stage_checkpoint("s1_sketches", out_dir, compute_sketches, cfg,
@@ -140,47 +140,186 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                                  cfg, resume=resume)
 
     # s3: image axis (pHash banding) + final caption gate, fused ---------
-    # (pHash pairs and the final-pair gate are both cheap; one stage =
-    # one checkpoint cycle less)
+    # Identical pHash values collapse to ONE group row before banding
+    # (noise variants + re-encodes often hash identically), and the
+    # Hamming gate runs at DISTINCT-pHash granularity BEFORE any row
+    # expansion — random 16-bit band collisions (the quadratic cost at
+    # scale) die without ever materializing row pairs.
     def compute_final_pairs():
         from mhray.kernels import hamming64
-        from mhray.stages.candidates import _pair_part, make_pair_min
+        from mhray.rayutil import attach_payload
+        from mhray.stages.candidates import (_pair_part, _part_of,
+                                             _upper_triangle_cols,
+                                             make_emit_pairs, make_pair_min)
 
-        bands = valid.map_batches(
-            explode_phash_bands,
-            fn_kwargs={"n_bands": cfg.phash_bands,
-                       "band_bits": cfg.phash_band_bits,
-                       "num_parts": num_parts,
-                       "extra_payload": ("rep_iid",)},
+        # --- pHash groups: (phash, members=packed (iid, rep_iid)) ----
+        def add_ppart(batch: pa.Table) -> pa.Table:
+            ph = np.asarray(batch.column("phash"), dtype=np.int64)
+            return pa.table({
+                "ppart": pa.array(_part_of(ph, num_parts), pa.int32()),
+                "phash": pa.array(ph, pa.int64()),
+                "iid": batch.column("iid"),
+                "rep_iid": batch.column("rep_iid"),
+            })
+
+        def pack_groups(part: pa.Table) -> pa.Table:
+            ph = np.asarray(part.column("phash"), dtype=np.int64)
+            iid = np.asarray(part.column("iid"), dtype=np.int64)
+            rep = np.asarray(part.column("rep_iid"), dtype=np.int64)
+            order = np.lexsort((iid, ph))
+            ph_s, iid_s, rep_s = ph[order], iid[order], rep[order]
+            new_g = np.ones(len(ph_s), dtype=bool)
+            if len(ph_s) > 1:
+                new_g[1:] = np.diff(ph_s) != 0
+            starts = np.flatnonzero(new_g)
+            sizes = np.diff(np.append(starts, len(ph_s)))
+            blobs = []
+            for st, sz in zip(starts, sizes):
+                m = np.empty(2 * sz, dtype="<i8")
+                m[0::2] = iid_s[st:st + sz]
+                m[1::2] = rep_s[st:st + sz]
+                blobs.append(m.tobytes())
+            return pa.table({
+                "phash": pa.array(ph_s[starts], pa.int64()),
+                "members": pa.array(blobs, pa.binary()),
+                "n": pa.array(sizes, pa.int32()),
+            })
+
+        groups = valid.select_columns(["phash", "iid", "rep_iid"]) \
+            .map_batches(add_ppart, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("ppart", num_partitions=num_parts).map_groups(pack_groups,
+                                         batch_format="pyarrow").materialize()
+
+        def _expand(m1: np.ndarray, m2: np.ndarray, ham: int):
+            """Cartesian row pairs between two member blobs, canonical
+            (lo, hi) by iid."""
+            n1, n2 = len(m1) // 2, len(m2) // 2
+            a = np.repeat(np.arange(n1), n2)
+            b = np.tile(np.arange(n2), n1)
+            ia, ra = m1[0::2][a], m1[1::2][a]
+            ib, rb = m2[0::2][b], m2[1::2][b]
+            swap = ia > ib
+            lo = np.where(swap, ib, ia)
+            hi = np.where(swap, ia, ib)
+            rlo_side = np.where(swap, rb, ra)
+            rhi_side = np.where(swap, ra, rb)
+            return lo, hi, rlo_side, rhi_side, np.full(len(lo), ham, np.int32)
+
+        # --- same-pHash pairs (Hamming 0, bands trivially collide) ----
+        def expand_same(batch: pa.Table) -> pa.Table:
+            blobs = batch.column("members").to_pylist()
+            ns = np.asarray(batch.column("n"))
+            out = {"lo": [], "hi": [], "rep_lo": [], "rep_hi": [], "hamming": []}
+            for i in np.flatnonzero(ns >= 2):
+                m = np.frombuffer(blobs[i], dtype="<i8")
+                g = len(m) // 2
+                a_idx = np.repeat(np.arange(g), np.arange(g - 1, -1, -1))
+                b_idx = _upper_triangle_cols(g)
+                out["lo"].append(m[0::2][a_idx])
+                out["hi"].append(m[0::2][b_idx])
+                out["rep_lo"].append(m[1::2][a_idx])
+                out["rep_hi"].append(m[1::2][b_idx])
+                out["hamming"].append(np.zeros(len(a_idx), np.int32))
+            if not out["lo"]:
+                return pa.table({
+                    "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+                    "rep_lo": pa.array([], pa.int64()),
+                    "rep_hi": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int32())})
+            return pa.table({
+                "lo": pa.array(np.concatenate(out["lo"]), pa.int64()),
+                "hi": pa.array(np.concatenate(out["hi"]), pa.int64()),
+                "rep_lo": pa.array(np.concatenate(out["rep_lo"]), pa.int64()),
+                "rep_hi": pa.array(np.concatenate(out["rep_hi"]), pa.int64()),
+                "hamming": pa.array(np.concatenate(out["hamming"]), pa.int32()),
+            })
+
+        same_p = groups.map_batches(expand_same, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+        # --- distinct-pHash band LSH + Hamming gate, THEN expansion ---
+        bands = groups.map_batches(
+            lambda b: explode_phash_bands(
+                pa.table({"phash": b.column("phash"),
+                          "iid": b.column("phash")}),  # the value is its own id
+                cfg.phash_bands, cfg.phash_band_bits, num_parts),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        pairs = bands.groupby("part").map_groups(
+        p_pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
             make_emit_pairs(cfg.band_group_cap, with_payload=True,
-                            payload_cols=("phash", "rep_iid")),
+                            payload_cols=("phash",)),
             batch_format="pyarrow")
 
-        def gate(batch: pa.Table) -> pa.Table:
+        def ham_gate(batch: pa.Table) -> pa.Table:
             a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
             b = np.asarray(batch.column("phash_hi"), dtype=np.int64)
             ham = hamming64(a, b).astype(np.int32)
-            keep = ham <= cfg.phash_max_hamming
-            lo = np.asarray(batch.column("lo"), np.int64)[keep]
-            hi = np.asarray(batch.column("hi"), np.int64)[keep]
+            keep = pa.array((ham <= cfg.phash_max_hamming) & (a != b))
             return pa.table({
-                "pair_part": pa.array(_pair_part(lo, hi, num_parts), pa.int32()),
-                "lo": pa.array(lo, pa.int64()),
-                "hi": pa.array(hi, pa.int64()),
-                "rep_lo": batch.column("rep_iid_lo").filter(pa.array(keep)),
-                "rep_hi": batch.column("rep_iid_hi").filter(pa.array(keep)),
-                "hamming": pa.array(ham[keep], pa.int32()),
+                "plo": batch.column("lo").filter(keep),
+                "phi": batch.column("hi").filter(keep),
+                "hamming": pa.array(ham[np.asarray(keep)], pa.int32()),
             })
 
-        # dedupe the same pair found via multiple bands
-        phash_pairs = pairs.map_batches(gate, batch_format="pyarrow",
-                                        zero_copy_batch=True) \
-            .groupby("pair_part").map_groups(
-                make_pair_min("hamming", payload_cols=("rep_lo", "rep_hi")),
-                batch_format="pyarrow")
+        gated = p_pairs.map_batches(ham_gate, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        # dedupe the same (plo, phi) found via multiple bands
+        def pp_part(batch: pa.Table) -> pa.Table:
+            lo = np.asarray(batch.column("plo"), np.int64)
+            hi = np.asarray(batch.column("phi"), np.int64)
+            return pa.table({
+                "pair_part": pa.array(_pair_part(lo, hi, num_parts), pa.int32()),
+                "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
+                "hamming": batch.column("hamming"),
+            })
+
+        pp = gated.map_batches(pp_part, batch_format="pyarrow") \
+            .groupby("pair_part", num_partitions=num_parts).map_groups(make_pair_min("hamming"),
+                                             batch_format="pyarrow")
+
+        g_schema = pa.schema([("phash", pa.int64()), ("members", pa.binary()),
+                              ("n", pa.int32())])
+        pp_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                               ("hamming", pa.int32())])
+        pp = attach_payload(pp, "lo", groups, "phash", ("members",), "lo",
+                            num_parts, pairs_schema=pp_schema,
+                            side_schema=g_schema)
+        mid = pa.schema(list(pp_schema) + [pa.field("members_lo", pa.binary())])
+        pp = attach_payload(pp, "hi", groups, "phash", ("members",), "hi",
+                            num_parts, pairs_schema=mid, side_schema=g_schema)
+
+        def expand_cross(batch: pa.Table) -> pa.Table:
+            blo = batch.column("members_lo").to_pylist()
+            bhi = batch.column("members_hi").to_pylist()
+            hams = np.asarray(batch.column("hamming"))
+            out = {"lo": [], "hi": [], "rep_lo": [], "rep_hi": [], "hamming": []}
+            for i in range(batch.num_rows):
+                lo, hi, rl, rh, hm = _expand(
+                    np.frombuffer(blo[i], dtype="<i8"),
+                    np.frombuffer(bhi[i], dtype="<i8"), int(hams[i]))
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+                out["rep_lo"].append(rl)
+                out["rep_hi"].append(rh)
+                out["hamming"].append(hm)
+            if not out["lo"]:
+                return pa.table({
+                    "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+                    "rep_lo": pa.array([], pa.int64()),
+                    "rep_hi": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int32())})
+            return pa.table({
+                "lo": pa.array(np.concatenate(out["lo"]), pa.int64()),
+                "hi": pa.array(np.concatenate(out["hi"]), pa.int64()),
+                "rep_lo": pa.array(np.concatenate(out["rep_lo"]), pa.int64()),
+                "rep_hi": pa.array(np.concatenate(out["rep_hi"]), pa.int64()),
+                "hamming": pa.array(np.concatenate(out["hamming"]), pa.int32()),
+            })
+
+        cross = pp.map_batches(expand_cross, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        phash_pairs = same_p.union(cross)
 
         def canon(batch: pa.Table) -> pa.Table:
             rl = np.asarray(batch.column("rep_lo"), dtype=np.int64)
@@ -327,7 +466,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
 
         merged = pairs_so_far.union(sub).map_batches(
             add_part, batch_format="pyarrow")
-        deduped = merged.groupby("pair_part").map_groups(
+        deduped = merged.groupby("pair_part", num_partitions=num_parts).map_groups(
             make_pair_min("neg_score", payload_cols=("hamming", "score")),
             batch_format="pyarrow")
         return deduped.drop_columns(["neg_score"])

@@ -98,7 +98,7 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
                    num_parts: int = 16, how: str = "inner",
                    pairs_schema: pa.Schema | None = None,
                    side_schema: pa.Schema | None = None,
-                   broadcast_threshold_rows: int = 300_000):
+                   broadcast_threshold_rows: int = 1_500_000):
     """Equi-join expressed as ONE sort shuffle (union + groupby part +
     partition-local merge) instead of a join-operator actor pool —
     the cheap path for attaching per-key payloads (e.g. sketches) to a
@@ -200,4 +200,5 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
             out[f"{c}_{out_suffix}"] = col
         return pa.table(out)
 
-    return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
+    return tagged.groupby("__part", num_partitions=num_parts).map_groups(
+        merge, batch_format="pyarrow")

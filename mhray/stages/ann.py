@@ -158,7 +158,7 @@ def embedding_dup_pairs(ds, tau: float = 0.99, n_bits: int = 10,
 
     cands = ds.map_batches(to_parts, batch_format="pyarrow",
                            zero_copy_batch=True) \
-        .groupby("part").map_groups(make_emit_pairs(group_cap),
+        .groupby("part", num_partitions=num_parts).map_groups(make_emit_pairs(group_cap),
                                     batch_format="pyarrow") \
         .groupby(["lo", "hi"]).count()
 

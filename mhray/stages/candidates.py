@@ -320,11 +320,11 @@ def minhash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
         fn_kwargs={"num_hashes": cfg.num_hashes, "num_parts": num_parts},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs = bands.groupby("part").map_groups(
+    pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
         make_emit_pairs(cfg.band_group_cap, num_parts=num_parts),
         batch_format="pyarrow"
     )
-    return pairs.groupby("pair_part").map_groups(
+    return pairs.groupby("pair_part", num_partitions=num_parts).map_groups(
         make_count_gate(cfg.num_min_matches), batch_format="pyarrow")
 
 
@@ -339,7 +339,7 @@ def phash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
                    "num_parts": num_parts},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs = bands.groupby("part").map_groups(
+    pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
         make_emit_pairs(cfg.band_group_cap, with_payload=True), batch_format="pyarrow"
     )
 
@@ -366,5 +366,5 @@ def phash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
 
     # dedupe the same pair found via multiple bands
     return gated.map_batches(add_pair_part, batch_format="pyarrow") \
-        .groupby("pair_part").map_groups(make_pair_min("hamming"),
+        .groupby("pair_part", num_partitions=num_parts).map_groups(make_pair_min("hamming"),
                                          batch_format="pyarrow")

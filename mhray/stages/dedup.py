@@ -152,7 +152,7 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
     from mhray.rayutil import scrub_blocks
 
     cands = toks_ds.map_batches(prefix_explode, batch_format="pyarrow") \
-        .groupby("part").map_groups(make_emit_pairs(group_cap),
+        .groupby("part", num_partitions=num_parts).map_groups(make_emit_pairs(group_cap),
                                     batch_format="pyarrow") \
         .groupby(["lo", "hi"]).count()
     cands = scrub_blocks(cands, pa.schema([
@@ -222,7 +222,7 @@ def simhash_pairs(ds, max_hamming: int = 6, k: int = 6,
                    "num_parts": num_parts},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs = bands.groupby("part").map_groups(
+    pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
         make_emit_pairs(group_cap, with_payload=True), batch_format="pyarrow")
 
     def gate(batch: pa.Table) -> pa.Table:

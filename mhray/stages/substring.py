@@ -103,7 +103,7 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
 
     cands = texts_ds.map_batches(fingerprint, batch_format="pyarrow",
                                  zero_copy_batch=True) \
-        .groupby("part").map_groups(make_emit_pairs(group_cap),
+        .groupby("part", num_partitions=num_parts).map_groups(make_emit_pairs(group_cap),
                                     batch_format="pyarrow") \
         .groupby(["lo", "hi"]).count()
     cands = scrub_blocks(cands, pa.schema([
