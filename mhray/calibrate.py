@@ -1,0 +1,91 @@
+"""Estimator calibration — the KmerStatSimulator analog
+(main/KmerStatSimulator.java:328-490; docs/source/utilities.rst:37-52):
+generate edit-noised text pairs at controlled rates and compare EXACT
+shingle-set Jaccard against (a) the MinHash signature estimate and
+(b) the positional bottom-sketch identity score, for overlapping vs
+random pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mhray import kernels as K
+from mhray.config import MhapConfig
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _rand_text(rng: np.random.Generator, n: int) -> str:
+    return "".join(_LETTERS[i] for i in rng.integers(0, len(_LETTERS), n))
+
+
+def _edit(rng: np.random.Generator, t: str, rate: float) -> str:
+    out = []
+    for ch in t:
+        r = rng.random()
+        if r < rate / 3:
+            out.append(_LETTERS[int(rng.integers(0, len(_LETTERS)))])
+        elif r < 2 * rate / 3:
+            out.append(ch)
+            out.append(_LETTERS[int(rng.integers(0, len(_LETTERS)))])
+        elif r < rate:
+            pass
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def exact_jaccard(a: str, b: str, k: int) -> float:
+    ha, _ = K.shingle_hashes64([a], k)
+    hb, _ = K.shingle_hashes64([b], k)
+    sa, sb = set(ha.tolist()), set(hb.tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def calibrate(cfg: MhapConfig, n_pairs: int = 50, text_len: int = 300,
+              edit_rate: float = 0.05, seed: int = 5) -> dict:
+    """Returns error statistics of both estimators over related pairs
+    (edit-noised) and random pairs."""
+    rng = np.random.default_rng(seed)
+    rel_exact, rel_mh, rel_score = [], [], []
+    rnd_exact, rnd_mh = [], []
+
+    def sketch(t: str):
+        h64, off = K.shingle_hashes64([t], cfg.kmer_size)
+        keys, counts, uoff = K.unique_in_first_occurrence_order(h64, off)
+        sig = K.weighted_minhash(keys, counts, uoff, cfg.num_hashes)[0]
+        h32, off32 = K.shingle_hashes32([t], cfg.ordered_kmer_size)
+        bh, bp = K.bottom_sketch(h32, cfg.ordered_sketch_size)
+        return sig, (bh, bp, len(h32))
+
+    for _ in range(n_pairs):
+        a = _rand_text(rng, text_len)
+        b = _edit(rng, a, edit_rate)
+        c = _rand_text(rng, text_len)
+        sa, ba = sketch(a)
+        sb, bb = sketch(b)
+        sc, _ = sketch(c)
+
+        rel_exact.append(exact_jaccard(a, b, cfg.kmer_size))
+        rel_mh.append(K.minhash_jaccard(sa, sb))
+        res = K.verify_pair(*ba, *bb, cfg.ordered_kmer_size, cfg.max_shift)
+        rel_score.append(res.score if res else 0.0)
+
+        rnd_exact.append(exact_jaccard(a, c, cfg.kmer_size))
+        rnd_mh.append(K.minhash_jaccard(sa, sc))
+
+    rel_exact = np.asarray(rel_exact)
+    rel_mh = np.asarray(rel_mh)
+    return {
+        "related_exact_jaccard_mean": float(rel_exact.mean()),
+        "related_minhash_mean": float(rel_mh.mean()),
+        "minhash_abs_err_mean": float(np.abs(rel_mh - rel_exact).mean()),
+        "minhash_abs_err_max": float(np.abs(rel_mh - rel_exact).max()),
+        "related_score_mean": float(np.mean(rel_score)),
+        "random_exact_jaccard_mean": float(np.mean(rnd_exact)),
+        "random_minhash_mean": float(np.mean(rnd_mh)),
+        "separation": float(rel_mh.mean() - np.mean(rnd_mh)),
+    }

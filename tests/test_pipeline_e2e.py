@@ -13,31 +13,6 @@ from mhray import oracle as O
 from mhray.config import PRESETS
 
 
-@pytest.fixture(scope="module")
-def pipeline_run(ray_session, small_corpus, tmp_path_factory):
-    from mhray.pipelines.dedup import pairs_with_ids, run_dedup
-
-    out = str(tmp_path_factory.mktemp("run"))
-    cfg = PRESETS["captions"]
-    res = run_dedup(small_corpus["images"], out, cfg, num_parts=4)
-    pairs = pairs_with_ids(res, num_parts=4).take_all()
-    clusters = res["clusters"].take_all()
-    return {"res": res, "pairs": pairs, "clusters": clusters,
-            "out": out, "cfg": cfg}
-
-
-@pytest.fixture(scope="module")
-def oracle_run(small_corpus):
-    imgs = pq.read_table(small_corpus["images"])
-    cfg = PRESETS["captions"]
-    return O.find_pairs(
-        imgs.column("image_id").to_pylist(),
-        imgs.column("caption").to_pylist(),
-        np.asarray(imgs.column("phash"), dtype=np.int64),
-        cfg,
-    )
-
-
 def test_pipeline_matches_oracle_pairs(pipeline_run, oracle_run):
     oset = set(zip(oracle_run.pairs.column("lo_id").to_pylist(),
                    oracle_run.pairs.column("hi_id").to_pylist()))
