@@ -264,6 +264,14 @@ def e_dup_cosine(sf_dir: str):
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def e_knn_ivf(sf_dir: str):
+    """IVF approximate top-k (rows-only; recall vs brute checked in
+    tests/test_ann_ivf.py)."""
+    from mhray.stages.ann import ivf_knn
+
+    return ivf_knn(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
 def e_dup_lsh(sf_dir: str):
     """LSH-bucketed variant (the scale path; rows-only check)."""
     from mhray.stages.ann import embedding_dup_pairs
@@ -461,6 +469,7 @@ QUERIES = {
     "e_knn_brute": e_knn_brute,
     "e_dup_cosine": e_dup_cosine,
     "e_dup_lsh": e_dup_lsh,
+    "e_knn_ivf": e_knn_ivf,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_distinct_parts": q_distinct_parts,

@@ -125,6 +125,85 @@ def lsh_buckets(ds, n_bits: int = 12, seed: int = 7,
                           zero_copy_batch=True)
 
 
+def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
+            nprobe: int = 4, lloyd_iters: int = 2, seed: int = 13,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF (inverted-file) approximate top-k: coarse centroids from a
+    seeded sample (a few Lloyd iterations), vectors assigned to their
+    nearest cell, queries probe the ``nprobe`` nearest cells only.
+    The scale path when neither the corpus nor a cell fits one node:
+    cells are the partition key; only probed cells move.
+    """
+    import ray
+
+    # deterministic coarse centroids from a driver-side sample
+    sample = ds.limit(max(512, n_cells * 16)).take_all()
+    sm = _normalize(np.array([r[emb_col] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = sm[rng.choice(len(sm), size=n_cells, replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(sm @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = sm[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    cent_ref = ray.put(cent)
+
+    q_rows = ds.filter(expr=f"{id_col} in {[int(q) for q in query_ids]}").take_all()
+    qid = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = _normalize(np.array([r[emb_col] for r in q_rows], dtype=np.float64))
+    q_cells = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q_ref = ray.put((qid, qm, q_cells))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qids, qmat, qcells = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = np.argmax(m @ c.T, axis=1)
+        sims = qmat @ m.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            probe = np.isin(cell, qcells[qi]) & (ids != qids[qi])
+            cand = np.flatnonzero(probe)
+            if len(cand) == 0:
+                continue
+            take = min(k, len(cand))
+            s = sims[qi]
+            top = cand[np.argpartition(-s[cand], take - 1)[:take]]
+            out_q.append(np.full(take, qids[qi]))
+            out_n.append(ids[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = np.asarray(group.column("sim"))
+        nbr = np.asarray(group.column("neighbor_id"))
+        order = np.lexsort((nbr, -sims))[:k]
+        return pa.table({
+            "query_id": group.column("query_id").take(order),
+            "neighbor_id": pa.array(nbr[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pyarrow")
+
+
 def embedding_dup_pairs(ds, tau: float = 0.99, n_bits: int = 10,
                         n_tables: int = 4,
                         id_col: str = "vec_id", emb_col: str = "embedding",

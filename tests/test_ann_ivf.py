@@ -1,0 +1,20 @@
+"""IVF approximate search recall vs the exact brute-force baseline."""
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    import ray.data
+
+    from mhray.stages.ann import ivf_knn, knn_brute
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = list(range(10))
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in knn_brute(ds, qs, k=5).take_all()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_knn(ds, qs, k=5, n_cells=8, nprobe=4).take_all()}
+    recall = len(brute & ivf) / len(brute)
+    # random 64-dim vectors are a worst case for coarse quantization;
+    # nprobe=4 of 8 cells must still recover most true neighbors
+    assert recall >= 0.5, recall
+    # every query answered
+    assert len({q for q, _ in ivf}) == 10
