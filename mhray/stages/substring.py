@@ -22,9 +22,13 @@ import pyarrow as pa
 from mhray.stages.candidates import _part_of, auto_parts, make_emit_pairs
 
 
-def longest_common_substring_len(a: str, b: str) -> int:
+def longest_common_substring_len(a: str, b: str, at_least: int = 0) -> int:
     """Length of the longest common substring via binary search over
-    candidate lengths with window-hash sets (O((n+m) log min(n,m)))."""
+    candidate lengths with window-hash sets (O((n+m) log min(n,m))).
+
+    With ``at_least`` > 0, first runs ONE probe at that length and
+    returns 0 immediately when no common substring reaches it — the
+    fast path for gate-style callers (most candidates fail)."""
     from mhray.kernels import encode_utf16_batch
 
     if not a or not b:
@@ -49,6 +53,10 @@ def longest_common_substring_len(a: str, b: str) -> int:
         return False
 
     lo, hi = 0, min(len(a), len(b))
+    if at_least > 0:
+        if not has_common(at_least):
+            return 0
+        lo = at_least
     while lo < hi:
         mid = (lo + hi + 1) // 2
         if has_common(mid):
@@ -125,7 +133,8 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
         n = batch.num_rows
         lcs = np.zeros(n, dtype=np.int64)
         for i in range(n):
-            lcs[i] = longest_common_substring_len(ta[i], tb[i])
+            lcs[i] = longest_common_substring_len(ta[i], tb[i],
+                                                  at_least=min_len)
         keep = pa.array(lcs >= min_len)
         return pa.table({
             "lo": batch.column("lo").filter(keep),
