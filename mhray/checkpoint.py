@@ -52,19 +52,45 @@ def _lineage(stage_dir: str) -> list[dict]:
     return out
 
 
+def input_fingerprint(path: str) -> str:
+    """Digest of a parquet input's file names + row counts (footer
+    metadata only) — changes when the input does."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else [path]
+    parts = [
+        f"{os.path.basename(f)}:{pq.ParquetFile(f).metadata.num_rows}"
+        f":{os.path.getsize(f)}"
+        for f in files
+    ]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
-                     resume: bool = True) -> "ray.data.Dataset":
+                     resume: bool = True,
+                     parents: tuple = ()) -> "ray.data.Dataset":
     """Run ``compute() -> Dataset`` with checkpoint/resume semantics.
 
     On success the stage directory holds partitioned parquet, a
     manifest.json (lineage + metrics record for the stage), and
     _SUCCESS. A matching existing checkpoint short-circuits compute.
+
+    ``parents`` are upstream digests (config/input fingerprints of the
+    stages this one consumes): a change anywhere upstream changes this
+    stage's digest and forces recompute — no stale-chain resume.
+    Read a stage's digest back with ``stage_digest``.
     """
     stage_dir = os.path.join(out_dir, name)
     data_dir = os.path.join(stage_dir, "data")
     marker = os.path.join(stage_dir, "_SUCCESS")
     manifest_path = os.path.join(stage_dir, "manifest.json")
-    digest = config_digest(cfg) if cfg is not None else None
+    digest = None
+    if cfg is not None or parents:
+        base = config_digest(cfg) if cfg is not None else ""
+        digest = hashlib.sha256(
+            ("|".join([base, *map(str, parents)])).encode()
+        ).hexdigest()[:16]
 
     if resume and os.path.exists(marker) and os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -94,6 +120,14 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
     with open(marker, "w") as f:
         f.write("")
     return ray.data.read_parquet(data_dir)
+
+
+def stage_digest(out_dir: str, name: str) -> str | None:
+    p = os.path.join(out_dir, name, "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("config_digest")
 
 
 def read_manifests(out_dir: str) -> list[dict]:

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from mhray.checkpoint import stage_checkpoint
+from mhray.checkpoint import input_fingerprint, stage_checkpoint, stage_digest
 from mhray.config import MhapConfig
 from mhray.stages.candidates import (_part_of, explode_phash_bands,
                                      make_emit_pairs, minhash_candidates)
@@ -126,8 +126,10 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             .groupby("chpart", num_partitions=num_parts).map_groups(_assign_reps, batch_format="pyarrow")
         return with_part.drop_columns(["chpart"])
 
+    in_fp = input_fingerprint(images_path)
     sketches = stage_checkpoint("s1_sketches", out_dir, compute_sketches, cfg,
-                                resume=resume)
+                                resume=resume, parents=(in_fp,))
+    d1 = stage_digest(out_dir, "s1_sketches")
     valid = sketches.filter(expr="valid == True")
 
     # s2: caption axis at rep level ---------------------------------------
@@ -137,7 +139,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         return verify_candidates(cands, rep_rows, cfg, num_parts)
 
     rep_pairs = stage_checkpoint("s2_rep_pairs", out_dir, compute_rep_pairs,
-                                 cfg, resume=resume)
+                                 cfg, resume=resume, parents=(d1,))
+    d2 = stage_digest(out_dir, "s2_rep_pairs")
 
     # s3: image axis (pHash banding) + final caption gate, fused ---------
     # Identical pHash values collapse to ONE group row before banding
@@ -472,7 +475,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         return deduped.drop_columns(["neg_score"])
 
     final_pairs = stage_checkpoint("s3_pairs", out_dir, compute_final_pairs,
-                                   cfg, resume=resume)
+                                   cfg, resume=resume, parents=(d1, d2))
+    d3 = stage_digest(out_dir, "s3_pairs")
 
     # s5: clusters ---------------------------------------------------------
     def compute_clusters():
@@ -482,7 +486,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         return assign_clusters(sketches, pair_clusters, num_parts)
 
     clusters = stage_checkpoint("s4_clusters", out_dir, compute_clusters, cfg,
-                                resume=resume)
+                                resume=resume, parents=(d1, d3))
 
     _write_run_summary(out_dir)
 

@@ -77,3 +77,39 @@ def test_distributed_cluster_path_matches_driver(pipeline_run, ray_session):
             for r in cluster_edges(pairs, driver_threshold=0,
                                    num_partitions=4).take_all()}
     assert fast == dist
+
+
+def test_input_change_invalidates_chain(small_corpus, ray_session,
+                                        tmp_path_factory):
+    """Chained digests: swapping the INPUT (same config) must force the
+    whole stage chain to recompute instead of serving stale caches."""
+    import shutil
+    import time as _time
+
+    from mhray.config import PRESETS
+    from mhray.synth import SynthSpec, write_corpus
+    from mhray.pipelines.dedup import run_dedup
+
+    base = tmp_path_factory.mktemp("chain")
+    a = write_corpus(str(base / "a"), SynthSpec(n_rows=150, seed=1), n_files=2)
+    b = write_corpus(str(base / "b"), SynthSpec(n_rows=150, seed=2), n_files=2)
+    out = str(base / "run")
+    cfg = PRESETS["captions"]
+
+    res_a = run_dedup(a["images"], out, cfg, num_parts=4)
+    pairs_a = res_a["pairs"].count()
+
+    # swap input files under the same path shape (different corpus)
+    shutil.rmtree(a["images"])
+    shutil.copytree(b["images"], a["images"])
+    t0 = _time.time()
+    res_b = run_dedup(a["images"], out, cfg, num_parts=4)
+    pairs_b = res_b["pairs"].count()
+    assert _time.time() - t0 > 2, "stale chain served instead of recompute"
+    # different corpora virtually never produce identical pair counts AND
+    # the clusters must reference the new corpus' rows
+    ids_b = {r["image_id"] for r in res_b["clusters"].take_all()}
+    import pyarrow.parquet as pq
+
+    expect = set(pq.read_table(a["images"]).column("image_id").to_pylist())
+    assert ids_b == expect, "clusters reference the OLD corpus"
