@@ -605,7 +605,8 @@ ORACLE_SQL = {
                                   ROWS UNBOUNDED PRECEDING) AS session_id
             FROM x
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
         FROM y GROUP BY user_id, session_id
     """,
     "ev_top_event_per_type": """

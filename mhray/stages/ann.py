@@ -97,6 +97,26 @@ def knn_brute(ds, query_ids: list[int], k: int = 5,
                                                    batch_format="pyarrow")
 
 
+def _pack_rows(m: np.ndarray) -> pa.Array:
+    """(N, D) float64 matrix -> fixed_size_binary(D*8) column (one
+    zero-copy buffer; joins/groupbys accept it where list<float> is
+    rejected)."""
+    m = np.ascontiguousarray(m, dtype="<f8")
+    width = m.shape[1] * 8
+    buf = pa.py_buffer(m.tobytes())
+    return pa.Array.from_buffers(pa.binary(width), m.shape[0], [None, buf])
+
+
+def _unpack_rows(col, dim: int) -> np.ndarray:
+    """fixed_size_binary column -> (N, D) float64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.buffers()[1]
+    flat = np.frombuffer(buf, dtype="<f8")
+    off = col.offset
+    return flat[off * dim:(off + len(col)) * dim].reshape(len(col), dim)
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     h = rng.standard_normal((n_bits, dim))
@@ -136,9 +156,35 @@ def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     """
     import ray
 
-    # deterministic coarse centroids from a driver-side sample
-    sample = ds.limit(max(512, n_cells * 16)).take_all()
-    sm = _normalize(np.array([r[emb_col] for r in sample], dtype=np.float64))
+    # deterministic UNIFORM sample for the coarse centroids: bottom-S
+    # rows by a 64-bit mix of the id (order-independent — `limit()`
+    # would take the first blocks and bias cells on sorted/clustered
+    # input). Per-batch partial bottom-S keeps the candidate set small
+    # before the tiny global sort.
+    n_sample = max(512, n_cells * 16)
+
+    def partial_sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        x = ids.view(np.uint64) ^ (np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        h = x.view(np.int64)
+        take = min(n_sample, len(ids))
+        idx = np.argpartition(h, take - 1)[:take] if take < len(ids) \
+            else np.arange(len(ids))
+        m = _embedding_matrix(batch, emb_col)[idx]
+        return pa.table({
+            "h": pa.array(h[idx], pa.int64()),
+            "vec": _pack_rows(m),
+        })
+
+    partials = ds.map_batches(partial_sample, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sample_tbl = partials.sort("h").limit(n_sample).take_batch(
+        n_sample, batch_format="pyarrow")
+    dim0 = sample_tbl.column("vec").type.byte_width // 8
+    sm = _normalize(_unpack_rows(sample_tbl.column("vec"), dim0))
     rng = np.random.default_rng(seed)
     cent = sm[rng.choice(len(sm), size=n_cells, replace=False)]
     for _ in range(lloyd_iters):
@@ -213,13 +259,22 @@ def embedding_dup_pairs(ds, tau: float = 0.99, n_bits: int = 10,
     probing: per-table hit prob p = (1 - theta/pi)^n_bits, union
     recall 1-(1-p)^L). Probabilistic recall by design — the scale path
     for the exact broadcast variant.
+
+    Exact rescoring happens IN-BUCKET: the normalized float64 vector
+    rides the band shuffle as a fixed_size_binary blob, so both members
+    of every candidate pair are already co-located in the bucket
+    map_groups and the cosine is computed there — the corpus is never
+    materialized on the driver and no second vector shuffle is needed.
+    Pairs found in several tables are deduplicated by a pair-keyed
+    hash partition. Groups over ``group_cap`` keep the cap smallest
+    ids (deterministic) and log the drop.
     """
-    from mhray.stages.candidates import _part_of, make_emit_pairs
+    from mhray.stages.candidates import _pair_part, _part_of
 
     def to_parts(batch: pa.Table) -> pa.Table:
-        m = _embedding_matrix(batch, emb_col)
+        m = _normalize(_embedding_matrix(batch, emb_col))
         iid = np.asarray(batch.column(id_col), dtype=np.int64)
-        keys, iids = [], []
+        keys = []
         for t in range(n_tables):
             planes = _hyperplanes(m.shape[1], n_bits, seed=7 + 101 * t)
             signs = (m @ planes.T) > 0
@@ -227,45 +282,73 @@ def embedding_dup_pairs(ds, tau: float = 0.99, n_bits: int = 10,
             for j in range(n_bits):
                 b |= signs[:, j].astype(np.int64) << j
             keys.append(b | (np.int64(t) << 48))  # table id in high bits
-            iids.append(iid)
         key = np.concatenate(keys)
         return pa.table({
             "part": pa.array(_part_of(key, num_parts), pa.int32()),
             "key": pa.array(key, pa.int64()),
-            "iid": pa.array(np.concatenate(iids), pa.int64()),
+            "iid": pa.array(np.tile(iid, n_tables), pa.int64()),
+            "vec": pa.chunked_array([_pack_rows(m)] * n_tables),
         })
 
-    cands = ds.map_batches(to_parts, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .groupby("part", num_partitions=num_parts).map_groups(make_emit_pairs(group_cap),
-                                    batch_format="pyarrow") \
-        .groupby(["lo", "hi"]).count()
+    empty = pa.table({"lo": pa.array([], pa.int64()),
+                      "hi": pa.array([], pa.int64()),
+                      "pair_part": pa.array([], pa.int32())})
 
-    # rescore exactly: broadcast id->vector map (small side) per batch
-    vecs = ds.map_batches(
-        lambda b: pa.table({
-            "iid": b.column(id_col).cast(pa.int64()),
-            "emb": b.column(emb_col),
-        }),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).take_all()
-    vid = np.array([r["iid"] for r in vecs], dtype=np.int64)
-    vm = _normalize(np.array([r["emb"] for r in vecs], dtype=np.float64))
-    order = np.argsort(vid)
-    vec_ref = ray.put((vid[order], vm[order]))
-
-    def rescore(batch: pa.Table) -> pa.Table:
-        ids_sorted, mat = ray.get(vec_ref)
-        lo = np.asarray(batch.column("lo"), dtype=np.int64)
-        hi = np.asarray(batch.column("hi"), dtype=np.int64)
-        a = mat[np.searchsorted(ids_sorted, lo)]
-        b = mat[np.searchsorted(ids_sorted, hi)]
-        sim = np.sum(a * b, axis=1)
-        keep = pa.array(sim >= tau)
+    def rescore_buckets(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        keys = np.asarray(part.column("key"), dtype=np.int64)
+        iids = np.asarray(part.column("iid"), dtype=np.int64)
+        dim = part.column("vec").type.byte_width // 8
+        vecs = _unpack_rows(part.column("vec"), dim)
+        order = np.lexsort((iids, keys))
+        k, v, m = keys[order], iids[order], vecs[order]
+        starts = np.flatnonzero(np.diff(k, prepend=k[0] - 1))
+        sizes = np.diff(np.append(starts, len(k)))
+        lo_parts, hi_parts = [], []
+        dropped = 0
+        for gi in np.flatnonzero(sizes >= 2):
+            s, g = int(starts[gi]), int(sizes[gi])
+            if g > group_cap:
+                dropped += g - group_cap
+                g = group_cap
+            ids = v[s:s + g]
+            sims = m[s:s + g] @ m[s:s + g].T
+            iu, ju = np.triu_indices(g, 1)
+            keep = sims[iu, ju] >= tau
+            if keep.any():
+                lo_parts.append(ids[iu[keep]])
+                hi_parts.append(ids[ju[keep]])
+        if dropped:
+            print(f"[mhray] embedding bucket cap: dropped {dropped} ids in one partition")
+        if not lo_parts:
+            return empty
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
         return pa.table({
-            "lo": batch.column("lo").filter(keep),
-            "hi": batch.column("hi").filter(keep),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "pair_part": pa.array(_pair_part(lo, hi, num_parts), pa.int32()),
         })
 
-    return cands.map_batches(rescore, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    def dedupe(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty.select(["lo", "hi"])
+        lo = np.asarray(part.column("lo"), dtype=np.int64)
+        hi = np.asarray(part.column("hi"), dtype=np.int64)
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        first = np.ones(len(lo_s), dtype=bool)
+        if len(lo_s) > 1:
+            first[1:] = (np.diff(lo_s) != 0) | (np.diff(hi_s) != 0)
+        return pa.table({
+            "lo": pa.array(lo_s[first], pa.int64()),
+            "hi": pa.array(hi_s[first], pa.int64()),
+        })
+
+    return ds.map_batches(to_parts, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part", num_partitions=num_parts) \
+        .map_groups(rescore_buckets, batch_format="pyarrow") \
+        .groupby("pair_part", num_partitions=num_parts) \
+        .map_groups(dedupe, batch_format="pyarrow")

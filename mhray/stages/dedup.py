@@ -72,16 +72,19 @@ def _blob_tokens(blob: bytes) -> np.ndarray:
 
 def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
                         id_col: str = "doc_id", num_parts: int | None = None,
-                        group_cap: int = 100000):
+                        group_cap: int = 100000,
+                        df_top_k: int = 1_000_000):
     """(lo_id, hi_id) pairs with distinct-word-set Jaccard >= tau.
 
     Exact: prefix filtering keeps completeness — a pair with Jaccard
     >= tau must share at least one of each side's first
     (|s| - ceil(tau*|s|) + 1) tokens in global rare-first order.
-    The token-frequency table is computed corpus-wide and broadcast
-    (ray.put) into the prefix stage. At 10^12 scale, cap the broadcast
-    to the top-K frequent tokens (unseen tokens are rarest-first
-    anyway); correctness is unaffected — ordering is a heuristic.
+    The broadcast token-frequency table is BOUNDED: only the
+    ``df_top_k`` most frequent tokens are shipped (``ray.put`` once);
+    tokens outside the cap default to df=1 (rarest-first), ties broken
+    by token value. Completeness only needs every document to rank its
+    tokens by the SAME total order, which the capped map still is —
+    the cap changes pruning efficiency, never the result set.
     """
     from mhray.kernels import hash_strings64
 
@@ -114,7 +117,8 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
         return pa.table({"tok": pa.array(flat.view(np.int64), pa.int64())})
 
     freq = toks_ds.map_batches(explode_tokens, batch_format="pyarrow") \
-        .groupby("tok").count().rename_columns({"count()": "df"}).take_all()
+        .groupby("tok").count().rename_columns({"count()": "df"}) \
+        .sort("df", descending=True).limit(df_top_k).take_all()
     fmap_keys = np.array([r["tok"] for r in freq], dtype=np.int64)
     fmap_vals = np.array([r["df"] for r in freq], dtype=np.int64)
     order = np.argsort(fmap_keys)
@@ -131,8 +135,12 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
             if s == 0:
                 continue
             p = s - math.ceil(tau * s) + 1
-            pos = np.searchsorted(keys_sorted, th)
-            df = vals[np.minimum(pos, len(vals) - 1)]
+            if len(keys_sorted):
+                pos = np.minimum(np.searchsorted(keys_sorted, th),
+                                 len(keys_sorted) - 1)
+                df = np.where(keys_sorted[pos] == th, vals[pos], 1)
+            else:
+                df = np.ones(s, np.int64)
             # rare-first, tie-break by token value (deterministic)
             sel = th[np.lexsort((th, df))][:p]
             out_tok.append(sel)
