@@ -48,6 +48,15 @@ class MhapConfig:
     substr_min_length: int = 32         # minimal shared-substring length
     substr_window: int = 16             # winnowing window (fingerprint sampling)
 
+    # --- MinHash bit-sketch pre-filter (F5, MinHashBitSketch.java) ---
+    # opt-in: attach the 64x-smaller 1-bit/slot signature to candidate
+    # pairs and drop pairs whose (sim-0.5)*2 estimate falls below
+    # bit_prefilter_min BEFORE fetching the full bottom sketches. A
+    # filter, not a gate change: set the min low enough (estimator std
+    # ~= 2*sqrt(0.25/H)) that no true pair is lost.
+    bit_prefilter: bool = False
+    bit_prefilter_min: float = 0.0
+
     # --- scale knobs (engine-side, no reference analog) ---
     band_group_cap: int = 2000          # max ids in one (slot,value) LSH group;
                                         # larger groups are capped with logged drops

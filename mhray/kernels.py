@@ -401,7 +401,14 @@ def _record_matching_kmers(
     if len(ah) == 0 or len(bh) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
 
-    common = np.intersect1d(ah, bh)  # unique, ascending = merge order
+    # ah/bh are sorted (bottom sketches are hash-ordered; the window
+    # filter preserves order) — unique via boundary flags + membership
+    # via one merge probe, instead of intersect1d's three sorts
+    fa = np.ones(len(ah), dtype=bool)
+    fa[1:] = ah[1:] != ah[:-1]
+    ua = ah[fa]
+    pos = np.minimum(np.searchsorted(bh, ua), len(bh) - 1)
+    common = ua[bh[pos] == ua]  # unique, ascending = merge order
     if len(common) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     af = np.searchsorted(ah, common, side="left")
@@ -433,18 +440,28 @@ def _optimize_shifts(pos1, pos2, median):
         return pos1, pos2
     shifts = pos2 - pos1
     dist = np.abs(shifts - median)
-    keep1, keep2 = [], []
-    cur = 0
-    for i in range(1, len(pos1)):
-        if pos1[i] == pos1[cur]:
-            if dist[i] < dist[cur]:
-                cur = i
-        else:
-            keep1.append(cur)
-            cur = i
-    keep1.append(cur)
-    idx = np.asarray(keep1, dtype=np.int64)
+    # vectorized run-dedup: per run of consecutive equal pos1 keep the
+    # FIRST index attaining the run-minimum distance (== the loop's
+    # strict-less update rule)
+    new_run = np.ones(len(pos1), dtype=bool)
+    new_run[1:] = pos1[1:] != pos1[:-1]
+    starts = np.flatnonzero(new_run)
+    run_min = np.minimum.reduceat(dist, starts)
+    run_id = np.cumsum(new_run) - 1
+    cand = np.flatnonzero(dist == run_min[run_id])
+    idx = cand[np.searchsorted(cand, starts)]
     return pos1[idx], pos2[idx]
+
+
+def _unique_counts_sorted(x: np.ndarray):
+    """np.unique(x, return_counts=True) for an already-sorted array —
+    boundary flags instead of a re-sort."""
+    if len(x) == 0:
+        return x, np.empty(0, np.int64)
+    flag = np.ones(len(x), dtype=bool)
+    flag[1:] = x[1:] != x[:-1]
+    idx = np.flatnonzero(flag)
+    return x[idx], np.diff(np.append(idx, len(x)))
 
 
 def _bottom_k_jaccard(h1, p1, h2, p2, a1, a2, b1, b2) -> float:
@@ -457,13 +474,13 @@ def _bottom_k_jaccard(h1, p1, h2, p2, a1, a2, b1, b2) -> float:
     """
     s1 = (p1 >= a1) & (p1 <= a2)
     s2 = (p2 >= b1) & (p2 <= b2)
-    x1 = np.sort(h1[s1])
-    x2 = np.sort(h2[s2])
+    x1 = h1[s1]  # h1/h2 are hash-ordered, masks preserve order
+    x2 = h2[s2]
     k = min(len(x1), len(x2))
     if k == 0:
         return 0.0
-    v1, c1 = np.unique(x1, return_counts=True)
-    v2, c2 = np.unique(x2, return_counts=True)
+    v1, c1 = _unique_counts_sorted(x1)
+    v2, c2 = _unique_counts_sorted(x2)
     allv = np.union1d(v1, v2)
     cc1 = np.zeros(len(allv), dtype=np.int64)
     cc2 = np.zeros(len(allv), dtype=np.int64)
@@ -566,6 +583,37 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """XOR-popcount Hamming distance (sketch/AbstractBitSketch.java:74-88)."""
     x = np.bitwise_xor(a.view(np.uint64), b.view(np.uint64))
     return np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# MinHash bit-sketch (F5) — sketch/MinHashBitSketch.java:38-90
+# ---------------------------------------------------------------------------
+
+
+def minhash_bit_sketch(sig: np.ndarray) -> np.ndarray:
+    """(N, H) int32 signatures -> (N, H//64) int64 words: the LAST BIT
+    of each slot, packed 64/word with the first slot in the word's most
+    significant bit (MinHashBitSketch.getAsBits, :38-66). A 64x smaller
+    signature for cheap pre-filtering."""
+    n, h = sig.shape
+    words = h // 64
+    bits = (sig[:, :words * 64] & 1).astype(np.uint64).reshape(n, words, 64)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    return (bits << shifts).sum(axis=2, dtype=np.uint64).view(np.int64)
+
+
+def bit_sketch_jaccard(wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
+    """Per-row jaccard estimate from (N, W) word matrices:
+    max(0, (matching_bits/total_bits - 0.5) * 2)
+    (MinHashBitSketch.jaccard, :82-90 + AbstractBitSketch
+    getIntersectionCount :75-89)."""
+    x = np.bitwise_xor(wa.view(np.uint64), wb.view(np.uint64))
+    mismatch = np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8).reshape(len(x), -1),
+        axis=1).sum(axis=1)
+    total = wa.shape[1] * 64
+    sim = (total - mismatch) / total
+    return np.maximum(0.0, (sim - 0.5) * 2.0)
 
 
 def phash_band_keys(phash: np.ndarray, n_bands: int, band_bits: int) -> np.ndarray:

@@ -92,6 +92,7 @@ def find_pairs(
 ) -> OracleResult:
     n = len(image_ids)
     iids = image_iid(image_ids)
+    cap_lens = np.asarray([len(c) for c in captions])
     sig, bs, valid = sketch_rows(captions, cfg, freq)
 
     # inverted index: per slot, value -> row list (MinHashSearch.java:85-147)
@@ -118,10 +119,20 @@ def find_pairs(
         for r, count in hits.items():
             if r == q:
                 continue  # self (MinHashSearch.java:200-201)
-            if iids[r] > iids[q]:
-                continue  # pair processed once by the larger id (:214-219)
             if count < cfg.num_min_matches:
                 continue
+            # min_store_length pair rules (MinHashSearch.java:210-225):
+            # never short-short; long-long processed once by the larger
+            # query id; short query-long match processed by the short
+            # side (no id order)
+            short_q = cap_lens[q] < cfg.min_store_length
+            short_r = cap_lens[r] < cfg.min_store_length
+            if short_q and short_r:
+                continue
+            if not short_q and not short_r and iids[r] > iids[q]:
+                continue
+            if short_r and not short_q:
+                continue  # never short(match) to long(query)
             res = K.verify_pair(
                 bs[q][0], bs[q][1], bs[q][2],
                 bs[r][0], bs[r][1], bs[r][2],

@@ -350,19 +350,26 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             import ray as _ray
 
             rows = rep_pairs.select_columns(["lo", "hi", "score"]).to_pandas()
-            score_map = {
-                (int(l), int(h)): float(sc)
-                for l, h, sc in zip(rows["lo"], rows["hi"], rows["score"])
-            }
-            ref = _ray.put(score_map)
+            pair_dt = np.dtype([("lo", "<i8"), ("hi", "<i8")])
+            side = np.empty(len(rows), dtype=pair_dt)
+            side["lo"] = rows["lo"].to_numpy(np.int64)
+            side["hi"] = rows["hi"].to_numpy(np.int64)
+            order = np.argsort(side)
+            ref = _ray.put((side[order],
+                            rows["score"].to_numpy(np.float64)[order]))
 
             def attach_score(batch: pa.Table) -> pa.Table:
-                m = _ray.get(ref)
-                rlo = np.asarray(batch.column("rlo"), np.int64)
-                rhi = np.asarray(batch.column("rhi"), np.int64)
-                scores = np.full(len(rlo), -1.0)
-                for i in range(len(rlo)):
-                    scores[i] = m.get((int(rlo[i]), int(rhi[i])), -1.0)
+                side_s, sc = _ray.get(ref)
+                n = batch.num_rows
+                q = np.empty(n, dtype=pair_dt)
+                q["lo"] = np.asarray(batch.column("rlo"), np.int64)
+                q["hi"] = np.asarray(batch.column("rhi"), np.int64)
+                scores = np.full(n, -1.0)
+                if len(side_s):
+                    pos = np.minimum(np.searchsorted(side_s, q),
+                                     len(side_s) - 1)
+                    found = side_s[pos] == q
+                    scores[found] = sc[pos[found]]
                 keep = pa.array(scores >= 0)
                 return pa.table({
                     "lo": batch.column("lo").filter(keep),

@@ -108,6 +108,88 @@ def explode_phash_bands(batch: pa.Table, n_bands: int, band_bits: int,
     return pa.table(cols)
 
 
+def explode_minhash_packed(batch: pa.Table, num_hashes: int,
+                           num_parts: int) -> pa.Table:
+    """(minhash binary, iid) -> per-partition PACKED entry blobs.
+
+    The naive explode ships rows*num_hashes individual (part, key, iid)
+    rows through the sort shuffle — at 512 hashes that is 512 20-byte
+    rows per record, and the shuffle sort pays per-row cost on all of
+    them. Here each batch pre-buckets its entries by partition and
+    emits ONE row per partition: (part, kblob, iblob) where the blobs
+    are the int64 key/iid arrays of that partition's entries. Identical
+    information, 12 B/entry instead of 20, and the shuffle sorts
+    ~num_parts rows per batch instead of rows*num_hashes.
+    """
+    from mhray.kernels import binary_column_fixed_i32
+
+    sig = binary_column_fixed_i32(batch.column("minhash"), num_hashes)
+    iids = np.asarray(batch.column("iid"), dtype=np.int64)
+    slots = np.arange(num_hashes, dtype=np.int64) << 32
+    keys = (slots[None, :] | sig.astype(np.uint32).astype(np.int64)).ravel()
+    out_iids = np.repeat(iids, num_hashes)
+    part = _part_of(keys, num_parts)
+    order = np.argsort(part, kind="stable")
+    part_s = part[order]
+    keys_s = np.ascontiguousarray(keys[order], dtype="<i8")
+    iids_s = np.ascontiguousarray(out_iids[order], dtype="<i8")
+    starts = np.flatnonzero(np.diff(part_s, prepend=part_s[0] - 1)) \
+        if len(part_s) else np.empty(0, np.int64)
+    ends = np.append(starts[1:], len(part_s))
+    return pa.table({
+        "part": pa.array(part_s[starts], pa.int32()),
+        "kblob": pa.array([keys_s[s:e].tobytes() for s, e in zip(starts, ends)],
+                          pa.binary()),
+        "iblob": pa.array([iids_s[s:e].tobytes() for s, e in zip(starts, ends)],
+                          pa.binary()),
+    })
+
+
+def binary_concat_i64(col) -> np.ndarray:
+    """Concatenate every value of a binary column into one int64 array
+    (zero-copy per chunk: values are contiguous in the data buffer)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
+            ch.offset:ch.offset + len(ch) + 1]
+        data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        parts.append(data[offs[0]:offs[-1]].view("<i8"))
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def make_emit_pairs_packed(cap: int, num_parts: int | None = None):
+    """map_groups(part) fn for the packed explode: unpack the entry
+    blobs, then the same vectorized intra-group pair emission +
+    partition-local partial counts as ``make_emit_pairs``."""
+
+    def emit_pairs_packed(part: pa.Table) -> pa.Table:
+        keys = binary_concat_i64(part.column("kblob"))
+        iids = binary_concat_i64(part.column("iblob"))
+        lo, hi, capped, dropped = _pairs_within_groups(keys, iids, cap)
+        if dropped:
+            print(f"[mhray] candidate group cap: dropped {dropped} ids in one partition")
+        tbl = pa.table({
+            "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
+            "capped": pa.array(capped),
+            "n": pa.array(np.ones(len(lo), np.int64)),
+        })
+        agg = tbl.group_by(["lo", "hi"]).aggregate([("n", "sum"), ("capped", "max")])
+        agg = agg.rename_columns(["lo", "hi", "partial_count", "capped"])
+        if num_parts is not None:
+            agg = agg.append_column("pair_part", pa.array(_pair_part(
+                np.asarray(agg.column("lo"), np.int64),
+                np.asarray(agg.column("hi"), np.int64), num_parts),
+                pa.int32()))
+        return agg
+
+    return emit_pairs_packed
+
+
 def _part_of(keys: np.ndarray, num_parts: int) -> np.ndarray:
     # cheap 64-bit mix so adjacent slot ids spread across partitions
     x = keys.view(np.uint64).copy()
@@ -316,16 +398,52 @@ def minhash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
     groupby(lo,hi) to total the per-partition partial counts and apply
     the num_min_matches gate."""
     bands = sketches_ds.map_batches(
-        explode_minhash,
+        explode_minhash_packed,
         fn_kwargs={"num_hashes": cfg.num_hashes, "num_parts": num_parts},
         batch_format="pyarrow", zero_copy_batch=True,
     )
     pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
-        make_emit_pairs(cfg.band_group_cap, num_parts=num_parts),
+        make_emit_pairs_packed(cfg.band_group_cap, num_parts=num_parts),
         batch_format="pyarrow"
     )
-    return pairs.groupby("pair_part", num_partitions=num_parts).map_groups(
+    gated = pairs.groupby("pair_part", num_partitions=num_parts).map_groups(
         make_count_gate(cfg.num_min_matches), batch_format="pyarrow")
+    if cfg.min_store_length > 0:
+        # MinHashSearch.java:210-225: a pair survives only if at least
+        # one side is >= min_store_length ("never short to short"; the
+        # other two clauses only prevent double-processing in the
+        # reference's probe loop, not membership). Applied between the
+        # count gate and verify, where the pair table is smallest.
+        from mhray.rayutil import attach_payload
+
+        side = sketches_ds.select_columns(["iid", "caption_len"])
+        side_schema = pa.schema([("iid", pa.int64()),
+                                 ("caption_len", pa.int32())])
+        pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                 ("shared_slots", pa.int64())])
+        g = attach_payload(gated, "lo", side, "iid", ("caption_len",), "lo",
+                           num_parts, pairs_schema=pair_schema,
+                           side_schema=side_schema)
+        mid = pa.schema(list(pair_schema) + [pa.field("caption_len_lo",
+                                                      pa.int32())])
+        g = attach_payload(g, "hi", side, "iid", ("caption_len",), "hi",
+                           num_parts, pairs_schema=mid,
+                           side_schema=side_schema)
+        msl = cfg.min_store_length
+
+        def store_gate(batch: pa.Table) -> pa.Table:
+            ll = np.asarray(batch.column("caption_len_lo"), np.int32)
+            lh = np.asarray(batch.column("caption_len_hi"), np.int32)
+            keep = pa.array(~((ll < msl) & (lh < msl)))
+            return pa.table({
+                "lo": batch.column("lo").filter(keep),
+                "hi": batch.column("hi").filter(keep),
+                "shared_slots": batch.column("shared_slots").filter(keep),
+            })
+
+        gated = g.map_batches(store_gate, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return gated
 
 
 def phash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):

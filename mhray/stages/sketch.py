@@ -49,6 +49,18 @@ def _binary_from_matrix(mat: np.ndarray) -> pa.Array:
     )
 
 
+def _binary_from_matrix_i64(mat: np.ndarray) -> pa.Array:
+    """Equal-width binary column from an (n, w) int64 matrix, zero-copy."""
+    n = mat.shape[0]
+    flat = np.ascontiguousarray(mat.astype("<i8", copy=False))
+    width = flat.shape[1] * 8
+    off = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
 class SketchStage:
     """Callable class for ``map_batches`` (actor pool when concurrency>1)."""
 
@@ -137,6 +149,9 @@ class SketchStage:
             "phash": pa.array(phash, pa.int64()),
             "valid": pa.array(valid.astype(bool)),
         }
+        if cfg.bit_prefilter:
+            words = K.minhash_bit_sketch(sig)
+            out["bitsig"] = _binary_from_matrix_i64(words)
         if self.with_simhash:
             out["simhash"] = pa.array(
                 K.simhash64(caption_col.to_pylist(), self.simhash_kmer),

@@ -22,9 +22,38 @@ import pyarrow as pa
 from mhray.stages.candidates import _part_of, auto_parts, make_emit_pairs
 
 
+_FNV = np.uint64(1099511628211)
+_FNV_INV = np.uint64(pow(1099511628211, -1, 2 ** 64))  # odd base -> invertible mod 2^64
+
+
+def _hash_prep(u: np.ndarray):
+    """Per-string one-time state for O(1)-per-window rolling hashes:
+    (prefix, invpow) where prefix[i] = sum_{j<=i} u[j]*base^j (mod 2^64)
+    and invpow[i] = base^-i. Every probe length then reads all window
+    hashes in O(n) — the old path rebuilt an L-sized power vector and
+    did an O(L) dot per window on EVERY binary-search probe."""
+    n = len(u)
+    powers = np.multiply.accumulate(
+        np.concatenate(([np.uint64(1)], np.full(n - 1, _FNV, np.uint64))))
+    invpow = np.multiply.accumulate(
+        np.concatenate(([np.uint64(1)], np.full(n - 1, _FNV_INV, np.uint64))))
+    with np.errstate(over="ignore"):
+        prefix = np.cumsum(u.astype(np.uint64) * powers)
+    return prefix, invpow
+
+
+def _window_hashes(prefix: np.ndarray, invpow: np.ndarray, L: int) -> np.ndarray:
+    """hash[i] = sum_j u[i+j]*base^j for every window of length L."""
+    n = len(prefix)
+    ph = np.concatenate(([np.uint64(0)], prefix[:n - L]))
+    with np.errstate(over="ignore"):
+        return (prefix[L - 1:] - ph) * invpow[:n - L + 1]
+
+
 def longest_common_substring_len(a: str, b: str, at_least: int = 0) -> int:
     """Length of the longest common substring via binary search over
-    candidate lengths with window-hash sets (O((n+m) log min(n,m))).
+    candidate lengths with rolling window-hash sets
+    (O((n+m) log min(n,m)) total; each probe is O(n+m)).
 
     With ``at_least`` > 0, first runs ONE probe at that length and
     returns 0 immediately when no common substring reaches it — the
@@ -33,19 +62,17 @@ def longest_common_substring_len(a: str, b: str, at_least: int = 0) -> int:
 
     if not a or not b:
         return 0
+    units_a, _ = encode_utf16_batch([a])
+    units_b, _ = encode_utf16_batch([b])
+    pa_, ia_ = _hash_prep(units_a)
+    pb_, ib_ = _hash_prep(units_b)
 
     def has_common(L: int) -> bool:
         if L > len(a) or L > len(b):
             return False
-        units_a, _ = encode_utf16_batch([a])
-        units_b, _ = encode_utf16_batch([b])
-        wa = np.lib.stride_tricks.sliding_window_view(units_a, L)
-        wb = np.lib.stride_tricks.sliding_window_view(units_b, L)
+        ha = _window_hashes(pa_, ia_, L)
+        hb = _window_hashes(pb_, ib_, L)
         # hash windows then confirm a real match (collision-proof)
-        ha = wa.astype(np.uint64).dot(
-            np.uint64(1099511628211) ** np.arange(L, dtype=np.uint64))
-        hb = wb.astype(np.uint64).dot(
-            np.uint64(1099511628211) ** np.arange(L, dtype=np.uint64))
         common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
         for x, y in zip(ia, ib):
             if a[x : x + L] == b[y : y + L]:

@@ -17,6 +17,41 @@ from mhray.config import MhapConfig
 from mhray.kernels import unpack_bottom_sketch, verify_pair
 
 
+def _sketch_views(col):
+    """Zero-copy per-row (hashes, positions, seq_len) accessor for a
+    binary column of packed bottom sketches.
+
+    Returns ``fetch(i) -> (h, p, seq_len)`` where h/p are int32 VIEWS
+    into the Arrow data buffer — no per-row bytes allocation (the
+    ``to_pylist`` + ``np.frombuffer`` path copies every blob). Blob
+    layout is [seq_len][k][k hashes][k positions] int32s, so every
+    value offset stays 4-aligned; falls back to the copying path if an
+    unaligned offset ever appears.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1]
+    if len(offs) and (offs % 4).any():
+        blobs = col.to_pylist()
+
+        def fetch_slow(i):
+            return unpack_bottom_sketch(blobs[i])
+
+        return fetch_slow
+    buf = col.buffers()[2]
+    flat32 = np.frombuffer(buf, dtype="<i4",
+                           count=len(buf) // 4)
+
+    def fetch(i):
+        s = offs[i] >> 2
+        k = int(flat32[s + 1])
+        h = flat32[s + 2:s + 2 + k]
+        return h, flat32[s + 2 + k:s + 2 + 2 * k], int(flat32[s])
+
+    return fetch
+
+
 def attach_sketches(pairs_ds, sketches_ds, num_partitions: int = 32,
                     columns=("bs_blob",)):
     """pairs(lo, hi, ...) ⋈ sketches on lo then hi — expressed as two
@@ -52,16 +87,16 @@ class VerifyPairs:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = batch.num_rows
-        blob_lo = batch.column("bs_blob_lo").to_pylist()
-        blob_hi = batch.column("bs_blob_hi").to_pylist()
+        fetch_lo = _sketch_views(batch.column("bs_blob_lo"))
+        fetch_hi = _sketch_views(batch.column("bs_blob_hi"))
 
         keep = np.zeros(n, dtype=bool)
         score = np.zeros(n, dtype=np.float64)
         raw = np.zeros(n, dtype=np.float64)
         edges = np.zeros((n, 4), dtype=np.int32)
         for i in range(n):
-            h1, p1, l1 = unpack_bottom_sketch(blob_lo[i])
-            h2, p2, l2 = unpack_bottom_sketch(blob_hi[i])
+            h1, p1, l1 = fetch_lo(i)
+            h2, p2, l2 = fetch_hi(i)
             res = verify_pair(h1, p1, l1, h2, p2, l2,
                               cfg.ordered_kmer_size, cfg.max_shift)
             if res is not None and res.score >= cfg.threshold:
@@ -87,6 +122,28 @@ def verify_candidates(pairs_ds, sketches_ds, cfg: MhapConfig,
     # candidate-pair tables are small relative to the corpus; fewer join
     # partitions = fewer aggregator actors to spin up
     num_partitions = max(2, min(8, num_partitions))
+    if cfg.bit_prefilter:
+        # F5 pre-filter: the 1-bit/slot signature (64x smaller than the
+        # bottom sketch) rides the attach first; pairs whose cheap
+        # (sim-0.5)*2 estimate falls below the floor never fetch the
+        # full sketches (MinHashBitSketch.jaccard semantics).
+        from mhray.kernels import bit_sketch_jaccard
+        from mhray.stages.candidates import binary_concat_i64
+
+        words = cfg.num_hashes // 64
+        joined = attach_sketches(pairs_ds, sketches_ds, num_partitions,
+                                 columns=("bitsig",))
+        floor = cfg.bit_prefilter_min
+
+        def bit_gate(batch: pa.Table) -> pa.Table:
+            wa = binary_concat_i64(batch.column("bitsig_lo")).reshape(-1, words)
+            wb = binary_concat_i64(batch.column("bitsig_hi")).reshape(-1, words)
+            est = bit_sketch_jaccard(wa, wb)
+            return batch.filter(pa.array(est >= floor)).drop_columns(
+                ["bitsig_lo", "bitsig_hi"])
+
+        pairs_ds = joined.map_batches(bit_gate, batch_format="pyarrow",
+                                      zero_copy_batch=True)
     joined = attach_sketches(pairs_ds, sketches_ds, num_partitions)
     return joined.map_batches(
         VerifyPairs(cfg), batch_size=cfg.verify_batch_size,
