@@ -27,8 +27,39 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("MHRAY_BENCH_ROWS", "50000"))
-SCALING_ROWS = int(os.environ.get("MHRAY_SCALING_ROWS", "150000"))
+SCALING_ROWS = int(os.environ.get("MHRAY_SCALING_ROWS", "500000"))
 CORPUS_SEED = 77
+
+
+def measure_parallel_ceiling(num_cpus: int) -> float:
+    """Per-task throughput (iters/sec) of ``num_cpus`` CONCURRENT
+    embarrassingly-parallel pure-numpy busy-loop tasks — no shuffle, no
+    object movement. The ratio of aggregate throughputs between two
+    CPU counts is this box's hardware scaling ceiling (shared memory
+    bandwidth): no Ray program can scale better than an
+    embarrassingly parallel kernel does. Measured in the SAME process
+    as the headline run so the ceiling and the measurement see the
+    same machine state."""
+    import numpy as np
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def busy(iters: int) -> float:
+        x = np.arange(1 << 19, dtype=np.uint64)  # 4 MiB working set
+        t0 = time.time()
+        for _ in range(iters):
+            x ^= x << np.uint64(13)
+            x ^= x >> np.uint64(7)
+            x ^= x << np.uint64(17)
+        return time.time() - t0
+
+    iters = 300
+    ray.get([busy.remote(3) for _ in range(num_cpus)])  # warm workers
+    t0 = time.time()
+    ray.get([busy.remote(iters) for _ in range(num_cpus)])
+    wall = time.time() - t0
+    return num_cpus * iters / wall  # aggregate iters/sec
 
 
 def corpus_dir(rows: int) -> str:
@@ -69,17 +100,21 @@ def run_headline(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
     t0 = time.time()
     res = run_dedup(os.path.join(d, "images"), out_dir, cfg,
                     decode_pixels=True, num_parts=min(32, num_cpus),
-                    resume=False)
+                    resume=False, persist=False)
     n_pairs = res["pairs"].count()
     n_clusters = res["clusters"].count()
     elapsed = time.time() - t0
-    return {
+    out = {
         "sec": round(elapsed, 2),
         "rows": rows,
         "images_per_sec": round(rows / elapsed, 1),
         "pairs": n_pairs,
         "cluster_rows": n_clusters,
     }
+    if os.environ.get("MHRAY_MEASURE_CEILING") == "1":
+        out["ceiling_agg_throughput"] = round(
+            measure_parallel_ceiling(num_cpus), 2)
+    return out
 
 
 def run_catalog_queries(sf_dir: str) -> dict[str, float]:
@@ -112,7 +147,8 @@ def main() -> None:
         results = {}
         for cpus in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                       MHRAY_HEADLINE_ROWS=str(SCALING_ROWS))
+                       MHRAY_HEADLINE_ROWS=str(SCALING_ROWS),
+                       MHRAY_MEASURE_CEILING="1")
             proc = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 capture_output=True, text=True, env=env,
@@ -124,7 +160,7 @@ def main() -> None:
         t8 = results[8]["images_per_sec"]
         t32 = results[32]["images_per_sec"]
         efficiency = (t32 / t8) / (32 / 8)
-        print(json.dumps({
+        out = {
             "metric": "scaling efficiency 8->32 cpus (headline dedup)",
             "imgs_per_sec_8": t8,
             "imgs_per_sec_32": t32,
@@ -132,7 +168,18 @@ def main() -> None:
             "sec_8": results[8]["sec"],
             "sec_32": results[32]["sec"],
             "rows": SCALING_ROWS,
-        }))
+        }
+        c8 = results[8].get("ceiling_agg_throughput")
+        c32 = results[32].get("ceiling_agg_throughput")
+        if c8 and c32:
+            # hardware ceiling: how well an embarrassingly-parallel
+            # pure-numpy kernel (no shuffle, no object store) scales
+            # 8->32 concurrent tasks on this box, measured in the same
+            # processes as the two headline runs
+            ceiling = (c32 / c8) / (32 / 8)
+            out["ceiling_efficiency"] = round(ceiling, 3)
+            out["normalized_efficiency"] = round(efficiency / ceiling, 3)
+        print(json.dumps(out))
         return
 
     import ray

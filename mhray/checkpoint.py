@@ -68,7 +68,7 @@ def input_fingerprint(path: str) -> str:
 
 
 def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
-                     resume: bool = True,
+                     resume: bool = True, persist: bool = True,
                      parents: tuple = ()) -> "ray.data.Dataset":
     """Run ``compute() -> Dataset`` with checkpoint/resume semantics.
 
@@ -80,6 +80,13 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
     stages this one consumes): a change anywhere upstream changes this
     stage's digest and forces recompute — no stale-chain resume.
     Read a stage's digest back with ``stage_digest``.
+
+    ``persist=False`` (benchmark / ephemeral runs): skip the parquet
+    write->read round-trip — the computed Dataset is materialized in
+    the object store and handed straight to downstream stages. The
+    manifest (rows, duration, digest) is still written so run telemetry
+    survives, marked ``persisted: false``; such a stage is NOT
+    resumable and never matches on a later resume=True run.
     """
     stage_dir = os.path.join(out_dir, name)
     data_dir = os.path.join(stage_dir, "data")
@@ -95,11 +102,29 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
     if resume and os.path.exists(marker) and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
-        if digest is None or manifest.get("config_digest") == digest:
+        if digest is None or (manifest.get("config_digest") == digest
+                              and manifest.get("persisted", True)):
             return ray.data.read_parquet(data_dir)
 
     t0 = time.time()
     ds = compute()
+    if not persist:
+        ds = ds.materialize()
+        os.makedirs(stage_dir, exist_ok=True)
+        manifest = {
+            "stage": name,
+            "rows": ds.count(),
+            "partitions": [],
+            "persisted": False,
+            "duration_s": round(time.time() - t0, 3),
+            "config_digest": digest,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1)
+        if os.path.exists(marker):
+            os.remove(marker)
+        return ds
     os.makedirs(data_dir, exist_ok=True)
     for old in os.listdir(data_dir):  # clear a partial previous attempt
         os.remove(os.path.join(data_dir, old))

@@ -55,6 +55,7 @@ def _assign_reps(part: pa.Table) -> pa.Table:
 def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
               freq_ref=None, decode_pixels: bool = True,
               num_parts: int = 32, resume: bool = True,
+              persist: bool = True,
               concurrency=None,
               rep_broadcast_threshold: int = 2_000_000,
               rep_pairs_broadcast_threshold: int = 2_000_000) -> dict:
@@ -128,7 +129,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
 
     in_fp = input_fingerprint(images_path)
     sketches = stage_checkpoint("s1_sketches", out_dir, compute_sketches, cfg,
-                                resume=resume, parents=(in_fp,))
+                                resume=resume, persist=persist,
+                                parents=(in_fp,))
     d1 = stage_digest(out_dir, "s1_sketches")
     valid = sketches.filter(expr="valid == True")
 
@@ -139,7 +141,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         return verify_candidates(cands, rep_rows, cfg, num_parts)
 
     rep_pairs = stage_checkpoint("s2_rep_pairs", out_dir, compute_rep_pairs,
-                                 cfg, resume=resume, parents=(d1,))
+                                 cfg, resume=resume, persist=persist,
+                                 parents=(d1,))
     d2 = stage_digest(out_dir, "s2_rep_pairs")
 
     # s3: image axis (pHash banding) + final caption gate, fused ---------
@@ -482,7 +485,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         return deduped.drop_columns(["neg_score"])
 
     final_pairs = stage_checkpoint("s3_pairs", out_dir, compute_final_pairs,
-                                   cfg, resume=resume, parents=(d1, d2))
+                                   cfg, resume=resume, persist=persist,
+                                   parents=(d1, d2))
     d3 = stage_digest(out_dir, "s3_pairs")
 
     # s5: clusters ---------------------------------------------------------
@@ -493,7 +497,8 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         return assign_clusters(sketches, pair_clusters, num_parts)
 
     clusters = stage_checkpoint("s4_clusters", out_dir, compute_clusters, cfg,
-                                resume=resume, parents=(d1, d3))
+                                resume=resume, persist=persist,
+                                parents=(d1, d3))
 
     _write_run_summary(out_dir)
 

@@ -368,6 +368,36 @@ def d_substring_pairs(sf_dir: str):
     return substring_pairs(_read(sf_dir, "documents"), min_len=40)
 
 
+def d_incremental_pairs(sf_dir: str):
+    """Query-vs-index incremental dedup (the reference's -q mode,
+    AbstractMatchSearch.findMatches :203-285): every 5th document is
+    the 'new batch', the rest are sketched once as the stored index;
+    only the new side is sketched at query time. Rows-only check —
+    equality with the restricted union self-join is asserted in
+    pytest (tests/test_incremental.py)."""
+    from mhray.stages.dedup import docs_as_images
+    from mhray.stages.incremental import find_matches
+    from mhray.stages.sketch import sketch_dataset
+
+    cfg = PRESETS["captions"].with_(threshold=0.9)
+    docs = _read(sf_dir, "documents")
+
+    def part_of(want_new: bool):
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            mask = (ids % 5 == 0) if want_new else (ids % 5 != 0)
+            return batch.filter(pa.array(mask))
+        return pick
+
+    old = docs.map_batches(part_of(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = docs.map_batches(part_of(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    index = sketch_dataset(docs_as_images(old), cfg)
+    out = find_matches(docs_as_images(new), index, cfg)
+    return out.select_columns(["lo", "hi", "shared_slots"])
+
+
 
 
 def ev_sessionize(sf_dir: str):
@@ -478,6 +508,7 @@ QUERIES = {
     "ev_sessionize": ev_sessionize,
     "ev_top_event_per_type": ev_top_event_per_type,
     "d_substring_pairs": d_substring_pairs,
+    "d_incremental_pairs": d_incremental_pairs,
 }
 
 ORACLE_SQL = {

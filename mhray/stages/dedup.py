@@ -253,15 +253,10 @@ def simhash_pairs(ds, max_hamming: int = 6, k: int = 6,
 # MHAP two-stage pipeline on a plain text table
 # ---------------------------------------------------------------------------
 
-def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
-                       id_col: str = "doc_id", num_parts: int | None = None):
-    """(lo, hi, shared_slots, score, ...) via signature LSH + verify —
-    the MHAP flagship machinery on any (id, text) table."""
-    from mhray.stages.candidates import minhash_candidates
-    from mhray.stages.sketch import sketch_dataset
-    from mhray.stages.verify import verify_candidates
-
-    num_parts = auto_parts(num_parts)
+def docs_as_images(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, text) table -> the image+caption schema the sketch stage
+    expects (empty image payloads; ids become 'doc_NNN' so image_iid
+    round-trips the numeric id)."""
 
     def rename(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
@@ -275,7 +270,20 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
             "phash": pa.array(np.zeros(len(ids), np.int64)),
         })
 
-    as_images = ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
+                       id_col: str = "doc_id", num_parts: int | None = None):
+    """(lo, hi, shared_slots, score, ...) via signature LSH + verify —
+    the MHAP flagship machinery on any (id, text) table."""
+    from mhray.stages.candidates import minhash_candidates
+    from mhray.stages.sketch import sketch_dataset
+    from mhray.stages.verify import verify_candidates
+
+    num_parts = auto_parts(num_parts)
+
+    as_images = docs_as_images(ds, text_col, id_col)
     sketches = sketch_dataset(as_images, cfg, decode_pixels=False)
     valid = sketches.filter(expr="valid == True").materialize()
     cands = minhash_candidates(valid, cfg, num_parts)

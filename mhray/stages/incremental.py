@@ -1,0 +1,213 @@
+"""Query-vs-index incremental search (the reference's ``-q`` to-files
+mode): stream NEW query records against a FIXED stored sketch index
+without re-sketching or re-storing the index side — the "dedup today's
+batch against the existing corpus" shape.
+
+Mirrors ``AbstractMatchSearch.findMatches(streamer)``
+(impl/AbstractMatchSearch.java:203-285) with ``toSelf=false``: the
+self-mode pair-once id rules do NOT apply (every query x index pair is
+considered once, query side first); the only ``min_store_length`` rule
+that survives is "never short to short"
+(impl/MinHashSearch.java:210-212 — the other two clauses are
+``toSelf``-gated).
+
+Ray-Data formulation: both sides run the SAME packed minhash explode
+(stages/candidates.explode_minhash_packed), tagged by role, and meet
+in one hash-partitioned shuffle; each bucket emits query x index cross
+pairs only. The stored index is the ``s1_sketches`` stage checkpoint
+of a previous run (or any sketch Dataset), re-read as parquet — the
+binary sketch reader path (S4)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from mhray.config import MhapConfig
+from mhray.stages.candidates import (_pair_part, auto_parts,
+                                     binary_concat_i64,
+                                     explode_minhash_packed,
+                                     make_count_gate)
+
+_PAIR_SCHEMA = pa.schema([
+    ("lo", pa.int64()), ("hi", pa.int64()), ("partial_count", pa.int64()),
+    ("capped", pa.bool_()), ("pair_part", pa.int32()),
+])
+
+
+def make_emit_cross_pairs(cap: int, num_parts: int):
+    """map_groups(part) fn: for every LSH key present on BOTH sides,
+    emit the query x index cross pairs (lo=query iid, hi=index iid —
+    NOT canonicalized: the two id spaces are independent), with
+    per-partition partial counts. Sides capped at ``cap`` smallest
+    iids per key group, drops logged."""
+
+    def emit_cross(part: pa.Table) -> pa.Table:
+        role = np.asarray(part.column("role"), dtype=np.int8)
+        qt = part.filter(pa.array(role == 0))
+        it = part.filter(pa.array(role == 1))
+        if qt.num_rows == 0 or it.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        qk = binary_concat_i64(qt.column("kblob"))
+        qi = binary_concat_i64(qt.column("iblob"))
+        ik = binary_concat_i64(it.column("kblob"))
+        ii = binary_concat_i64(it.column("iblob"))
+
+        def grouped(keys, iids):
+            order = np.lexsort((iids, keys))
+            k, v = keys[order], iids[order]
+            starts = np.flatnonzero(np.diff(k, prepend=k[0] - 1))
+            return k[starts], starts, np.diff(np.append(starts, len(k))), v
+
+        quk, qstart, qcount, qv = grouped(qk, qi)
+        iuk, istart, icount, iv = grouped(ik, ii)
+        pos = np.minimum(np.searchsorted(iuk, quk), len(iuk) - 1)
+        both = iuk[pos] == quk
+        cj = np.flatnonzero(both)     # indices into q unique keys
+        ij = pos[cj]                  # matching indices into i unique keys
+        if len(cj) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        nq = qcount[cj]
+        ni = icount[ij]
+        dropped = int(np.sum(nq[nq > cap] - cap) + np.sum(ni[ni > cap] - cap))
+        if dropped:
+            print(f"[mhray] cross-pair group cap: dropped {dropped} ids in one partition")
+        capped_g = (nq > cap) | (ni > cap)
+        nq = np.minimum(nq, cap)
+        ni = np.minimum(ni, cap)
+        tot = nq * ni
+        offs = np.repeat(np.cumsum(tot) - tot, tot)
+        t = np.arange(int(tot.sum()), dtype=np.int64) - offs
+        ni_rep = np.repeat(ni, tot)
+        lo = qv[np.repeat(qstart[cj], tot) + t // ni_rep]
+        hi = iv[np.repeat(istart[ij], tot) + t % ni_rep]
+        capped = np.repeat(capped_g, tot)
+
+        tbl = pa.table({
+            "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
+            "capped": pa.array(capped),
+            "n": pa.array(np.ones(len(lo), np.int64)),
+        })
+        agg = tbl.group_by(["lo", "hi"]).aggregate([("n", "sum"),
+                                                    ("capped", "max")])
+        agg = agg.rename_columns(["lo", "hi", "partial_count", "capped"])
+        return agg.append_column("pair_part", pa.array(_pair_part(
+            np.asarray(agg.column("lo"), np.int64),
+            np.asarray(agg.column("hi"), np.int64), num_parts), pa.int32()))
+
+    return emit_cross
+
+
+def load_sketch_index(index: "str | ray.data.Dataset"):
+    """A stored ``s1_sketches`` checkpoint dir (its ``data/`` parquet)
+    or an in-memory sketch Dataset -> valid sketch rows."""
+    if isinstance(index, str):
+        data_dir = os.path.join(index, "data")
+        path = data_dir if os.path.isdir(data_dir) else index
+        index = ray.data.read_parquet(path)
+    return index.filter(expr="valid == True")
+
+
+def find_matches(query_ds, index, cfg: MhapConfig,
+                 num_parts: int | None = None, freq_ref=None,
+                 decode_pixels: bool = False):
+    """NEW records vs a stored index -> verified match pairs
+    (lo=query iid, hi=index iid, shared_slots, score, ...).
+
+    ``query_ds`` is a raw image/caption Dataset (sketched here with the
+    same config — AbstractMatchSearch streams query sketches, it never
+    stores them); ``index`` is a previous run's ``s1_sketches``
+    checkpoint directory or a sketch Dataset. Pass the SAME ``freq_ref``
+    the index run used or signatures will not line up."""
+    from mhray.stages.sketch import sketch_dataset
+    from mhray.rayutil import attach_payload
+
+    num_parts = auto_parts(num_parts)
+    index_sk = load_sketch_index(index).materialize()
+    query_sk = sketch_dataset(query_ds, cfg, freq_ref=freq_ref,
+                              decode_pixels=decode_pixels) \
+        .filter(expr="valid == True").materialize()
+
+    def tag(role: int):
+        def add_role(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "role", pa.array(np.full(batch.num_rows, role, np.int8),
+                                 pa.int8()))
+        return add_role
+
+    explode_kw = {"num_hashes": cfg.num_hashes, "num_parts": num_parts}
+    entries = query_sk.map_batches(
+        explode_minhash_packed, fn_kwargs=explode_kw,
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(tag(0), batch_format="pyarrow").union(
+        index_sk.map_batches(
+            explode_minhash_packed, fn_kwargs=explode_kw,
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).map_batches(tag(1), batch_format="pyarrow"))
+
+    pairs = entries.groupby("part", num_partitions=num_parts).map_groups(
+        make_emit_cross_pairs(cfg.band_group_cap, num_parts),
+        batch_format="pyarrow")
+    gated = pairs.groupby("pair_part", num_partitions=num_parts).map_groups(
+        make_count_gate(cfg.num_min_matches), batch_format="pyarrow")
+
+    if cfg.min_store_length > 0:
+        # toSelf=false keeps only "never short to short"
+        # (MinHashSearch.java:210-212)
+        pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                 ("shared_slots", pa.int64())])
+        side_schema = pa.schema([("iid", pa.int64()),
+                                 ("caption_len", pa.int32())])
+        g = attach_payload(gated, "lo",
+                           query_sk.select_columns(["iid", "caption_len"]),
+                           "iid", ("caption_len",), "lo", num_parts,
+                           pairs_schema=pair_schema, side_schema=side_schema)
+        mid = pa.schema(list(pair_schema) + [pa.field("caption_len_lo",
+                                                      pa.int32())])
+        g = attach_payload(g, "hi",
+                           index_sk.select_columns(["iid", "caption_len"]),
+                           "iid", ("caption_len",), "hi", num_parts,
+                           pairs_schema=mid, side_schema=side_schema)
+        msl = cfg.min_store_length
+
+        def store_gate(batch: pa.Table) -> pa.Table:
+            ll = np.asarray(batch.column("caption_len_lo"), np.int32)
+            lh = np.asarray(batch.column("caption_len_hi"), np.int32)
+            keep = pa.array(~((ll < msl) & (lh < msl)))
+            return pa.table({
+                "lo": batch.column("lo").filter(keep),
+                "hi": batch.column("hi").filter(keep),
+                "shared_slots": batch.column("shared_slots").filter(keep),
+            })
+
+        gated = g.map_batches(store_gate, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # verify needs each side's bottom sketch from ITS OWN table (the
+    # two iid spaces are independent) — attach query side then index
+    # side, query sketch first (the reference verifies
+    # query.getOverlapInfo(matched))
+    pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                             ("shared_slots", pa.int64())])
+    side_schema = pa.schema([("iid", pa.int64()), ("bs_blob", pa.binary())])
+    vj = attach_payload(gated, "lo",
+                        query_sk.select_columns(["iid", "bs_blob"]),
+                        "iid", ("bs_blob",), "lo",
+                        max(2, min(8, num_parts)),
+                        pairs_schema=pair_schema, side_schema=side_schema)
+    mid = pa.schema(list(pair_schema) + [pa.field("bs_blob_lo", pa.binary())])
+    vj = attach_payload(vj, "hi",
+                        index_sk.select_columns(["iid", "bs_blob"]),
+                        "iid", ("bs_blob",), "hi",
+                        max(2, min(8, num_parts)),
+                        pairs_schema=mid, side_schema=side_schema)
+    from mhray.stages.verify import VerifyPairs
+
+    return vj.map_batches(
+        VerifyPairs(cfg), batch_size=cfg.verify_batch_size,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
