@@ -20,8 +20,11 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from mhray.config import PRESETS
 
 
-def _read(sf_dir: str, table: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    # columns= prunes the scan at the parquet reader — unread columns
+    # never leave storage
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
 
 
 def _cast_round(tbl: pa.Table, int_cols=(), scale_cols=None) -> pa.Table:
@@ -144,32 +147,32 @@ def q_events_hourly(sf_dir: str):
 def d_exact_dedup(sf_dir: str):
     from mhray.stages.dedup import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents"))
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def d_jaccard_pairs(sf_dir: str):
     from mhray.stages.dedup import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(_read(sf_dir, "documents"), tau=0.8)
+    out = ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), tau=0.8)
     return out.rename_columns({"lo": "lo_id", "hi": "hi_id"})
 
 
 def d_token_stats(sf_dir: str):
     from mhray.stages.text import token_stats
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         token_stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def d_bpe_token_count(sf_dir: str):
     from mhray.stages.text import bpe_token_count
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         bpe_token_count, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def d_lang_count(sf_dir: str):
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["lang"])
     agg = ds.groupby("lang").aggregate(Count(alias_name="cnt"))
     return agg.map_batches(
         lambda b: pa.table({"lang": b.column("lang"),
@@ -184,27 +187,27 @@ def d_minhash_pairs(sf_dir: str):
     from mhray.stages.dedup import minhash_text_pairs
 
     cfg = PRESETS["captions"].with_(threshold=0.9)
-    out = minhash_text_pairs(_read(sf_dir, "documents"), cfg)
+    out = minhash_text_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), cfg)
     return out.select_columns(["lo", "hi", "shared_slots"])
 
 
 def d_simhash_pairs(sf_dir: str):
     from mhray.stages.dedup import simhash_pairs
 
-    return simhash_pairs(_read(sf_dir, "documents"), max_hamming=4)
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=4)
 
 
 def d_lang_id(sf_dir: str):
     from mhray.stages.text import lang_id
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lang_id, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def d_quality(sf_dir: str):
     from mhray.stages.text import quality_score
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_score, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -212,7 +215,7 @@ def d_fingerprints(sf_dir: str):
     """Winnowed fingerprint count per doc (rows-only: murmur-based)."""
     from mhray.stages.text import winnow_fingerprints
 
-    fps = _read(sf_dir, "documents").map_batches(
+    fps = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         winnow_fingerprints, batch_format="pyarrow", zero_copy_batch=True)
     agg = fps.groupby("doc_id").aggregate(Count(alias_name="n_fp"))
     return agg.map_batches(
@@ -365,7 +368,7 @@ def d_substring_pairs(sf_dir: str):
     verify; rows-only check — LCS is not ANSI-SQL-expressible)."""
     from mhray.stages.substring import substring_pairs
 
-    return substring_pairs(_read(sf_dir, "documents"), min_len=40)
+    return substring_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), min_len=40)
 
 
 def d_incremental_pairs(sf_dir: str):
@@ -380,7 +383,7 @@ def d_incremental_pairs(sf_dir: str):
     from mhray.stages.sketch import sketch_dataset
 
     cfg = PRESETS["captions"].with_(threshold=0.9)
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def part_of(want_new: bool):
         def pick(batch: pa.Table) -> pa.Table:

@@ -6,6 +6,16 @@ Estimates, against a ground-truth pair set:
 - sensitivity (recall): P(found | true pair), sampled from truth pairs
 - PPV (precision): P(true | found pair), sampled from found pairs
 - specificity: P(not found | non-pair), sampled from random non-pairs
+
+Alignment arbitration (EstimateROC.computeDP :746-798, used by
+estimatePPV :871 and fullEstimate :904): when the ground truth is
+fuzzy (real corpora, interval-based truth), a found pair that is NOT
+in the truth set is re-checked by an actual alignment of the two
+texts restricted to the reported overlap region; it counts as a true
+positive if alignment identity > ``min_identity``, aligned length >
+``min_ovl_len``, and the aligned length is within 30% of the reported
+overlap (MIN_OVERLAP_DIFFERENCE :71). Enable by passing ``texts`` (and
+optionally per-pair ``edges``).
 """
 
 from __future__ import annotations
@@ -19,9 +29,63 @@ def _pair_set(tbl: pa.Table) -> set[tuple[str, str]]:
                    tbl.column("hi_id").to_pylist()))
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, row-vectorized (the accumulate trick
+    resolves the in-row gap dependency)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    A = np.frombuffer(a.encode("utf-16-le"), "<u2")
+    B = np.frombuffer(b.encode("utf-16-le"), "<u2")
+    prev = np.arange(len(B) + 1, dtype=np.int64)
+    idx = np.arange(len(B) + 1, dtype=np.int64)
+    for i in range(1, len(A) + 1):
+        cur = np.empty(len(B) + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[:-1] + (B != A[i - 1]), prev[1:] + 1)
+        cur = np.minimum.accumulate(cur - idx) + idx
+        prev = cur
+    return int(prev[-1])
+
+
+def alignment_identity(s1: str, s2: str) -> tuple[float, int]:
+    """(identity, alignment_length): matches/length of a global
+    alignment — the getScore semantics (EstimateROC.java:665-716) with
+    unit gap costs; length = max(len) lower-bounds the alignment."""
+    length = max(len(s1), len(s2))
+    if length == 0:
+        return 1.0, 0
+    d = _levenshtein(s1, s2)
+    return 1.0 - d / length, length
+
+
+def arbitrate_pair(lo_text: str, hi_text: str,
+                   edge: tuple[int, int, int, int] | None,
+                   min_identity: float, min_ovl_len: int) -> bool:
+    """computeDP (:746-798): align the reported overlap regions (whole
+    texts when no edge was reported) and apply the identity + length +
+    30%-overlap-difference acceptance rule."""
+    if edge is not None:
+        a1, a2, b1, b2 = edge
+        s1 = lo_text[a1:a2]
+        s2 = hi_text[b1:b2]
+    else:
+        s1, s2 = lo_text, hi_text
+    ovl_len = min(len(s1), len(s2))
+    if ovl_len == 0:
+        return False
+    score, length = alignment_identity(s1, s2)
+    return (score > min_identity and length > min_ovl_len
+            and 1.0 - length / ovl_len < 0.30)
+
+
 def estimate_roc(truth_pairs: pa.Table, found_pairs: pa.Table,
                  all_ids: list[str], n_trials: int = 10_000,
-                 seed: int = 42) -> dict:
+                 seed: int = 42, texts: dict[str, str] | None = None,
+                 edges: dict[tuple[str, str], tuple] | None = None,
+                 min_identity: float = 0.65,
+                 min_ovl_len: int = 16) -> dict:
     rng = np.random.default_rng(seed)
     truth = _pair_set(truth_pairs)
     found = _pair_set(found_pairs)
@@ -34,11 +98,26 @@ def estimate_roc(truth_pairs: pa.Table, found_pairs: pa.Table,
     else:
         sens = 1.0
 
-    # PPV: sample found pairs, check membership in truth
+    # PPV: sample found pairs, check membership in truth; disputed
+    # pairs go to alignment arbitration when texts are available
     fl = list(found)
+    n_arbitrated = 0
     if fl:
         idx = rng.integers(0, len(fl), size=min(n_trials, 10 * len(fl)))
-        ppv = float(np.mean([fl[i] in truth for i in idx]))
+        hits = 0
+        for i in idx:
+            pair = fl[i]
+            if pair in truth:
+                hits += 1
+            elif texts is not None:
+                lo, hi = pair
+                if lo in texts and hi in texts and arbitrate_pair(
+                        texts[lo], texts[hi],
+                        edges.get(pair) if edges else None,
+                        min_identity, min_ovl_len):
+                    hits += 1
+                    n_arbitrated += 1
+        ppv = hits / len(idx)
     else:
         ppv = 1.0
 
@@ -65,4 +144,5 @@ def estimate_roc(truth_pairs: pa.Table, found_pairs: pa.Table,
         "n_trials": n_trials,
         "n_truth": len(truth),
         "n_found": len(found),
+        "n_arbitrated": n_arbitrated,
     }

@@ -132,7 +132,14 @@ def explode_minhash_packed(batch: pa.Table, num_hashes: int,
     order = np.argsort(part, kind="stable")
     part_s = part[order]
     keys_s = np.ascontiguousarray(keys[order], dtype="<i8")
-    iids_s = np.ascontiguousarray(out_iids[order], dtype="<i8")
+    # ids that fit int32 ship at half width (per-batch decision,
+    # recorded in ``iw``) — 25% less through the widest shuffle; any
+    # 10^12-scale id falls back to int64 automatically
+    narrow = bool(len(iids) == 0
+                  or (iids.min() >= np.iinfo(np.int32).min
+                      and iids.max() <= np.iinfo(np.int32).max))
+    iid_dt = "<i4" if narrow else "<i8"
+    iids_s = np.ascontiguousarray(out_iids[order], dtype=iid_dt)
     starts = np.flatnonzero(np.diff(part_s, prepend=part_s[0] - 1)) \
         if len(part_s) else np.empty(0, np.int64)
     ends = np.append(starts[1:], len(part_s))
@@ -142,11 +149,13 @@ def explode_minhash_packed(batch: pa.Table, num_hashes: int,
                           pa.binary()),
         "iblob": pa.array([iids_s[s:e].tobytes() for s, e in zip(starts, ends)],
                           pa.binary()),
+        "iw": pa.array(np.full(len(starts), 4 if narrow else 8, np.int8),
+                       pa.int8()),
     })
 
 
-def binary_concat_i64(col) -> np.ndarray:
-    """Concatenate every value of a binary column into one int64 array
+def _binary_concat(col, dtype) -> np.ndarray:
+    """Concatenate every value of a binary column into one typed array
     (zero-copy per chunk: values are contiguous in the data buffer)."""
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     parts = []
@@ -156,10 +165,36 @@ def binary_concat_i64(col) -> np.ndarray:
         offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)[
             ch.offset:ch.offset + len(ch) + 1]
         data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
-        parts.append(data[offs[0]:offs[-1]].view("<i8"))
+        parts.append(data[offs[0]:offs[-1]].view(dtype))
     if not parts:
-        return np.empty(0, np.int64)
+        return np.empty(0, dtype)
     return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def binary_concat_i64(col) -> np.ndarray:
+    return _binary_concat(col, "<i8")
+
+
+def unpack_entries(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Packed explode rows -> aligned (keys, iids) int64 arrays,
+    honoring the per-row ``iw`` iid width (entry order is arbitrary —
+    consumers re-sort by key)."""
+    if "iw" not in tbl.column_names:
+        return (binary_concat_i64(tbl.column("kblob")),
+                binary_concat_i64(tbl.column("iblob")))
+    iw = np.asarray(tbl.column("iw"), dtype=np.int8)
+    ks, vs = [], []
+    for w, dt in ((4, "<i4"), (8, "<i8")):
+        sel = iw == w
+        if not sel.any():
+            continue
+        sub = tbl.filter(pa.array(sel))
+        ks.append(binary_concat_i64(sub.column("kblob")))
+        vals = _binary_concat(sub.column("iblob"), dt)
+        vs.append(vals.astype(np.int64) if w == 4 else vals)
+    if not ks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ks), np.concatenate(vs)
 
 
 def make_emit_pairs_packed(cap: int, num_parts: int | None = None):
@@ -168,8 +203,7 @@ def make_emit_pairs_packed(cap: int, num_parts: int | None = None):
     partition-local partial counts as ``make_emit_pairs``."""
 
     def emit_pairs_packed(part: pa.Table) -> pa.Table:
-        keys = binary_concat_i64(part.column("kblob"))
-        iids = binary_concat_i64(part.column("iblob"))
+        keys, iids = unpack_entries(part)
         lo, hi, capped, dropped = _pairs_within_groups(keys, iids, cap)
         if dropped:
             print(f"[mhray] candidate group cap: dropped {dropped} ids in one partition")

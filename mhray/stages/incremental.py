@@ -29,9 +29,8 @@ import ray.data
 
 from mhray.config import MhapConfig
 from mhray.stages.candidates import (_pair_part, auto_parts,
-                                     binary_concat_i64,
                                      explode_minhash_packed,
-                                     make_count_gate)
+                                     make_count_gate, unpack_entries)
 
 _PAIR_SCHEMA = pa.schema([
     ("lo", pa.int64()), ("hi", pa.int64()), ("partial_count", pa.int64()),
@@ -52,10 +51,8 @@ def make_emit_cross_pairs(cap: int, num_parts: int):
         it = part.filter(pa.array(role == 1))
         if qt.num_rows == 0 or it.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
-        qk = binary_concat_i64(qt.column("kblob"))
-        qi = binary_concat_i64(qt.column("iblob"))
-        ik = binary_concat_i64(it.column("kblob"))
-        ii = binary_concat_i64(it.column("iblob"))
+        qk, qi = unpack_entries(qt)
+        ik, ii = unpack_entries(it)
 
         def grouped(keys, iids):
             order = np.lexsort((iids, keys))

@@ -165,14 +165,15 @@ def sketch_dataset(images_ds, cfg: MhapConfig, freq_ref=None,
     if concurrency is None:
         import ray
 
-        # autoscaling actor pool capped BELOW the cluster CPU count so
-        # downstream operators (write, shuffle aggregators) keep CPUs —
+        # FIXED pool capped BELOW the cluster CPU count: 2 CPUs stay
+        # free for downstream operators (write, shuffle aggregators) —
         # a fixed pool equal to the CPU count deadlocks the stream.
-        # min = half the cap: a cold pool ramping from 1 actor wastes
-        # the first seconds of every run
+        # Fixed (hi, hi) beats autoscaling (hi//2, hi): measured 40%
+        # faster on a 500k-row corpus — the ramp from the min never
+        # reaches the cap before the stage drains
         cpus = int(ray.cluster_resources().get("CPU", 4))
         hi = max(2, cpus - 2)
-        concurrency = (max(1, hi // 2), hi)
+        concurrency = (hi, hi)
     return images_ds.map_batches(
         SketchStage,
         fn_constructor_kwargs={

@@ -63,7 +63,8 @@ ORACLE_CHECKED = [
     "ev_sessionize", "ev_top_event_per_type",
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs", "d_lang_id", "d_quality",
-             "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs"]
+             "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
+             "d_incremental_pairs"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)

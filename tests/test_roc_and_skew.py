@@ -78,3 +78,50 @@ def test_skew_boilerplate_does_not_explode(skew_corpus, ray_session,
     boiler_pairs = [p for p in pairs
                     if p["lo_id"] in hot_ids and p["hi_id"] in hot_ids]
     assert not boiler_pairs, boiler_pairs[:5]
+
+
+def test_levenshtein_matches_bruteforce():
+    import random
+
+    from mhray.roc import _levenshtein
+
+    def brute(a, b):
+        m, n = len(a), len(b)
+        d = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m + 1):
+            d[i][0] = i
+        for j in range(n + 1):
+            d[0][j] = j
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return d[m][n]
+
+    rng = random.Random(9)
+    for _ in range(100):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 30)))
+        assert _levenshtein(a, b) == brute(a, b), (a, b)
+
+
+def test_ppv_alignment_arbitration():
+    """computeDP semantics (EstimateROC.java:746-798 + :871): a found
+    pair absent from the fuzzy truth but genuinely near-identical is
+    arbitrated TRUE by alignment; a junk pair stays false."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base.replace("quick", "quik")  # ~1% edits
+    junk = "completely unrelated text about something else entirely ok"
+
+    texts = {"a": base, "b": near, "c": junk, "d": base}
+    truth = pa.table({"lo_id": ["a"], "hi_id": ["d"]})
+    found = pa.table({"lo_id": ["a", "a", "a"],
+                      "hi_id": ["d", "b", "c"]})
+
+    no_arb = estimate_roc(truth, found, list(texts), n_trials=3000)
+    arb = estimate_roc(truth, found, list(texts), n_trials=3000,
+                       texts=texts)
+    # (a,b) flips to TP under arbitration; (a,c) must not
+    assert arb["ppv"] > no_arb["ppv"]
+    assert arb["n_arbitrated"] > 0
+    assert arb["ppv"] < 1.0  # the junk pair stays a false positive
