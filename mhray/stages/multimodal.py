@@ -1,11 +1,13 @@
 """Multimodal payload stages: image / audio / video columns handled as
 opaque binary + typed metadata, processed by actor-pool map_batches.
 
-The container ships no media libraries, so decode paths beyond the
-built-in ppm/png subset are STUBS (deterministic fakes or
-NotImplementedError) — the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested, and a real codec
-drops into the same seam on a production cluster.
+REAL decode paths (no external libs): images ppm/png
+(mhray.imageops), audio PCM WAV (stdlib ``wave`` + numpy FFT
+features), video 'ppmv' (concatenated P6 frames; sampling + per-frame
+pHash). Every OTHER codec is a declared STUB (deterministic fake
+flagged ``stub=true``, or NotImplementedError under ``strict``) — the
+Ray-side plumbing is identical, so a production codec drops into the
+same seam.
 
 Batch sizing note: media rows are wide (binary payloads), so these
 stages default to SMALL batch sizes — batch_size * concurrency * row
@@ -95,24 +97,84 @@ class ImageResizeStage:
         })
 
 
-class AudioFeatureStage:
-    """STUB: audio decode is unavailable in this container. The stage
-    validates the schema contract (audio_id, bytes, fmt, sr) and emits a
-    deterministic fake embedding derived from the payload hash so the
-    downstream plumbing (schema, partitioning) is exercised."""
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (mono float64 samples in [-1, 1], sample_rate).
+    Stdlib ``wave`` + numpy — a REAL decode path, no external libs."""
+    import io
+    import wave
 
-    def __init__(self, dim: int = 8, strict: bool = False):
-        self.dim = dim
+    with wave.open(io.BytesIO(b)) as w:
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        sr = w.getframerate()
+        frames = w.readframes(n)
+    if sw == 1:
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def audio_features(x: np.ndarray, sr: int, n_bands: int = 8) -> np.ndarray:
+    """(2 + 2 + n_bands) feature vector: duration, rms, zero-crossing
+    rate, spectral centroid, log band energies over an FFT of the
+    (truncated) signal — all numpy."""
+    dur = len(x) / max(1, sr)
+    rms = float(np.sqrt(np.mean(x ** 2))) if len(x) else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    seg = x[: 1 << 16]
+    if len(seg):
+        spec = np.abs(np.fft.rfft(seg))
+        freqs = np.fft.rfftfreq(len(seg), d=1.0 / max(1, sr))
+        centroid = float((freqs * spec).sum() / spec.sum()) if spec.sum() else 0.0
+        bands = np.array_split(spec ** 2, n_bands)
+        band_e = np.array([np.log1p(b.sum()) for b in bands])
+    else:
+        centroid = 0.0
+        band_e = np.zeros(n_bands)
+    return np.concatenate(([dur, rms, zcr, centroid], band_e)).astype(np.float32)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: REAL decode + features for PCM WAV (stdlib
+    ``wave`` + numpy FFT: duration/rms/zcr/centroid/band energies);
+    other formats remain a declared STUB (deterministic payload-hash
+    fake, flagged ``stub=true``; ``strict=True`` raises instead)."""
+
+    def __init__(self, n_bands: int = 8, strict: bool = False):
+        self.n_bands = n_bands
+        self.dim = 4 + n_bands
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "audio decode requires external libs not present here")
         raw = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist() \
+            if "fmt" in batch.column_names else ["wav"] * len(raw)
         ids = batch.column(batch.column_names[0])
         feats = np.zeros((len(raw), self.dim), dtype=np.float32)
+        stub = np.ones(len(raw), dtype=bool)
         for i, b in enumerate(raw):
+            if fmts[i] == "wav":
+                try:
+                    x, sr = decode_wav(bytes(b))
+                    feats[i] = audio_features(x, sr, self.n_bands)
+                    stub[i] = False
+                    continue
+                except Exception:
+                    if self.strict:
+                        raise
+            if self.strict:
+                raise NotImplementedError(
+                    f"audio decode for {fmts[i]!r} requires external libs "
+                    "not present here")
             h = np.frombuffer(
                 np.uint64(abs(hash(bytes(b[:64])))).tobytes() * self.dim,
                 dtype=np.uint8)[: self.dim]
@@ -120,33 +182,96 @@ class AudioFeatureStage:
         return pa.table({
             "id": ids,
             "audio_embedding": pa.array(list(feats), pa.list_(pa.float32())),
-            "stub": pa.array(np.ones(len(raw), dtype=bool)),
+            "stub": pa.array(stub),
         })
 
 
+def split_ppmv(b: bytes) -> list[bytes]:
+    """'ppmv' container = concatenated binary PPM (P6) frames; returns
+    the per-frame byte slices (pure parsing, no copies of pixel data
+    beyond the slices)."""
+    frames = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        if b[pos:pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at {pos}")
+        # header: P6 <w> <h> <maxval>\n with arbitrary whitespace
+        fields = []
+        cur = pos + 2
+        while len(fields) < 3:
+            while cur < n and b[cur] in b" \t\r\n":
+                cur += 1
+            if cur < n and b[cur:cur + 1] == b"#":  # comment line
+                while cur < n and b[cur] not in b"\r\n":
+                    cur += 1
+                continue
+            start = cur
+            while cur < n and b[cur] not in b" \t\r\n":
+                cur += 1
+            fields.append(int(b[start:cur]))
+        cur += 1  # single whitespace after maxval
+        w, h, _ = fields
+        end = cur + w * h * 3
+        if end > n:
+            raise ValueError("truncated frame")
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
 class VideoFrameSampleStage:
-    """STUB: frame sampling contract — emits (video_id, frame_index)
-    rows for every requested sample position without decoding (the
-    real implementation replaces ``_sample`` only)."""
+    """Actor-pool stage: REAL frame sampling for the 'ppmv' container
+    (concatenated P6 frames — parse, pick ``n_frames`` evenly spaced,
+    decode each, emit (video_id, frame_index, phash, w, h)); any other
+    format remains a declared STUB emitting index-only rows
+    (``stub=true``; ``strict=True`` raises)."""
 
     def __init__(self, n_frames: int = 4, strict: bool = False):
         self.n_frames = n_frames
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "video decode requires external libs not present here")
         ids = batch.column(batch.column_names[0]).to_pylist()
-        out_id, out_frame = [], []
-        for vid in ids:
+        raw = batch.column("bytes").to_pylist() \
+            if "bytes" in batch.column_names else [b""] * len(ids)
+        fmts = batch.column("fmt").to_pylist() \
+            if "fmt" in batch.column_names else ["ppmv"] * len(ids)
+        out = {"video_id": [], "frame_index": [], "phash": [],
+               "w": [], "h": [], "stub": []}
+        for vid, b, fmt in zip(ids, raw, fmts):
+            if fmt == "ppmv" and b:
+                frames = split_ppmv(bytes(b))
+                take = np.unique(np.linspace(
+                    0, len(frames) - 1, min(self.n_frames, len(frames)),
+                    dtype=np.int64))
+                for fi in take:
+                    img = decode_image(frames[int(fi)], "ppm")
+                    out["video_id"].append(vid)
+                    out["frame_index"].append(int(fi))
+                    out["phash"].append(int(phash64(img)))
+                    out["w"].append(img.shape[1])
+                    out["h"].append(img.shape[0])
+                    out["stub"].append(False)
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    f"video decode for {fmt!r} requires external libs "
+                    "not present here")
             for f in range(self.n_frames):
-                out_id.append(vid)
-                out_frame.append(f)
+                out["video_id"].append(vid)
+                out["frame_index"].append(f)
+                out["phash"].append(0)
+                out["w"].append(0)
+                out["h"].append(0)
+                out["stub"].append(True)
         return pa.table({
-            "video_id": pa.array(out_id),
-            "frame_index": pa.array(out_frame, pa.int32()),
-            "stub": pa.array([True] * len(out_id)),
+            "video_id": pa.array(out["video_id"]),
+            "frame_index": pa.array(out["frame_index"], pa.int32()),
+            "phash": pa.array(out["phash"], pa.int64()),
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+            "stub": pa.array(out["stub"]),
         })
 
 

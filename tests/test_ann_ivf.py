@@ -18,3 +18,29 @@ def test_ivf_recall_vs_brute(ray_session):
     assert recall >= 0.5, recall
     # every query answered
     assert len({q for q, _ in ivf}) == 10
+
+
+def test_ivf_recall_on_clustered_sorted_corpus(ray_session):
+    """Centroid seeding must survive a corpus SORTED by cluster: with
+    order-biased seeding (first blocks) the coarse quantizer would
+    collapse onto the first labels and recall degrades silently; the
+    hash-based uniform sample must keep recall up."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mhray.stages.ann import ivf_knn, knn_brute
+
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    order = pa.compute.sort_indices(
+        tbl, sort_keys=[("label", "ascending"), ("vec_id", "ascending")])
+    ds = ray.data.from_arrow(tbl.take(order)).repartition(8)
+
+    qs = list(range(10))
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in knn_brute(ds, qs, k=5).take_all()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_knn(ds, qs, k=5, n_cells=8, nprobe=4).take_all()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, recall
+    assert len({q for q, _ in ivf}) == len(qs)

@@ -130,21 +130,71 @@ def test_image_resize_stage(small_corpus, ray_session):
     assert img.shape == (16, 16, 3)
 
 
-def test_audio_video_stubs():
-    from mhray.stages.multimodal import AudioFeatureStage, VideoFrameSampleStage
+def _make_wav(freq=440.0, sr=8000, secs=0.25, amp=0.5):
+    import io
+    import wave
 
-    batch = pa.table({"id": ["a1"], "bytes": [b"\x00" * 100], "fmt": ["wav"]})
-    out = AudioFeatureStage(dim=4)(batch)
-    assert out.column("stub").to_pylist() == [True]
-    assert len(out.column("audio_embedding")[0].as_py()) == 4
-    with pytest.raises(NotImplementedError):
-        AudioFeatureStage(strict=True)(batch)
+    import numpy as np
 
-    vb = pa.table({"video_id": ["v1", "v2"]})
-    frames = VideoFrameSampleStage(n_frames=3)(vb)
-    assert frames.num_rows == 6
+    t = np.arange(int(sr * secs)) / sr
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_real_wav_decode():
+    from mhray.stages.multimodal import AudioFeatureStage, decode_wav
+
+    wav = _make_wav(freq=440.0)
+    x, sr = decode_wav(wav)
+    assert sr == 8000 and len(x) == 2000
+    assert abs(float(np.sqrt(np.mean(x ** 2))) - 0.5 / np.sqrt(2)) < 0.01
+
+    batch = pa.table({"id": ["a1", "a2"],
+                      "bytes": [wav, _make_wav(freq=1200.0)],
+                      "fmt": ["wav", "wav"]})
+    out = AudioFeatureStage(n_bands=8)(batch)
+    assert out.column("stub").to_pylist() == [False, False]
+    e1 = out.column("audio_embedding")[0].as_py()
+    e2 = out.column("audio_embedding")[1].as_py()
+    assert len(e1) == 12
+    assert e2[3] > e1[3]  # higher tone -> higher spectral centroid
+
+    # non-wav formats stay declared stubs
+    mp3 = pa.table({"id": ["m"], "bytes": [b"\x00" * 64], "fmt": ["mp3"]})
+    assert AudioFeatureStage()(mp3).column("stub").to_pylist() == [True]
     with pytest.raises(NotImplementedError):
-        VideoFrameSampleStage(strict=True)(vb)
+        AudioFeatureStage(strict=True)(mp3)
+
+
+def test_video_ppmv_frame_sampling():
+    from mhray.imageops import encode_image
+    from mhray.stages.multimodal import VideoFrameSampleStage, split_ppmv
+
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+              for _ in range(10)]
+    blob = b"".join(encode_image(f, "ppm") for f in frames)
+    assert len(split_ppmv(blob)) == 10
+
+    vb = pa.table({"video_id": ["v1"], "bytes": [blob], "fmt": ["ppmv"]})
+    out = VideoFrameSampleStage(n_frames=4)(vb)
+    assert out.num_rows == 4
+    assert out.column("stub").to_pylist() == [False] * 4
+    assert out.column("frame_index").to_pylist() == [0, 3, 6, 9]
+    assert all(w == 8 for w in out.column("w").to_pylist())
+
+    # unknown container stays a declared stub
+    vb2 = pa.table({"video_id": ["v2"], "bytes": [b"riff"], "fmt": ["mp4"]})
+    stub = VideoFrameSampleStage(n_frames=3)(vb2)
+    assert stub.num_rows == 3 and all(stub.column("stub").to_pylist())
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True)(vb2)
 
 
 # ---------------------------------------------------------------------------
