@@ -45,6 +45,12 @@ def _cast_round(tbl: pa.Table, int_cols=(), scale_cols=None) -> pa.Table:
     return pa.table(cols)
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """DuckDB ROUND semantics (half away from zero) — np.round is
+    half-to-even and flips scaled-integer hashes on .5 boundaries."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
     for c, nd in cols.items():
         i = tbl.column_names.index(c)
@@ -478,6 +484,181 @@ def ev_top_event_per_type(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_percentiles(sf_dir: str):
+    """Per-group exact percentiles (linear interpolation — the A7
+    distribution-summary operator): p25/p50/p75 of extendedprice per
+    returnflag, as a per-group map_groups over a pruned scan."""
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_extendedprice"])
+
+    def pct(group: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(group.column("l_extendedprice"),
+                               dtype=np.float64))
+        flag = group.column("l_returnflag")[0].as_py()
+        # DuckDB quantile_cont interpolation: lo*(1-frac) + hi*frac —
+        # bit-identical ulps matter, a .5 scaled boundary flips the
+        # hash (np.percentile's switched lerp AND the lo+f*(hi-lo)
+        # form both disagree in the last ulp)
+        n = len(v)
+        p = np.empty(3)
+        for k, q in enumerate((0.25, 0.50, 0.75)):
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            f = h - lo
+            p[k] = v[lo] * (1 - f) + v[hi] * f
+        scaled = _round_half_away(p * 100)
+        return pa.table({
+            "l_returnflag": pa.array([flag]),
+            "p25": pa.array([scaled[0]], pa.int64()),
+            "p50": pa.array([scaled[1]], pa.int64()),
+            "p75": pa.array([scaled[2]], pa.int64()),
+        })
+
+    return li.groupby("l_returnflag").map_groups(pct, batch_format="pyarrow")
+
+
+def q_corr(sf_dir: str):
+    """Per-group Pearson correlation (F10 regression/corr): partial
+    moment sums per batch (combiner), one tiny groupby, closed-form
+    finish — nothing but the 6 running sums ever shuffles."""
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_pylist()
+        x = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+        y = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        uf, inv = np.unique(np.asarray(flags), return_inverse=True)
+        out = {"l_returnflag": [], "n": [], "sx": [], "sy": [],
+               "sxx": [], "syy": [], "sxy": []}
+        for gi, f in enumerate(uf):
+            m = inv == gi
+            out["l_returnflag"].append(str(f))
+            out["n"].append(int(m.sum()))
+            out["sx"].append(float(x[m].sum()))
+            out["sy"].append(float(y[m].sum()))
+            out["sxx"].append(float((x[m] * x[m]).sum()))
+            out["syy"].append(float((y[m] * y[m]).sum()))
+            out["sxy"].append(float((x[m] * y[m]).sum()))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby("l_returnflag").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.float64)
+        sx = np.asarray(batch.column("sx"))
+        sy = np.asarray(batch.column("sy"))
+        sxx = np.asarray(batch.column("sxx"))
+        syy = np.asarray(batch.column("syy"))
+        sxy = np.asarray(batch.column("sxy"))
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        corr = cov / np.sqrt(vx * vy)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "corr_scaled": pa.array(_round_half_away(corr * 10_000),
+                                    pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-width value histogram over events (A6 histogram stats):
+    bucket inside map_batches, grouped count."""
+    ev = _read(sf_dir, "events").select_columns(["value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        return pa.table({
+            "bucket": pa.array(np.floor(v / 10.0).astype(np.int64), pa.int64()),
+        })
+
+    agg = ev.map_batches(bucket, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("bucket").aggregate(Count(alias_name="cnt"))
+    return agg.map_batches(
+        lambda b: pa.table({"bucket": b.column("bucket"),
+                            "cnt": b.column("cnt").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_distinct_per_group(sf_dir: str):
+    """COUNT(DISTINCT) per group: per-batch local dedup (combiner)
+    shrinks the shuffle to unique (flag, part) pairs, then a per-flag
+    exact unique count."""
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_partkey"])
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+
+    def count_unique(group: pa.Table) -> pa.Table:
+        keys = np.asarray(group.column("l_partkey"), dtype=np.int64)
+        return pa.table({
+            "l_returnflag": pa.array([group.column("l_returnflag")[0].as_py()]),
+            "n_parts": pa.array([len(np.unique(keys))], pa.int64()),
+        })
+
+    return li.map_batches(local_unique, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("l_returnflag").map_groups(count_unique,
+                                            batch_format="pyarrow")
+
+
+def ev_moving_avg(sf_dir: str):
+    """Per-key ordered sliding-window aggregate (3-event moving average
+    over each user's event stream) — the windowed-aggregate operator as
+    a user-hash-partitioned map_groups with vectorized shifts."""
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+
+    def mov(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()))
+        v = np.asarray(group.column("value"), dtype=np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        new_user = np.ones(len(uid), dtype=bool)
+        new_user[1:] = np.diff(uid) != 0
+        starts = np.flatnonzero(new_user)
+        pos = np.arange(len(uid)) - np.repeat(starts, np.diff(
+            np.append(starts, len(uid))))
+        s1 = np.zeros_like(v)
+        s1[1:] = v[:-1]
+        s2 = np.zeros_like(v)
+        s2[2:] = v[:-2]
+        # left-to-right 3-value sum, window clipped at the user start
+        total = np.where(pos >= 2, (s2 + s1) + v,
+                         np.where(pos >= 1, s1 + v, v))
+        denom = np.minimum(pos + 1, 3).astype(np.float64)
+        avg = total / denom
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "mov_avg": pa.array(_round_half_away(avg * 100),
+                                pa.int64()),
+        })
+
+    from mhray.stages.candidates import _part_of
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        return batch.append_column("upart",
+                                   pa.array(_part_of(uid, 8), pa.int32()))
+
+    return ev.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("upart").map_groups(mov, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -512,6 +693,11 @@ QUERIES = {
     "ev_top_event_per_type": ev_top_event_per_type,
     "d_substring_pairs": d_substring_pairs,
     "d_incremental_pairs": d_incremental_pairs,
+    "q_percentiles": q_percentiles,
+    "q_corr": q_corr,
+    "q_histogram": q_histogram,
+    "q_distinct_per_group": q_distinct_per_group,
+    "ev_moving_avg": ev_moving_avg,
 }
 
 ORACLE_SQL = {
@@ -651,8 +837,40 @@ ORACLE_SQL = {
             FROM events
         ) WHERE rn = 1
     """,
+    "q_percentiles": """
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.25) * 100, 0) AS BIGINT) AS p25,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.50) * 100, 0) AS BIGINT) AS p50,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.75) * 100, 0) AS BIGINT) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_corr": """
+        SELECT l_returnflag,
+               CAST(ROUND(corr(l_quantity, l_extendedprice) * 10000, 0) AS BIGINT)
+                   AS corr_scaled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_histogram": """
+        SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY bucket
+    """,
+    "q_distinct_per_group": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "ev_moving_avg": """
+        SELECT user_id, event_id,
+               CAST(ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100, 0) AS BIGINT)
+                   AS mov_avg
+        FROM events
+    """,
     # d_minhash_pairs / d_simhash_pairs / d_lang_id / d_quality /
-    # d_fingerprints / e_dup_lsh / d_substring_pairs: custom-hash /
-    # heuristic operators with no faithful ANSI-SQL equivalent ->
-    # rows-only driver check.
+    # d_fingerprints / e_dup_lsh / e_knn_ivf / d_substring_pairs /
+    # d_incremental_pairs: custom-hash / heuristic / approximate
+    # operators with no faithful ANSI-SQL equivalent -> rows-only
+    # driver check.
 }

@@ -61,6 +61,8 @@ ORACLE_CHECKED = [
     "e_knn_brute", "e_dup_cosine", "q_semi_join", "q_anti_join",
     "q_distinct_parts", "q_union_names", "ev_user_topk",
     "ev_sessionize", "ev_top_event_per_type",
+    "q_percentiles", "q_corr", "q_histogram", "q_distinct_per_group",
+    "ev_moving_avg",
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs", "d_lang_id", "d_quality",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
