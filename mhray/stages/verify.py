@@ -122,6 +122,14 @@ def verify_candidates(pairs_ds, sketches_ds, cfg: MhapConfig,
     # candidate-pair tables are small relative to the corpus; fewer join
     # partitions = fewer aggregator actors to spin up
     num_partitions = max(2, min(8, num_partitions))
+    # the count-gate groupby emits few blocks; the verify map runs one
+    # task per block, so re-split the (narrow) pair table FIRST —
+    # 2 blocks per CPU keeps every core busy through the per-pair
+    # kernel, and only (lo, hi, count) rows move
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    pairs_ds = pairs_ds.repartition(max(16, 2 * cpus))
     if cfg.bit_prefilter:
         # F5 pre-filter: the 1-bit/slot signature (64x smaller than the
         # bottom sketch) rides the attach first; pairs whose cheap
