@@ -252,37 +252,19 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                 cfg.phash_bands, cfg.phash_band_bits, num_parts),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        p_pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
-            make_emit_pairs(cfg.band_group_cap, with_payload=True,
-                            payload_cols=("phash",)),
-            batch_format="pyarrow")
+        # Hamming gate fused INTO the band-bucket emission: random
+        # 16-bit band collisions (millions of junk pairs at scale) die
+        # before any row leaves the partition; only gated distinct-
+        # pHash pairs reach the dedupe shuffle
+        from mhray.stages.candidates import make_emit_phash_pairs
 
-        def ham_gate(batch: pa.Table) -> pa.Table:
-            a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
-            b = np.asarray(batch.column("phash_hi"), dtype=np.int64)
-            ham = hamming64(a, b).astype(np.int32)
-            keep = pa.array((ham <= cfg.phash_max_hamming) & (a != b))
-            return pa.table({
-                "plo": batch.column("lo").filter(keep),
-                "phi": batch.column("hi").filter(keep),
-                "hamming": pa.array(ham[np.asarray(keep)], pa.int32()),
-            })
-
-        gated = p_pairs.map_batches(ham_gate, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-        # dedupe the same (plo, phi) found via multiple bands
-        def pp_part(batch: pa.Table) -> pa.Table:
-            lo = np.asarray(batch.column("plo"), np.int64)
-            hi = np.asarray(batch.column("phi"), np.int64)
-            return pa.table({
-                "pair_part": pa.array(_pair_part(lo, hi, num_parts), pa.int32()),
-                "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
-                "hamming": batch.column("hamming"),
-            })
-
-        pp = gated.map_batches(pp_part, batch_format="pyarrow") \
-            .groupby("pair_part", num_partitions=num_parts).map_groups(make_pair_min("hamming"),
-                                             batch_format="pyarrow")
+        pp = bands.groupby("part", num_partitions=num_parts).map_groups(
+            make_emit_phash_pairs(cfg.band_group_cap,
+                                  cfg.phash_max_hamming, num_parts,
+                                  exclude_equal=True),
+            batch_format="pyarrow") \
+            .groupby("pair_part", num_partitions=num_parts).map_groups(
+                make_pair_min("hamming"), batch_format="pyarrow")
 
         g_schema = pa.schema([("phash", pa.int64()), ("members", pa.binary()),
                               ("n", pa.int32())])

@@ -366,6 +366,54 @@ def make_emit_pairs(cap: int, with_payload: bool = False,
     return emit_pairs
 
 
+def make_emit_phash_pairs(cap: int, max_hamming: int, num_parts: int,
+                          exclude_equal: bool = False):
+    """map_groups(part) fn for pHash band buckets: emit intra-group
+    (lo, hi) pairs and apply the Hamming gate IN the same call —
+    random band collisions (the quadratic term at scale) die before
+    any row leaves the partition, instead of shipping millions of
+    junk pairs into a dedupe shuffle. Output: gated unique-per-
+    partition pairs with their hamming and a pair_part key."""
+    from mhray.kernels import hamming64
+
+    def emit_gated(part: pa.Table) -> pa.Table:
+        keys = np.asarray(part.column("key"), dtype=np.int64)
+        iids = np.asarray(part.column("iid"), dtype=np.int64)
+        payload = np.stack([
+            np.asarray(part.column("phash"), dtype=np.int64)], axis=1)
+        lo, hi, capped, dropped, plo, phi = _pairs_within_groups(
+            keys, iids, cap, payload)
+        if dropped:
+            print(f"[mhray] candidate group cap: dropped {dropped} ids in one partition")
+        if len(lo) == 0:
+            return pa.table({
+                "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+                "pair_part": pa.array([], pa.int32()),
+            })
+        ham = hamming64(plo[:, 0], phi[:, 0]).astype(np.int32)
+        keep = ham <= max_hamming
+        if exclude_equal:  # distinct-pHash mode: equal handled upstream
+            keep &= plo[:, 0] != phi[:, 0]
+        lo, hi, ham = lo[keep], hi[keep], ham[keep]
+        # partition-local dedupe (same pair via several bands)
+        order = np.lexsort((ham, hi, lo))
+        lo_s, hi_s, ham_s = lo[order], hi[order], ham[order]
+        first = np.ones(len(lo_s), dtype=bool)
+        if len(lo_s) > 1:
+            first[1:] = (np.diff(lo_s) != 0) | (np.diff(hi_s) != 0)
+        lo_s, hi_s, ham_s = lo_s[first], hi_s[first], ham_s[first]
+        return pa.table({
+            "lo": pa.array(lo_s, pa.int64()),
+            "hi": pa.array(hi_s, pa.int64()),
+            "hamming": pa.array(ham_s, pa.int32()),
+            "pair_part": pa.array(_pair_part(lo_s, hi_s, num_parts),
+                                  pa.int32()),
+        })
+
+    return emit_gated
+
+
 def make_count_gate(min_matches: int):
     """groupby(pair_part).map_groups fn: total the per-partition partial
     counts of each (lo, hi) pair and gate on min_matches — the
@@ -482,41 +530,18 @@ def minhash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
 
 def phash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
     """sketches -> image-axis pairs (lo, hi, hamming) gated on Hamming
-    distance, deduplicated across bands."""
-    from mhray.kernels import hamming64
-
+    distance INSIDE the band partition (junk band collisions never
+    leave it), deduplicated across bands by one pair-keyed shuffle."""
     bands = sketches_ds.map_batches(
         explode_phash_bands,
         fn_kwargs={"n_bands": cfg.phash_bands, "band_bits": cfg.phash_band_bits,
                    "num_parts": num_parts},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
-        make_emit_pairs(cfg.band_group_cap, with_payload=True), batch_format="pyarrow"
-    )
-
-    def gate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.select(["lo", "hi"]).append_column(
-                "hamming", pa.array([], pa.int32()))
-        a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
-        b = np.asarray(batch.column("phash_hi"), dtype=np.int64)
-        ham = hamming64(a, b).astype(np.int32)
-        keep = ham <= cfg.phash_max_hamming
-        return pa.table({
-            "lo": pc.array_filter(batch.column("lo"), pa.array(keep)),
-            "hi": pc.array_filter(batch.column("hi"), pa.array(keep)),
-            "hamming": pa.array(ham[keep], pa.int32()),
-        })
-
-    gated = pairs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column("pair_part", pa.array(_pair_part(
-            np.asarray(batch.column("lo"), np.int64),
-            np.asarray(batch.column("hi"), np.int64), num_parts), pa.int32()))
-
+    gated = bands.groupby("part", num_partitions=num_parts).map_groups(
+        make_emit_phash_pairs(cfg.band_group_cap, cfg.phash_max_hamming,
+                              num_parts),
+        batch_format="pyarrow")
     # dedupe the same pair found via multiple bands
-    return gated.map_batches(add_pair_part, batch_format="pyarrow") \
-        .groupby("pair_part", num_partitions=num_parts).map_groups(make_pair_min("hamming"),
-                                         batch_format="pyarrow")
+    return gated.groupby("pair_part", num_partitions=num_parts).map_groups(
+        make_pair_min("hamming"), batch_format="pyarrow")
