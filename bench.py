@@ -98,9 +98,15 @@ def run_headline(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
     out_dir = f"/tmp/mhray_bench_out_{num_cpus}_{time.time_ns()}"
     cfg = PRESETS["captions"]
     t0 = time.time()
+    # persist=True measured FASTER than the object-store-only path
+    # (persist=False): s1 is consumed by s2+s3+s4, and each re-read
+    # from parquet prunes to the columns that stage needs, while a
+    # materialized Dataset re-ships the full wide blocks from the
+    # object store on every consumer. The checkpoint write pays for
+    # itself — and the benched pipeline is the resumable one.
     res = run_dedup(os.path.join(d, "images"), out_dir, cfg,
                     decode_pixels=True, num_parts=min(32, num_cpus),
-                    resume=False, persist=False)
+                    resume=False)
     n_pairs = res["pairs"].count()
     n_clusters = res["clusters"].count()
     elapsed = time.time() - t0

@@ -463,17 +463,17 @@ def ev_top_event_per_type(sf_dir: str):
     def top1(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("value"), dtype=np.float64)
         eid = np.asarray(batch.column("event_id"), dtype=np.int64)
-        et = batch.column("event_type").to_pylist()
-        best: dict[str, tuple] = {}
-        for i in range(len(v)):
-            key = (-v[i], eid[i])
-            cur = best.get(et[i])
-            if cur is None or key < cur:
-                best[et[i]] = key
+        et = np.asarray(batch.column("event_type").to_pylist())
+        # first row per type after sorting (type, -value, id) = winner
+        order = np.lexsort((eid, -v, et))
+        et_s = et[order]
+        first = np.ones(len(et_s), dtype=bool)
+        first[1:] = et_s[1:] != et_s[:-1]
+        idx = pa.array(order[first], pa.int64())
         return pa.table({
-            "event_type": pa.array(list(best.keys()), pa.string()),
-            "event_id": pa.array([int(k[1]) for k in best.values()], pa.int64()),
-            "value": pa.array([-k[0] for k in best.values()], pa.float64()),
+            "event_type": batch.column("event_type").take(idx),
+            "event_id": batch.column("event_id").take(idx).cast(pa.int64()),
+            "value": batch.column("value").take(idx).cast(pa.float64()),
         })
 
     partial = ev.map_batches(top1, batch_format="pyarrow", zero_copy_batch=True)

@@ -186,7 +186,13 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
         for i in range(n):
             a = _blob_tokens(lo_b[i])
             b = _blob_tokens(hi_b[i])
-            inter = len(np.intersect1d(a, b, assume_unique=True))
+            # both sides are sorted unique token sets: one merge probe
+            # instead of intersect1d's concat+sort
+            if len(a) and len(b):
+                pos = np.minimum(np.searchsorted(b, a), len(b) - 1)
+                inter = int(np.count_nonzero(b[pos] == a))
+            else:
+                inter = 0
             union = len(a) + len(b) - inter
             jac[i] = inter / union if union else 1.0
             keep[i] = jac[i] >= tau
