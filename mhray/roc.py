@@ -62,10 +62,15 @@ def alignment_identity(s1: str, s2: str) -> tuple[float, int]:
 
 def arbitrate_pair(lo_text: str, hi_text: str,
                    edge: tuple[int, int, int, int] | None,
-                   min_identity: float, min_ovl_len: int) -> bool:
+                   min_identity: float, min_ovl_len: int,
+                   method: str = "levenshtein") -> bool:
     """computeDP (:746-798): align the reported overlap regions (whole
     texts when no edge was reported) and apply the identity + length +
-    30%-overlap-difference acceptance rule."""
+    30%-overlap-difference acceptance rule. ``method='gotoh'`` uses
+    the affine-gap aligner (mhray.align — the jaligner
+    SmithWatermanGotoh analog with the reference's +2/-2/2/1 scoring,
+    EstimateROC.java:772); 'levenshtein' is the cheap unit-cost
+    default."""
     if edge is not None:
         a1, a2, b1, b2 = edge
         s1 = lo_text[a1:a2]
@@ -75,7 +80,13 @@ def arbitrate_pair(lo_text: str, hi_text: str,
     ovl_len = min(len(s1), len(s2))
     if ovl_len == 0:
         return False
-    score, length = alignment_identity(s1, s2)
+    if method == "gotoh":
+        from mhray.align import gotoh_align
+
+        _, matches, length = gotoh_align(s1, s2)
+        score = matches / length if length else 0.0
+    else:
+        score, length = alignment_identity(s1, s2)
     return (score > min_identity and length > min_ovl_len
             and 1.0 - length / ovl_len < 0.30)
 

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--freq-table", default=None,
                     help="optional shingle-frequency parquet (tf-idf weighting)")
+    ap.add_argument("--query-input", default=None,
+                    help="incremental mode (the reference's -q): match THIS "
+                         "new images table against the s1_sketches index "
+                         "already stored under --out, without re-sketching "
+                         "the index; writes <out>/query_pairs")
     args = ap.parse_args(argv)
 
     import ray
@@ -50,6 +55,36 @@ def main(argv=None) -> int:
     freq_ref = None
     if args.freq_table:
         freq_ref = ray.put(pq.read_table(args.freq_table))
+
+    if args.query_input:
+        import shutil
+
+        import ray.data
+
+        from mhray.stages.incremental import find_matches
+
+        index_dir = os.path.join(args.out, "s1_sketches")
+        if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+            raise SystemExit(f"no stored sketch index at {index_dir} — "
+                             "run the flagship on the corpus first")
+        t0 = time.time()
+        query_ds = ray.data.read_parquet(args.query_input)
+        out = find_matches(query_ds, index_dir, cfg,
+                           num_parts=args.num_parts, freq_ref=freq_ref,
+                           decode_pixels=not args.no_decode)
+        pairs_path = os.path.join(args.out, "query_pairs")
+        if os.path.exists(pairs_path):
+            shutil.rmtree(pairs_path)
+        out = out.materialize()
+        out.repartition(max(1, min(args.num_parts, 16))) \
+            .write_parquet(pairs_path)
+        print(json.dumps({
+            "mode": "query-vs-index",
+            "query_pairs": out.count(),
+            "sec": round(time.time() - t0, 2),
+            "out": pairs_path,
+        }))
+        return 0
 
     t0 = time.time()
     res = run_dedup(args.input, args.out, cfg, freq_ref=freq_ref,

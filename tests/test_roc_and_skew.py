@@ -125,3 +125,52 @@ def test_ppv_alignment_arbitration():
     assert arb["ppv"] > no_arb["ppv"]
     assert arb["n_arbitrated"] > 0
     assert arb["ppv"] < 1.0  # the junk pair stays a false positive
+
+
+def test_gotoh_affine_alignment():
+    """Affine-gap Gotoh (align/* + EstimateROC:772 analog): score
+    parity vs a scalar DP transcription and known identities."""
+    import random
+
+    from mhray.align import gotoh_align, gotoh_identity
+    from mhray.roc import arbitrate_pair
+
+    def brute_score(a, b, match=2, mismatch=-2, o=2, e=1):
+        NEG = -10**9
+        n, m = len(a), len(b)
+        M = [[NEG] * (m + 1) for _ in range(n + 1)]
+        Ix = [[NEG] * (m + 1) for _ in range(n + 1)]
+        Iy = [[NEG] * (m + 1) for _ in range(n + 1)]
+        M[0][0] = 0
+        for j in range(1, m + 1):
+            Iy[0][j] = -o - e * (j - 1)
+        for i in range(1, n + 1):
+            Ix[i][0] = -o - e * (i - 1)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                s = match if a[i - 1] == b[j - 1] else mismatch
+                M[i][j] = max(M[i - 1][j - 1], Ix[i - 1][j - 1],
+                              Iy[i - 1][j - 1]) + s
+                Ix[i][j] = max(M[i - 1][j] - o, Ix[i - 1][j] - e)
+                Iy[i][j] = max(M[i][j - 1] - o, Iy[i][j - 1] - e)
+        return max(M[n][m], Ix[n][m], Iy[n][m])
+
+    rng = random.Random(5)
+    for _ in range(150):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 25)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 25)))
+        assert gotoh_align(a, b)[0] == brute_score(a, b), (a, b)
+
+    # substitution: 5 matches over a 6-long alignment
+    _, matches, length = gotoh_align("abcdef", "abXdef")
+    assert (matches, length) == (5, 6)
+    # single insertion: 6 matches over a 7-long alignment
+    _, matches, length = gotoh_align("abcdef", "abcZdef")
+    assert (matches, length) == (6, 7)
+    assert gotoh_identity("same text", "same text") == 1.0
+
+    base = "the quick brown fox jumps over the lazy dog " * 2
+    near = base.replace("jumps", "jmps")
+    assert arbitrate_pair(base, near, None, 0.65, 16, method="gotoh")
+    assert not arbitrate_pair(base, "zzz " * 22, None, 0.65, 16,
+                              method="gotoh")
