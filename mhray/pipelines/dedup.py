@@ -188,15 +188,19 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                 new_g[1:] = np.diff(ph_s) != 0
             starts = np.flatnonzero(new_g)
             sizes = np.diff(np.append(starts, len(ph_s)))
-            blobs = []
-            for st, sz in zip(starts, sizes):
-                m = np.empty(2 * sz, dtype="<i8")
-                m[0::2] = iid_s[st:st + sz]
-                m[1::2] = rep_s[st:st + sz]
-                blobs.append(m.tobytes())
+            # one interleaved (iid, rep) buffer + offsets = the whole
+            # binary column, no per-group tobytes loop
+            flat = np.empty(2 * len(ph_s), dtype="<i8")
+            flat[0::2] = iid_s
+            flat[1::2] = rep_s
+            offs = (np.append(starts, len(ph_s)) * 16).astype(np.int32)
+            members = pa.Array.from_buffers(
+                pa.binary(), len(starts),
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(flat.tobytes())])
             return pa.table({
                 "phash": pa.array(ph_s[starts], pa.int64()),
-                "members": pa.array(blobs, pa.binary()),
+                "members": members,
                 "n": pa.array(sizes, pa.int32()),
             })
 
@@ -221,13 +225,22 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             rhi_side = np.where(swap, ra, rb)
             return lo, hi, rlo_side, rhi_side, np.full(len(lo), ham, np.int32)
 
+        def _member_views(col):
+            """Zero-copy per-row int64 views of the members column."""
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset:col.offset + len(col) + 1]
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            return lambda i: data[offs[i]:offs[i + 1]].view("<i8")
+
         # --- same-pHash pairs (Hamming 0, bands trivially collide) ----
         def expand_same(batch: pa.Table) -> pa.Table:
-            blobs = batch.column("members").to_pylist()
+            fetch = _member_views(batch.column("members"))
             ns = np.asarray(batch.column("n"))
             out = {"lo": [], "hi": [], "rep_lo": [], "rep_hi": [], "hamming": []}
             for i in np.flatnonzero(ns >= 2):
-                m = np.frombuffer(blobs[i], dtype="<i8")
+                m = fetch(i)
                 g = len(m) // 2
                 a_idx = np.repeat(np.arange(g), np.arange(g - 1, -1, -1))
                 b_idx = _upper_triangle_cols(g)
@@ -287,14 +300,13 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                             num_parts, pairs_schema=mid, side_schema=g_schema)
 
         def expand_cross(batch: pa.Table) -> pa.Table:
-            blo = batch.column("members_lo").to_pylist()
-            bhi = batch.column("members_hi").to_pylist()
+            fetch_lo = _member_views(batch.column("members_lo"))
+            fetch_hi = _member_views(batch.column("members_hi"))
             hams = np.asarray(batch.column("hamming"))
             out = {"lo": [], "hi": [], "rep_lo": [], "rep_hi": [], "hamming": []}
             for i in range(batch.num_rows):
                 lo, hi, rl, rh, hm = _expand(
-                    np.frombuffer(blo[i], dtype="<i8"),
-                    np.frombuffer(bhi[i], dtype="<i8"), int(hams[i]))
+                    fetch_lo(i), fetch_hi(i), int(hams[i]))
                 out["lo"].append(lo)
                 out["hi"].append(hi)
                 out["rep_lo"].append(rl)
