@@ -29,6 +29,58 @@ def _pair_set(tbl: pa.Table) -> set[tuple[str, str]]:
                    tbl.column("hi_id").to_pylist()))
 
 
+def range_overlap(start_a, end_a, start_b, end_b):
+    """Utils.getRangeOverlap (Utils.java:307-318): inclusive-range
+    overlap length, order-insensitive endpoints; vectorized."""
+    min_a = np.minimum(start_a, end_a)
+    max_a = np.maximum(start_a, end_a)
+    min_b = np.minimum(start_b, end_b)
+    max_b = np.maximum(start_b, end_b)
+    return np.minimum(max_a, max_b) - np.maximum(min_a, min_b) + 1
+
+
+def truth_from_intervals(ids: list[str], source: list[str],
+                         start: np.ndarray, end: np.ndarray,
+                         min_ovl: int = 1) -> pa.Table:
+    """Interval-derived ground-truth pairs — EstimateROC's truth model
+    (seqToPosition + per-chromosome IntervalTree,
+    EstimateROC.java:347-372,:600-620): two records are a true pair iff
+    they map to the same source and their reference intervals overlap
+    by >= ``min_ovl``. The per-source interval lookup is a sorted-start
+    array + searchsorted window probe (the IntervalTree analog, J4).
+
+    Returns (lo_id, hi_id) canonical by id string order.
+    """
+    ids_a = np.asarray(ids)
+    src = np.asarray(source)
+    start = np.asarray(start, dtype=np.int64)
+    end = np.asarray(end, dtype=np.int64)
+    lo_s = np.minimum(start, end)
+    hi_s = np.maximum(start, end)
+
+    out_lo, out_hi = [], []
+    order = np.lexsort((lo_s, src))
+    src_o, lo_o, hi_o, id_o = src[order], lo_s[order], hi_s[order], ids_a[order]
+    bounds = np.flatnonzero(
+        np.concatenate(([True], src_o[1:] != src_o[:-1], [True])))
+    for b in range(len(bounds) - 1):
+        s, e = bounds[b], bounds[b + 1]
+        ls, hs, nm = lo_o[s:e], hi_o[s:e], id_o[s:e]
+        for i in range(len(ls)):
+            # candidates: intervals starting before this one ends
+            # (inclusive overlap >= min_ovl  <=>  start_j <= hi_i - min_ovl + 1)
+            j_hi = np.searchsorted(ls, hs[i] - min_ovl + 1, side="right")
+            for j in range(i + 1, j_hi):
+                if min(hs[i], hs[j]) - max(ls[i], ls[j]) + 1 >= min_ovl:
+                    a, b2 = (nm[i], nm[j]) if nm[i] <= nm[j] else (nm[j], nm[i])
+                    out_lo.append(a)
+                    out_hi.append(b2)
+    return pa.table({
+        "lo_id": pa.array(out_lo, pa.string()),
+        "hi_id": pa.array(out_hi, pa.string()),
+    })
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Unit-cost edit distance, row-vectorized (the accumulate trick
     resolves the in-row gap dependency)."""

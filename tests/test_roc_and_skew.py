@@ -174,3 +174,54 @@ def test_gotoh_affine_alignment():
     assert arbitrate_pair(base, near, None, 0.65, 16, method="gotoh")
     assert not arbitrate_pair(base, "zzz " * 22, None, 0.65, 16,
                               method="gotoh")
+
+
+def test_interval_truth_and_range_overlap():
+    """F9 range math (Utils.getRangeOverlap :307-318) + J4 interval
+    lookup (EstimateROC per-chromosome IntervalTree truth,
+    :347-372)."""
+    from mhray.roc import range_overlap, truth_from_intervals
+
+    # inclusive-range semantics, order-insensitive endpoints
+    assert range_overlap(0, 10, 5, 20) == 6
+    assert range_overlap(10, 0, 20, 5) == 6
+    assert range_overlap(0, 4, 5, 9) == 0
+    assert range_overlap(0, 4, 4, 9) == 1
+    assert np.array_equal(
+        range_overlap(np.array([0, 0]), np.array([10, 4]),
+                      np.array([5, 5]), np.array([20, 9])),
+        np.array([6, 0]))
+
+    ids = ["r1", "r2", "r3", "r4", "r5"]
+    source = ["chrA", "chrA", "chrA", "chrB", "chrB"]
+    start = np.array([0, 50, 200, 0, 90])
+    end = np.array([100, 150, 300, 100, 120])
+    t = truth_from_intervals(ids, source, start, end, min_ovl=20)
+    got = set(zip(t.column("lo_id").to_pylist(),
+                  t.column("hi_id").to_pylist()))
+    # r1-r2 overlap 51 on chrA; r4-r5 overlap 11 < 20 on chrB;
+    # r3 overlaps nothing; cross-source never pairs
+    assert got == {("r1", "r2")}, got
+    t2 = truth_from_intervals(ids, source, start, end, min_ovl=5)
+    got2 = set(zip(t2.column("lo_id").to_pylist(),
+                   t2.column("hi_id").to_pylist()))
+    assert got2 == {("r1", "r2"), ("r4", "r5")}, got2
+
+    # brute-force cross-check on random intervals
+    rng = np.random.default_rng(11)
+    n = 60
+    ids = [f"s{i:02d}" for i in range(n)]
+    source = [rng.choice(["a", "b"]) for _ in range(n)]
+    start = rng.integers(0, 500, n)
+    end = start + rng.integers(1, 200, n)
+    for mo in (1, 30):
+        t = truth_from_intervals(ids, source, start, end, min_ovl=mo)
+        got = set(zip(t.column("lo_id").to_pylist(),
+                      t.column("hi_id").to_pylist()))
+        exp = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                if source[i] == source[j] and \
+                        min(end[i], end[j]) - max(start[i], start[j]) + 1 >= mo:
+                    exp.add(tuple(sorted((ids[i], ids[j]))))
+        assert got == exp, mo
