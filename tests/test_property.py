@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) for the hot kernels: packing
+round-trips, pair-emission completeness, and estimator bounds."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-2**31, 2**31 - 1), min_size=1, max_size=300),
+       st.integers(1, 64))
+def test_bottom_sketch_pack_roundtrip(vals, k):
+    from mhray.kernels import (bottom_sketch, pack_bottom_sketch,
+                               unpack_bottom_sketch)
+
+    h = np.asarray(vals, dtype=np.int32)
+    bh, bp = bottom_sketch(h, k)
+    blob = pack_bottom_sketch(bh, bp, len(h))
+    h2, p2, n2 = unpack_bottom_sketch(blob)
+    assert n2 == len(h)
+    assert np.array_equal(h2, bh) and np.array_equal(p2, bp)
+    # bottom-k invariants: ascending hashes, stable positions for ties
+    assert np.all(np.diff(bh.astype(np.int64)) >= 0)
+    assert len(bh) == min(k, len(h))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 50)),
+                min_size=0, max_size=200),
+       st.integers(2, 1000))
+def test_pairs_within_groups_complete_and_sound(entries, cap):
+    """Every (lo<hi) pair sharing a key is emitted exactly once (below
+    the cap) and nothing else."""
+    from mhray.stages.candidates import _pairs_within_groups
+
+    keys = np.asarray([k for k, _ in entries], dtype=np.int64)
+    iids = np.asarray([v for _, v in entries], dtype=np.int64)
+    lo, hi, capped, dropped = _pairs_within_groups(keys, iids, cap)
+    got = list(zip(lo.tolist(), hi.tolist()))
+
+    exp = []
+    for k in sorted(set(keys.tolist())):
+        members = sorted(iids[keys == k].tolist())[:cap]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                exp.append((members[i], members[j]))
+    assert sorted(got) == sorted(exp)
+    assert np.all(lo <= hi)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**63 - 1), st.integers(0, 2**63 - 1))
+def test_hamming_and_bit_jaccard_bounds(a, b):
+    from mhray.kernels import bit_sketch_jaccard, hamming64
+
+    A = np.array([a], dtype=np.uint64).view(np.int64)
+    B = np.array([b], dtype=np.uint64).view(np.int64)
+    d = int(hamming64(A, B)[0])
+    assert 0 <= d <= 64
+    assert d == bin(a ^ b).count("1")
+    est = float(bit_sketch_jaccard(A.reshape(1, 1), B.reshape(1, 1))[0])
+    assert 0.0 <= est <= 1.0
+    if a == b:
+        assert est == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abcdef ", max_size=60),
+       st.text(alphabet="abcdef ", max_size=60))
+def test_lcs_symmetric_and_bounded(a, b):
+    from mhray.stages.substring import longest_common_substring_len
+
+    l1 = longest_common_substring_len(a, b)
+    l2 = longest_common_substring_len(b, a)
+    assert l1 == l2
+    assert 0 <= l1 <= min(len(a), len(b))
+    if l1 > 0:
+        # witness exists: some substring of that length is shared
+        found = any(a[i:i + l1] in b for i in range(len(a) - l1 + 1))
+        assert found
