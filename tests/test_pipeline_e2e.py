@@ -113,3 +113,37 @@ def test_input_change_invalidates_chain(small_corpus, ray_session,
 
     expect = set(pq.read_table(a["images"]).column("image_id").to_pylist())
     assert ids_b == expect, "clusters reference the OLD corpus"
+
+
+def test_partial_stage_attempt_is_discarded(small_corpus, ray_session,
+                                            tmp_path):
+    """A crashed run leaves a stage data dir WITHOUT _SUCCESS; the
+    resumed run must discard the partial files and recompute, not
+    read or append to them."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from mhray.config import PRESETS
+    from mhray.pipelines.dedup import run_dedup
+
+    out = str(tmp_path / "crashrun")
+    # simulate a partial s1 attempt: garbage parquet, no _SUCCESS
+    data_dir = os.path.join(out, "s1_sketches", "data")
+    os.makedirs(data_dir)
+    pqw.write_table(pa.table({"junk": [1, 2, 3]}),
+                    os.path.join(data_dir, "partial.parquet"))
+
+    cfg = PRESETS["captions"]
+    res = run_dedup(small_corpus["images"], out, cfg, num_parts=4)
+    n = res["clusters"].count()
+    assert n == 1000
+    # the junk file is gone and the stage is now complete + marked
+    files = os.listdir(data_dir)
+    assert "partial.parquet" not in files and files
+    assert os.path.exists(os.path.join(out, "s1_sketches", "_SUCCESS"))
+    with open(os.path.join(out, "s1_sketches", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["rows"] == 1000 and m["partitions"]
