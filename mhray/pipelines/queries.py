@@ -659,6 +659,222 @@ def ev_moving_avg(sf_dir: str):
         .groupby("upart").map_groups(mov, batch_format="pyarrow")
 
 
+def ev_asof_prev(sf_dir: str):
+    """As-of join (the operator class Ray Data lacks natively): each
+    event matched to the user's most recent purchase event at-or-before
+    its timestamp. Implemented as the canonical distributed as-of shape:
+    tag both sides, ONE hash partition by key, per-partition time sort +
+    vectorized forward-fill — no per-row lookups, no broadcast, and the
+    only shuffle is the key partition (reused for any same-key as-of)."""
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "event_type"])
+
+    from mhray.stages.candidates import _part_of
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        ts = np.asarray(batch.column("ts").cast(pa.int64()))
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        is_p = np.asarray(pc.equal(batch.column("event_type"),
+                                   "purchase")).astype(bool)
+        # purchase rows appear TWICE: once as the right side (pri=0,
+        # carrying okey) and once as a probing event (pri=1) — the
+        # sort puts the right-side row first at equal ts, so an event
+        # sees purchases at-or-before its own timestamp
+        uid2 = np.concatenate([uid[is_p], uid])
+        ts2 = np.concatenate([ts[is_p], ts])
+        pri = np.concatenate([np.zeros(int(is_p.sum()), np.int8),
+                              np.ones(len(uid), np.int8)])
+        okey = np.concatenate([eid[is_p], np.zeros(len(uid), np.int64)])
+        eid2 = np.concatenate([np.zeros(int(is_p.sum()), np.int64), eid])
+        return pa.table({
+            "upart": pa.array(_part_of(uid2, 8), pa.int32()),
+            "user_id": pa.array(uid2, pa.int64()),
+            "ts": pa.array(ts2, pa.int64()),
+            "pri": pa.array(pri, pa.int8()),
+            "okey": pa.array(okey, pa.int64()),
+            "event_id": pa.array(eid2, pa.int64()),
+        })
+
+    def asof(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts"), dtype=np.int64)
+        pri = np.asarray(group.column("pri"), dtype=np.int8)
+        okey = np.asarray(group.column("okey"), dtype=np.int64)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        order = np.lexsort((okey, pri, ts, uid))
+        uid, ts, pri, okey, eid = (a[order] for a in (uid, ts, pri, okey, eid))
+        n = len(uid)
+        idx = np.arange(n)
+        # forward-fill the index of the last right-side row, reset per user
+        last = np.maximum.accumulate(np.where(pri == 0, idx, -1))
+        user_start = np.maximum.accumulate(
+            np.where(np.diff(uid, prepend=uid[0] - 1) != 0, idx, -1))
+        valid = last >= user_start
+        probe = pri == 1
+        matched = valid[probe]
+        prev = np.where(matched, okey[np.maximum(last[probe], 0)], 0)
+        return pa.table({
+            "event_id": pa.array(eid[probe], pa.int64()),
+            "prev_purchase_id": pa.array(prev, pa.int64(),
+                                         mask=~matched),
+        })
+
+    return ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("upart").map_groups(asof, batch_format="pyarrow")
+
+
+def ev_close_pairs(sf_dir: str):
+    """Banded range self-join: pairs of same-user events within 4 hours
+    of each other. Hash-partition by user, per-partition time sort, then
+    a fully vectorized sliding-window pair emit (searchsorted bounds +
+    arange expansion) — the windowed range join never goes quadratic:
+    cost is output-proportional."""
+    ev = _read(sf_dir, "events").select_columns(["user_id", "ts", "event_id"])
+    window_us = 4 * 3600 * 1_000_000
+
+    from mhray.stages.candidates import _part_of
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "upart": pa.array(_part_of(uid, 8), pa.int32()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": batch.column("ts").cast(pa.int64()),
+            "event_id": batch.column("event_id"),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts"), dtype=np.int64)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        # offset each user onto a disjoint time band so windows never
+        # cross users: one searchsorted over the whole partition
+        order = np.lexsort((ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        adj = ts + uid * np.int64(10) ** 16
+        n = len(adj)
+        hi_b = np.searchsorted(adj, adj + window_us, side="right")
+        counts = hi_b - np.arange(n) - 1
+        a = np.repeat(np.arange(n), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        b = np.arange(counts.sum()) - np.repeat(starts, counts) \
+            + np.repeat(np.arange(n) + 1, counts)
+        lo = np.minimum(eid[a], eid[b])
+        hi = np.maximum(eid[a], eid[b])
+        return pa.table({
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "gap_s": pa.array((ts[b] - ts[a]) // 1_000_000, pa.int64()),
+        })
+
+    return ev.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("upart").map_groups(pairs, batch_format="pyarrow")
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): the distributed base aggregate
+    does all the heavy lifting; the two subtotal levels re-aggregate the
+    tiny base table (|statuses| x |priorities| rows) in one task."""
+    o = _read(sf_dir, "orders").select_columns(
+        ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    base = o.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="cnt"), Sum("o_totalprice", alias_name="total"))
+
+    def add_levels(b: pa.Table) -> pa.Table:
+        # base is tiny: compute subtotal + grand-total rows from it
+        lvl1 = b.group_by("o_orderstatus").aggregate(
+            [("cnt", "sum"), ("total", "sum")]).rename_columns(
+            ["o_orderstatus", "cnt", "total"])
+        lvl1 = lvl1.add_column(1, "o_orderpriority",
+                               pa.nulls(lvl1.num_rows, pa.string()))
+        total_cnt = pc.sum(b.column("cnt")).as_py()
+        total_sum = pc.sum(b.column("total")).as_py()
+        lvl0 = pa.table({
+            "o_orderstatus": pa.nulls(1, pa.string()),
+            "o_orderpriority": pa.nulls(1, pa.string()),
+            "cnt": pa.array([total_cnt]),
+            "total": pa.array([total_sum], pa.float64()),
+        })
+        out = pa.concat_tables([
+            b.select(["o_orderstatus", "o_orderpriority", "cnt", "total"]),
+            lvl1, lvl0])
+        return _cast_round(out, ("cnt",), {"total": 2})
+
+    return base.repartition(1).map_batches(add_levels, batch_format="pyarrow")
+
+
+def ev_gap_stats(sf_dir: str):
+    """LAG-window analog: per-user inter-event gap count and total (all
+    integer microsecond arithmetic — no float summation order issues)."""
+    ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    from mhray.stages.candidates import _part_of
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "upart": pa.array(_part_of(uid, 8), pa.int32()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": batch.column("ts").cast(pa.int64()),
+        })
+
+    def gaps(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts"), dtype=np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        same_user = np.zeros(len(uid), dtype=bool)
+        same_user[1:] = np.diff(uid) == 0
+        d = np.zeros(len(ts), dtype=np.int64)
+        d[1:] = np.diff(ts)
+        users, idx = np.unique(uid, return_inverse=True)
+        n_gaps = np.bincount(idx, weights=same_user).astype(np.int64)
+        total = np.bincount(idx, weights=np.where(same_user, d, 0)) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "n_gaps": pa.array(n_gaps, pa.int64()),
+            "total_gap_us": pa.array(total, pa.int64()),
+        })
+
+    return ev.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("upart").map_groups(gaps, batch_format="pyarrow")
+
+
+def q_pivot_status(sf_dir: str):
+    """Pivot / conditional aggregation: per priority, one count column
+    per order status. Per-batch partial pivot (combiner) then a tiny
+    grouped sum — only |priorities| x 3 ints ever shuffle."""
+    o = _read(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pri = np.asarray(batch.column("o_orderpriority").to_pylist())
+        st = np.asarray(batch.column("o_orderstatus").to_pylist())
+        upri, inv = np.unique(pri, return_inverse=True)
+        cols = {}
+        for name, code in (("n_open", "O"), ("n_filled", "F"),
+                           ("n_pending", "P")):
+            cols[name] = np.bincount(inv, weights=st == code,
+                                     minlength=len(upri)).astype(np.int64)
+        return pa.table({"o_orderpriority": pa.array(upri),
+                         **{k: pa.array(v, pa.int64())
+                            for k, v in cols.items()}})
+
+    agg = o.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("o_orderpriority").aggregate(
+            Sum("n_open", alias_name="n_open"),
+            Sum("n_filled", alias_name="n_filled"),
+            Sum("n_pending", alias_name="n_pending"))
+    return agg.map_batches(
+        lambda b: _cast_round(b, ("n_open", "n_filled", "n_pending")),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -698,6 +914,11 @@ QUERIES = {
     "q_histogram": q_histogram,
     "q_distinct_per_group": q_distinct_per_group,
     "ev_moving_avg": ev_moving_avg,
+    "ev_asof_prev": ev_asof_prev,
+    "ev_close_pairs": ev_close_pairs,
+    "q_rollup": q_rollup,
+    "ev_gap_stats": ev_gap_stats,
+    "q_pivot_status": q_pivot_status,
 }
 
 ORACLE_SQL = {
@@ -868,9 +1089,112 @@ ORACLE_SQL = {
                    AS mov_avg
         FROM events
     """,
-    # d_minhash_pairs / d_simhash_pairs / d_lang_id / d_quality /
-    # d_fingerprints / e_dup_lsh / e_knn_ivf / d_substring_pairs /
-    # d_incremental_pairs: custom-hash / heuristic / approximate
-    # operators with no faithful ANSI-SQL equivalent -> rows-only
-    # driver check.
+    "ev_asof_prev": """
+        WITH u AS (
+            SELECT user_id AS k, ts, 0 AS pri, event_id AS okey,
+                   NULL::BIGINT AS eid
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, 1, NULL, event_id FROM events
+        ), w AS (
+            SELECT *, last_value(okey IGNORE NULLS) OVER (
+                       PARTITION BY k ORDER BY ts, pri, okey
+                       ROWS UNBOUNDED PRECEDING) AS lastp
+            FROM u
+        )
+        SELECT eid AS event_id, lastp AS prev_purchase_id
+        FROM w WHERE eid IS NOT NULL
+    """,
+    "ev_close_pairs": """
+        SELECT LEAST(a.event_id, b.event_id) AS lo,
+               GREATEST(a.event_id, b.event_id) AS hi,
+               CAST(FLOOR((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000) AS BIGINT)
+                   AS gap_s
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id <> b.event_id
+         AND b.ts >= a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 14400000000
+         AND (b.ts > a.ts OR a.event_id < b.event_id)
+    """,
+    "q_rollup": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS total
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "ev_gap_stats": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS gap
+            FROM events
+        )
+        SELECT user_id, COUNT(gap) AS n_gaps,
+               COALESCE(SUM(gap), 0) AS total_gap_us
+        FROM g GROUP BY user_id
+    """,
+    "q_pivot_status": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "d_lang_id": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(lower(text), '\s+')) AS ws
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(list_intersect(ws, ['the','a','and','of','to','in',
+                                           'is','that','it','for'])) AS s_en,
+                   len(list_intersect(ws, ['der','die','das','und','ist',
+                                           'ein','eine','zu','mit'])) AS s_de,
+                   len(list_intersect(ws, ['le','la','les','et','est','un',
+                                           'une','pour','dans'])) AS s_fr,
+                   len(list_intersect(ws, ['el','la','los','y','es','un',
+                                           'una','para','en'])) AS s_es
+            FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """,
+    "d_quality": r"""
+        WITH t AS (
+            SELECT doc_id, length(text) AS n,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS toks,
+                   length(regexp_replace(text, '[^A-Za-z\s]', '', 'g')) AS na
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(na AS DOUBLE) / n END AS alpha,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / len(toks) END AS dr,
+                   CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END
+                       AS len_ok,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(toks,
+                                  x -> length(x))) AS DOUBLE)
+                             / len(toks) END AS wl
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(ROUND(alpha * 10000, 0) AS BIGINT) AS alpha_pm,
+               CAST(ROUND(dr * 10000, 0) AS BIGINT) AS distinct_pm,
+               CAST(ROUND(0.25 * (len_ok
+                    + (CASE WHEN wl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+                    + alpha + dr) * 10000, 0) AS BIGINT) AS quality_pm
+        FROM s
+    """,
+    # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
+    # e_knn_ivf / d_substring_pairs / d_incremental_pairs: custom-hash /
+    # approximate operators with no faithful ANSI-SQL equivalent ->
+    # rows-only driver check.
 }

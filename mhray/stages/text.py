@@ -86,32 +86,46 @@ def lang_id(batch: pa.Table, text_col: str = "text",
     })
 
 
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z\s]")
+
+
 def quality_score(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
-    """Composite quality heuristics: length band, alpha ratio, mean word
-    length band, repetition (distinct-token ratio)."""
+    """Composite quality heuristics: length band, alpha-or-space ratio,
+    mean word length band, repetition (distinct-token ratio).
+
+    SQL-matched definitions (the DuckDB oracle mirrors each term):
+    tokens = \\s+ split dropping empties; alpha = len(re.sub('[^A-Za-z\\s]',
+    '', t)) / len(t); outputs are per-10000 scaled ints (round half away
+    from zero) so the value hash is engine-independent."""
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
-    score = np.zeros(n)
+    quality = np.zeros(n)
     alpha_ratio = np.zeros(n)
     distinct_ratio = np.zeros(n)
     for i, t in enumerate(texts):
         if not t:
             continue
         toks = t.split()
-        alpha = sum(c.isalpha() or c.isspace() for c in t) / len(t)
-        distinct = len(set(toks)) / max(1, len(toks))
+        alpha = len(_NON_ALPHA_RE.sub("", t)) / len(t)
+        distinct = len(set(toks)) / len(toks) if toks else 0.0
         len_ok = 1.0 if 20 <= len(t) <= 10000 else 0.0
-        wl = np.mean([len(w) for w in toks]) if toks else 0.0
+        wl = sum(len(w) for w in toks) / len(toks) if toks else 0.0
         wl_ok = 1.0 if 3 <= wl <= 12 else 0.0
         alpha_ratio[i] = alpha
         distinct_ratio[i] = distinct
-        score[i] = 0.25 * len_ok + 0.25 * wl_ok + 0.25 * alpha + 0.25 * distinct
+        quality[i] = 0.25 * (len_ok + wl_ok + alpha + distinct)
+
+    def scale(x: np.ndarray) -> pa.Array:
+        return pa.array(
+            (np.sign(x) * np.floor(np.abs(x) * 10000 + 0.5)).astype(np.int64),
+            pa.int64())
+
     return pa.table({
         id_col: batch.column(id_col),
-        "alpha_ratio": pa.array(np.round(alpha_ratio, 4), pa.float64()),
-        "distinct_ratio": pa.array(np.round(distinct_ratio, 4), pa.float64()),
-        "quality": pa.array(np.round(score, 4), pa.float64()),
+        "alpha_pm": scale(alpha_ratio),
+        "distinct_pm": scale(distinct_ratio),
+        "quality_pm": scale(quality),
     })
 
 

@@ -62,9 +62,10 @@ ORACLE_CHECKED = [
     "q_distinct_parts", "q_union_names", "ev_user_topk",
     "ev_sessionize", "ev_top_event_per_type",
     "q_percentiles", "q_corr", "q_histogram", "q_distinct_per_group",
-    "ev_moving_avg",
+    "ev_moving_avg", "ev_asof_prev", "ev_close_pairs", "q_rollup",
+    "ev_gap_stats", "q_pivot_status", "d_lang_id", "d_quality",
 ]
-ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs", "d_lang_id", "d_quality",
+ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs"]
 
