@@ -217,6 +217,28 @@ def d_quality(sf_dir: str):
         quality_score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_tiered_dedup(sf_dir: str):
+    """Full disposition of every document through the tiered dedup
+    cascade (exact -> simhash -> minhash): (doc_id, tier, dup_of) with
+    tier='kept' for survivors. Rows-only driver check (LSH tiers have
+    no SQL equivalent); per-tier parity is pytest-asserted against
+    sequentially-applied single-tier operators."""
+    from mhray.stages.dedup import tiered_dedup
+
+    res = tiered_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    kept = res["survivors"].map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "tier": pa.array(["kept"] * b.num_rows, pa.string()),
+            "dup_of": pa.nulls(b.num_rows, pa.int64()),
+        }),
+        batch_format="pyarrow")
+    removed = res["removed"].map_batches(
+        lambda b: b.select(["doc_id", "tier", "dup_of"]),
+        batch_format="pyarrow")
+    return kept.union(removed)
+
+
 def d_fingerprints(sf_dir: str):
     """Winnowed fingerprint count per doc (rows-only: murmur-based)."""
     from mhray.stages.text import winnow_fingerprints
@@ -919,6 +941,7 @@ QUERIES = {
     "q_rollup": q_rollup,
     "ev_gap_stats": ev_gap_stats,
     "q_pivot_status": q_pivot_status,
+    "d_tiered_dedup": d_tiered_dedup,
 }
 
 ORACLE_SQL = {

@@ -93,6 +93,95 @@ def safe_join(left, right, join_type: str, num_partitions: int,
                      num_partitions=num_partitions, on=on, right_on=right_on)
 
 
+def anti_join_ids(ds, ids_ds, key_col: str, ids_key: str | None = None,
+                  num_parts: int = 16,
+                  broadcast_threshold_rows: int = 2_000_000,
+                  ds_schema: pa.Schema | None = None):
+    """Drop rows of ``ds`` whose ``key_col`` appears in ``ids_ds`` —
+    the distributed anti-semi-join. Small id sets broadcast (one
+    ``ray.put``, searchsorted per batch, NO shuffle); above the
+    threshold the standard tagged-union + hash-partition merge runs
+    (one shuffle, no driver materialization)."""
+    import numpy as np
+
+    ids_key = ids_key or key_col
+
+    try:
+        n_ids = ids_ds.count()
+    except Exception:
+        n_ids = None
+    if n_ids is not None and n_ids <= broadcast_threshold_rows:
+        import ray
+
+        ids_tbl = pa.concat_tables(
+            [ray.get(r) for r in ids_ds.select_columns([ids_key]).to_arrow_refs()],
+            promote_options="default")
+        key_arr = np.unique(np.asarray(ids_tbl.column(ids_key),
+                                       dtype=np.int64))
+        ref = ray.put(key_arr)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            v = np.asarray(batch.column(key_col), dtype=np.int64)
+            if len(k) == 0:
+                return batch
+            pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
+            return batch.filter(pa.array(k[pos] != v))
+
+        return ds.map_batches(drop, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _schema(d) -> pa.Schema:
+        s = d.schema()
+        return getattr(s, "base_schema", s)
+
+    schema = ds_schema if ds_schema is not None else _schema(ds)
+    names = schema.names
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        from mhray.stages.candidates import _part_of
+
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        cols = {n: batch.column(n) for n in names}
+        cols["__part"] = pa.array(_part_of(key, num_parts), pa.int32())
+        cols["__role"] = pa.array(np.zeros(len(key), np.int8), pa.int8())
+        cols["__key"] = pa.array(key, pa.int64())
+        return pa.table(cols)
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        from mhray.stages.candidates import _part_of
+
+        key = np.asarray(batch.column(ids_key), dtype=np.int64)
+        n = len(key)
+        cols = {nm: pa.nulls(n, schema.field(nm).type) for nm in names}
+        cols["__part"] = pa.array(_part_of(key, num_parts), pa.int32())
+        cols["__role"] = pa.array(np.ones(n, np.int8), pa.int8())
+        cols["__key"] = pa.array(key, pa.int64())
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_left, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        ids_ds.select_columns([ids_key]).map_batches(
+            tag_ids, batch_format="pyarrow", zero_copy_batch=True))
+
+    def merge(part: pa.Table) -> pa.Table:
+        role = np.asarray(part.column("__role"))
+        keys = np.asarray(part.column("__key"), dtype=np.int64)
+        block = np.unique(keys[role == 1])
+        left = np.flatnonzero(role == 0)
+        lk = keys[left]
+        if len(block):
+            pos = np.minimum(np.searchsorted(block, lk), len(block) - 1)
+            keep = left[block[pos] != lk]
+        else:
+            keep = left
+        idx = pa.array(keep, pa.int64())
+        return pa.table({n: part.column(n).take(idx) for n in names})
+
+    return tagged.groupby("__part", num_partitions=num_parts).map_groups(
+        merge, batch_format="pyarrow")
+
+
 def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
                    payload_cols: tuple, out_suffix: str,
                    num_parts: int = 16, how: str = "inner",

@@ -72,6 +72,142 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# tiered dedup cascade
+# ---------------------------------------------------------------------------
+
+def _removed_from_pairs(pairs_ds, id_col: str):
+    """pairs(lo, hi) -> (doc_id, dup_of): every non-keeper member of a
+    connected component, keeper = min id (deterministic)."""
+    from mhray.stages.cluster import cluster_edges
+
+    clusters = cluster_edges(pairs_ds.select_columns(["lo", "hi"]))
+
+    def removed(part: pa.Table) -> pa.Table:
+        iid = np.asarray(part.column("iid"), dtype=np.int64)
+        lab = np.asarray(part.column("cluster_id"), dtype=np.int64)
+        # cluster_id IS the min member id (min-label propagation), so
+        # the keeper is exactly the row whose iid == cluster_id
+        keep = iid != lab
+        return pa.table({
+            id_col: pa.array(iid[keep], pa.int64()),
+            "dup_of": pa.array(lab[keep], pa.int64()),
+        })
+
+    return clusters.map_batches(removed, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def tiered_dedup(ds, cfg: MhapConfig | None = None, text_col: str = "text",
+                 id_col: str = "doc_id", num_parts: int | None = None,
+                 simhash_max_hamming: int = 3,
+                 removed_broadcast_threshold: int = 2_000_000) -> dict:
+    """Cascaded (tiered) dedup: each tier removes duplicates so the
+    strictly more expensive next tier runs on a smaller corpus —
+    the production shape for web-scale corpora, where the cheap tiers
+    typically remove the bulk of the duplicate mass:
+
+      tier 1 'exact'   — content-hash groupby (one narrow shuffle)
+      tier 2 'simhash' — 64-bit SimHash banding + Hamming gate
+      tier 3 'minhash' — MHAP signature LSH + positional verify
+
+    Survivors flow tier-to-tier via :func:`mhray.rayutil.anti_join_ids`
+    (broadcast below the threshold, hash-partition shuffle above — the
+    removed-id set is duplicate-mass-proportional, NOT corpus-
+    proportional). Returns ``{"survivors", "removed", "stats"}``:
+    removed rows carry (doc_id, dup_of, tier); stats one row per tier.
+
+    Determinism: every keeper is the minimum doc id of its duplicate
+    group/component, so the cascade's output is reproducible and
+    order-independent.
+    """
+    from mhray.config import PRESETS
+    from mhray.rayutil import anti_join_ids
+
+    cfg = cfg or PRESETS["captions"].with_(threshold=0.9)
+    num_parts = auto_parts(num_parts)
+    docs = ds.select_columns([id_col, text_col])
+    doc_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
+
+    stats: list[dict] = []
+    removed_parts = []
+    remaining = docs.materialize()
+    n_in = remaining.count()
+
+    def _run_tier(name, removed_ds):
+        nonlocal remaining, n_in
+        removed_ds = removed_ds.materialize()
+        n_removed = removed_ds.count()
+        tagged = removed_ds.map_batches(
+            lambda b, _t=name: b.append_column(
+                "tier", pa.array([_t] * b.num_rows, pa.string())),
+            batch_format="pyarrow")
+        removed_parts.append(tagged)
+        stats.append({"tier": name, "rows_in": n_in,
+                      "rows_removed": n_removed})
+        if n_removed:
+            remaining = anti_join_ids(
+                remaining, removed_ds, id_col, id_col, num_parts,
+                removed_broadcast_threshold, ds_schema=doc_schema,
+            ).materialize()
+        n_in = n_in - n_removed
+
+    # tier 1: exact content hash ------------------------------------------
+    from mhray.kernels import hash_strings64
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings64(batch.column(text_col).to_pylist())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_hash": pa.array(h, pa.int64()),
+            "part": pa.array(_part_of(h, auto_parts(num_parts)), pa.int32()),
+        })
+
+    def exact_removed(part: pa.Table) -> pa.Table:
+        h = np.asarray(part.column("text_hash"), dtype=np.int64)
+        d = np.asarray(part.column(id_col), dtype=np.int64)
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        first = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            first[1:] = np.diff(h_s) != 0
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(h_s)))
+        keeper = np.repeat(d_s[starts], sizes)
+        dup = d_s != keeper
+        return pa.table({
+            id_col: pa.array(d_s[dup], pa.int64()),
+            "dup_of": pa.array(keeper[dup], pa.int64()),
+        })
+
+    _run_tier("exact", remaining.map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(exact_removed, batch_format="pyarrow"))
+
+    # tier 2: simhash banding ---------------------------------------------
+    sh_pairs = simhash_pairs(remaining, max_hamming=simhash_max_hamming,
+                             text_col=text_col, id_col=id_col,
+                             num_parts=num_parts)
+    _run_tier("simhash", _removed_from_pairs(sh_pairs, id_col))
+
+    # tier 3: minhash LSH + positional verify -----------------------------
+    mh_pairs = minhash_text_pairs(remaining, cfg, text_col=text_col,
+                                  id_col=id_col, num_parts=num_parts)
+    _run_tier("minhash", _removed_from_pairs(mh_pairs, id_col))
+
+    removed = removed_parts[0]
+    for part in removed_parts[1:]:
+        removed = removed.union(part)
+    stats_tbl = pa.table({
+        "tier": pa.array([s["tier"] for s in stats]),
+        "rows_in": pa.array([s["rows_in"] for s in stats], pa.int64()),
+        "rows_removed": pa.array([s["rows_removed"] for s in stats],
+                                 pa.int64()),
+    })
+    return {"survivors": remaining, "removed": removed, "stats": stats_tbl}
+
+
+# ---------------------------------------------------------------------------
 # exact token-set Jaccard self-join (prefix filtering)
 # ---------------------------------------------------------------------------
 
