@@ -556,6 +556,246 @@ def verify_pair(
 
 
 # ---------------------------------------------------------------------------
+# batched verify kernel: ALL pairs of a batch in one ragged-vectorized
+# pass. Semantics identical to verify_pair (parity-tested); the win is
+# that every step is a handful of global numpy calls instead of ~40
+# small ones per pair (measured 474us/pair scalar -> ~25us/pair batch).
+# The trick: lift each int32 hash into a u64 key (pair_id << 32) |
+# order-mapped-u32(hash), so concatenated per-pair-sorted segments are
+# GLOBALLY sorted and segmented intersections become single searchsorted
+# calls that can never cross pair boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _lift_keys(pair_of: np.ndarray, h: np.ndarray) -> np.ndarray:
+    u = (h.astype(np.int32).view(np.uint32) ^ np.uint32(0x80000000))
+    return (pair_of.astype(np.uint64) << np.uint64(32)) | u.astype(np.uint64)
+
+
+def _intersect_batch(A, PA, B, PB, median, abs_max):
+    """Segmented recordMatchingKmers over lifted key arrays: returns
+    (mid, pos1, pos2) match triples in (pair, hash) order."""
+    empty = (np.empty(0, np.int64),) * 3
+    if len(A) == 0 or len(B) == 0:
+        return empty
+    fa = np.ones(len(A), dtype=bool)
+    fa[1:] = A[1:] != A[:-1]
+    ia = np.flatnonzero(fa)
+    ua = A[ia]
+    pos = np.minimum(np.searchsorted(B, ua), len(B) - 1)
+    hit = B[pos] == ua
+    common = ua[hit]
+    if len(common) == 0:
+        return empty
+    # run boundaries replace 4 more full searchsorted passes: ia holds
+    # every A-run start, pos already IS each hit's B-run start (left
+    # insertion), and run ends come from the next start
+    af = ia[hit]
+    al = np.append(ia[1:], len(A))[hit] - 1
+    bf = pos[hit]
+    fb = np.ones(len(B), dtype=bool)
+    fb[1:] = B[1:] != B[:-1]
+    b_run_ord = np.cumsum(fb) - 1
+    ib = np.flatnonzero(fb)
+    b_run_end = np.append(ib[1:], len(B)) - 1
+    bl = b_run_end[b_run_ord[bf]]
+    cid = (common >> np.uint64(32)).astype(np.int64)
+    first1, first2 = PA[af], PB[bf]
+    ok_first = np.abs((first2 - first1) - median[cid]) <= abs_max[cid]
+    has_run = (al > af) | (bl > bf)
+    take_last = has_run & ok_first
+    m = len(common)
+    pos1 = np.empty(2 * m, np.int64)
+    pos2 = np.empty(2 * m, np.int64)
+    mid = np.empty(2 * m, np.int64)
+    keep = np.zeros(2 * m, dtype=bool)
+    pos1[0::2], pos2[0::2], mid[0::2], keep[0::2] = first1, first2, cid, ok_first
+    pos1[1::2], pos2[1::2], mid[1::2], keep[1::2] = PA[al], PB[bl], cid, take_last
+    return mid[keep], pos1[keep], pos2[keep]
+
+
+def _update_state_batch(mid, shifts, len1, len2, max_shift_pct, n):
+    """Per-pair MatchData.performUpdate: (median, abs_max, count)."""
+    cnt = np.bincount(mid, minlength=n)
+    median = np.zeros(n, np.int64)
+    if len(mid):
+        order = np.lexsort((shifts, mid))
+        sh_s = shifts[order]
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        has = cnt > 0
+        median[has] = sh_s[(starts + cnt // 2)[has]]
+    mx = np.maximum(len1, len2)
+    left = np.maximum(0, -median)
+    right = np.minimum(len1, len2 - median)
+    overlap = np.maximum(10, right - left)
+    abs_max = np.minimum(mx, (overlap * max_shift_pct).astype(np.int64))
+    abs_max = np.where(cnt > 0, abs_max, mx + 1)
+    median = np.where(cnt > 0, median, 0)
+    return median, abs_max, cnt
+
+
+def _jround_vec(x: np.ndarray) -> np.ndarray:
+    return np.floor(x + 0.5).astype(np.int64)
+
+
+def verify_pairs_batch(h1, p1, off1, len1, h2, p2, off2, len2,
+                       kmer_size: int, max_shift_pct: float):
+    """Batched getOverlapInfo over n pairs given CONCATENATED sketch
+    arrays (``h``/``p`` int32, per-pair segments delimited by ``off``,
+    each segment hash-sorted ascending like the bottom sketch).
+
+    Returns (ok, score, raw_score, a1, a2, b1, b2) arrays of length n;
+    rows with ok=False carry zeros. Bit-identical to looping
+    :func:`verify_pair` (asserted in tests/test_verify_batch.py).
+    """
+    n = len(len1)
+    len1 = np.asarray(len1, np.int64)
+    len2 = np.asarray(len2, np.int64)
+    seg1 = np.diff(off1).astype(np.int64)
+    seg2 = np.diff(off2).astype(np.int64)
+    pid1 = np.repeat(np.arange(n, dtype=np.int64), seg1)
+    pid2 = np.repeat(np.arange(n, dtype=np.int64), seg2)
+    A = _lift_keys(pid1, np.asarray(h1))
+    B = _lift_keys(pid2, np.asarray(h2))
+    P1 = np.asarray(p1).astype(np.int64, copy=False)
+    P2 = np.asarray(p2).astype(np.int64, copy=False)
+
+    zero = np.zeros(n, np.int64)
+    ok0 = np.zeros(n, dtype=bool)
+    empty_out = (ok0, np.zeros(n), np.zeros(n), zero, zero, zero, zero)
+
+    # pass 1: median 0, abs_max max(len)+1 -> windows are all-pass
+    med0 = np.zeros(n, np.int64)
+    am0 = np.maximum(len1, len2) + 1
+    mid, m1p, m2p = _intersect_batch(A, P1, B, P2, med0, am0)
+    if len(mid) == 0:
+        return empty_out
+    median, abs_max, _ = _update_state_batch(
+        mid, m2p - m1p, len1, len2, max_shift_pct, n)
+
+    # pass 2: per-pair refined windows
+    v1l = np.maximum(0, -median - abs_max)
+    v1u = np.minimum(len1, len2 - median + abs_max)
+    v2l = np.maximum(0, median - abs_max)
+    v2u = np.minimum(len2, len1 + median + abs_max)
+    k1 = (P1 >= v1l[pid1]) & (P1 < v1u[pid1])
+    k2 = (P2 >= v2l[pid2]) & (P2 < v2u[pid2])
+    mid, m1p, m2p = _intersect_batch(A[k1], P1[k1], B[k2], P2[k2],
+                                     median, abs_max)
+    if len(mid) == 0:
+        return empty_out
+
+    # optimizeShifts with the pass-2 median
+    median2, _, _ = _update_state_batch(
+        mid, m2p - m1p, len1, len2, max_shift_pct, n)
+    dist = np.abs((m2p - m1p) - median2[mid])
+    new_run = np.ones(len(mid), dtype=bool)
+    new_run[1:] = (mid[1:] != mid[:-1]) | (m1p[1:] != m1p[:-1])
+    starts = np.flatnonzero(new_run)
+    run_min = np.minimum.reduceat(dist, starts)
+    run_id = np.cumsum(new_run) - 1
+    cand = np.flatnonzero(dist == run_min[run_id])
+    idx = cand[np.searchsorted(cand, starts)]
+    mid, m1p, m2p = mid[idx], m1p[idx], m2p[idx]
+
+    # computeEdges: post-dedup state, validity gate, UMVU rectangle
+    shifts = m2p - m1p
+    median3, abs_max3, _ = _update_state_batch(
+        mid, shifts, len1, len2, max_shift_pct, n)
+    valid = np.abs(shifts - median3[mid]) <= abs_max3[mid]
+    vm, v1m, v2m = mid[valid], m1p[valid], m2p[valid]
+    nvalid = np.bincount(vm, minlength=n)
+    ok = nvalid >= 3
+    if not ok.any():
+        return empty_out
+    present = nvalid > 0
+    seg_starts = np.concatenate(([0], np.cumsum(nvalid)[:-1]))[present]
+    le1 = np.zeros(n, np.int64)
+    re1 = np.zeros(n, np.int64)
+    le2 = np.zeros(n, np.int64)
+    re2 = np.zeros(n, np.int64)
+    le1[present] = np.minimum.reduceat(v1m, seg_starts)
+    re1[present] = np.maximum.reduceat(v1m, seg_starts)
+    le2[present] = np.minimum.reduceat(v2m, seg_starts)
+    re2[present] = np.maximum.reduceat(v2m, seg_starts)
+    nv = np.where(ok, nvalid, 3).astype(np.float64)
+    a1 = np.maximum(0, _jround_vec((nv * le1 - re1) / (nv - 1)))
+    a2 = np.minimum(len1, _jround_vec((nv * re1 - le1) / (nv - 1)))
+    b1 = np.maximum(0, _jround_vec((nv * le2 - re2) / (nv - 1)))
+    b2 = np.minimum(len2, _jround_vec((nv * re2 - le2) / (nv - 1)))
+
+    # computeKBottomSketchJaccard over the estimated regions
+    s1 = (P1 >= a1[pid1]) & (P1 <= a2[pid1]) & ok[pid1]
+    s2 = (P2 >= b1[pid2]) & (P2 <= b2[pid2]) & ok[pid2]
+    x1 = A[s1]
+    x2 = B[s2]
+    kc1 = np.bincount(pid1[s1], minlength=n)
+    kc2 = np.bincount(pid2[s2], minlength=n)
+    kk = np.minimum(kc1, kc2)
+    jac = np.zeros(n)
+    if len(x1) and len(x2):
+        f1 = np.ones(len(x1), dtype=bool)
+        f1[1:] = x1[1:] != x1[:-1]
+        i1 = np.flatnonzero(f1)
+        v1vals = x1[i1]
+        c1 = np.diff(np.append(i1, len(x1)))
+        f2 = np.ones(len(x2), dtype=bool)
+        f2[1:] = x2[1:] != x2[:-1]
+        i2 = np.flatnonzero(f2)
+        v2vals = x2[i2]
+        c2 = np.diff(np.append(i2, len(x2)))
+        sv = np.sort(np.concatenate([v1vals, v2vals]))
+        fu = np.ones(len(sv), dtype=bool)
+        fu[1:] = sv[1:] != sv[:-1]
+        allv = sv[fu]
+        cc1 = np.zeros(len(allv), np.int64)
+        cc1[np.searchsorted(allv, v1vals)] = c1
+        cc2 = np.zeros(len(allv), np.int64)
+        cc2[np.searchsorted(allv, v2vals)] = c2
+        union_v = np.maximum(cc1, cc2)
+        inter_v = np.minimum(cc1, cc2)
+        seg = (allv >> np.uint64(32)).astype(np.int64)
+        gcum = np.cumsum(union_v)
+        segf = np.ones(len(seg), dtype=bool)
+        segf[1:] = seg[1:] != seg[:-1]
+        sidx = np.flatnonzero(segf)
+        base_vals = np.where(sidx > 0, gcum[np.maximum(sidx - 1, 0)], 0)
+        base = np.repeat(base_vals, np.diff(np.append(sidx, len(seg))))
+        cum_seg = gcum - base
+        below = cum_seg < kk[seg]
+        inter_below = np.bincount(seg, weights=inter_v * below,
+                                  minlength=n).astype(np.int64)
+        union_below = np.bincount(seg, weights=union_v * below,
+                                  minlength=n).astype(np.int64)
+        remaining = kk - union_below
+        below_cnt = np.bincount(seg, weights=below, minlength=n).astype(np.int64)
+        seg_len = np.bincount(seg, minlength=n)
+        seg_start = np.full(n, -1, np.int64)
+        seg_start[seg[sidx]] = sidx
+        cut_idx = seg_start + below_cnt
+        has_cut = (seg_start >= 0) & (below_cnt < seg_len) & (remaining > 0)
+        add = np.zeros(n, np.int64)
+        if has_cut.any():
+            add[has_cut] = np.minimum(remaining[has_cut],
+                                      inter_v[cut_idx[has_cut]])
+        inter_total = inter_below + add
+        kk_safe = np.maximum(kk, 1)
+        jac = np.where(kk > 0, inter_total / kk_safe, 0.0)
+
+    score = np.zeros(n)
+    pos_j = ok & (jac > 0)
+    if pos_j.any():
+        jp = jac[pos_j]
+        d = -1.0 / kmer_size * np.log(2.0 * jp / (1.0 + jp))
+        score[pos_j] = np.exp(-d)
+    raw = np.where(ok, nvalid, 0).astype(np.float64)
+    z = ~ok
+    for arr in (a1, a2, b1, b2):
+        arr[z] = 0
+    return ok, score, raw, a1, a2, b1, b2
+
+
+# ---------------------------------------------------------------------------
 # SimHash — sketch/SimHash.java:40-87
 # ---------------------------------------------------------------------------
 

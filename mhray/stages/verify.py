@@ -76,44 +76,71 @@ def attach_sketches(pairs_ds, sketches_ds, num_partitions: int = 32,
     return j
 
 
+def _sketch_concat(col):
+    """Concatenated (h, p, off, seq_len) arrays for a packed-sketch
+    binary column — ONE vectorized gather for the whole batch (feeds
+    the batched verify kernel). Falls back to per-row unpacking if a
+    blob offset is ever misaligned."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1]
+    if len(offs) and (offs % 4).any():
+        hs, ps, lens = [], [], []
+        for blob in col.to_pylist():
+            h, p, sl = unpack_bottom_sketch(blob)
+            hs.append(h)
+            ps.append(p)
+            lens.append(sl)
+        k = np.array([len(h) for h in hs], np.int64)
+        off = np.zeros(len(k) + 1, np.int64)
+        np.cumsum(k, out=off[1:])
+        return (np.concatenate(hs) if hs else np.empty(0, np.int32),
+                np.concatenate(ps) if ps else np.empty(0, np.int32),
+                off, np.asarray(lens, np.int64))
+    buf = col.buffers()[2]
+    flat = np.frombuffer(buf, dtype="<i4", count=len(buf) // 4)
+    s = (offs[:-1].astype(np.int64) >> 2)
+    seq_len = flat[s].astype(np.int64) if len(s) else np.empty(0, np.int64)
+    k = flat[s + 1].astype(np.int64) if len(s) else np.empty(0, np.int64)
+    off = np.zeros(len(k) + 1, np.int64)
+    np.cumsum(k, out=off[1:])
+    total = int(off[-1])
+    base = np.repeat(s + 2, k)
+    rel = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], k)
+    hidx = base + rel
+    return flat[hidx], flat[hidx + np.repeat(k, k)], off, seq_len
+
+
 class VerifyPairs:
-    """map_batches fn: run the two-pass positional verify on each
-    candidate pair; keep rows with identity score >= threshold
-    (impl/MinHashSearch.java:228-233)."""
+    """map_batches fn: run the two-pass positional verify on every
+    candidate pair of the batch AT ONCE (kernels.verify_pairs_batch —
+    parity-locked to the scalar verify_pair); keep rows with identity
+    score >= threshold (impl/MinHashSearch.java:228-233)."""
 
     def __init__(self, cfg: MhapConfig):
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        n = batch.num_rows
-        fetch_lo = _sketch_views(batch.column("bs_blob_lo"))
-        fetch_hi = _sketch_views(batch.column("bs_blob_hi"))
+        from mhray.kernels import verify_pairs_batch
 
-        keep = np.zeros(n, dtype=bool)
-        score = np.zeros(n, dtype=np.float64)
-        raw = np.zeros(n, dtype=np.float64)
-        edges = np.zeros((n, 4), dtype=np.int32)
-        for i in range(n):
-            h1, p1, l1 = fetch_lo(i)
-            h2, p2, l2 = fetch_hi(i)
-            res = verify_pair(h1, p1, l1, h2, p2, l2,
-                              cfg.ordered_kmer_size, cfg.max_shift)
-            if res is not None and res.score >= cfg.threshold:
-                keep[i] = True
-                score[i] = res.score
-                raw[i] = res.raw_score
-                edges[i] = (res.a1, res.a2, res.b1, res.b2)
+        cfg = self.cfg
+        h1, p1, off1, l1 = _sketch_concat(batch.column("bs_blob_lo"))
+        h2, p2, off2, l2 = _sketch_concat(batch.column("bs_blob_hi"))
+        ok, score, raw, a1, a2, b1, b2 = verify_pairs_batch(
+            h1, p1, off1, l1, h2, p2, off2, l2,
+            cfg.ordered_kmer_size, cfg.max_shift)
+        keep = ok & (score >= cfg.threshold)
 
         kept = batch.filter(pa.array(keep)).drop_columns(
             ["bs_blob_lo", "bs_blob_hi"])
         return (
             kept.append_column("score", pa.array(score[keep], pa.float64()))
             .append_column("raw_score", pa.array(raw[keep], pa.float64()))
-            .append_column("a1", pa.array(edges[keep, 0], pa.int32()))
-            .append_column("a2", pa.array(edges[keep, 1], pa.int32()))
-            .append_column("b1", pa.array(edges[keep, 2], pa.int32()))
-            .append_column("b2", pa.array(edges[keep, 3], pa.int32()))
+            .append_column("a1", pa.array(a1[keep].astype(np.int32), pa.int32()))
+            .append_column("a2", pa.array(a2[keep].astype(np.int32), pa.int32()))
+            .append_column("b1", pa.array(b1[keep].astype(np.int32), pa.int32()))
+            .append_column("b2", pa.array(b2[keep].astype(np.int32), pa.int32()))
         )
 
 
