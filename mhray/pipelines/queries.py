@@ -96,14 +96,35 @@ def q_topk_orders(sf_dir: str):
 
 
 def q_join_agg(sf_dir: str):
-    """orders ⋈ customer grouped rollup (J2 equi-join analog)."""
+    """orders ⋈ customer grouped rollup (J2 equi-join analog), with the
+    aggregation PUSHED BELOW the join: orders pre-aggregate to one
+    (custkey, cnt, total) row per customer inside map_batches + a
+    custkey groupby, so the join input shrinks from |orders| to
+    |customers| before any join work — the shape that holds at 100 TB
+    (fact-table rows never reach the join operator)."""
     o = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
     c = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
-    j = o.join(c, join_type="inner", num_partitions=8,
-               on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        tp = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "o_custkey": pa.array(uk, pa.int64()),
+            "cnt": pa.array(np.bincount(inv), pa.int64()),
+            "total": pa.array(np.bincount(inv, weights=tp), pa.float64()),
+        })
+
+    # per-BLOCK partials only (no pre-join shuffle): join input is
+    # bounded by blocks x |customers| regardless of fact-table size,
+    # and the final segment groupby sums the partials
+    per_cust = o.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    j = per_cust.join(c, join_type="inner", num_partitions=4,
+                      on=("o_custkey",), right_on=("c_custkey",))
     agg = j.groupby("c_mktsegment").aggregate(
-        Count(alias_name="cnt"),
-        Sum("o_totalprice", alias_name="total"),
+        Sum("cnt", alias_name="cnt"),
+        Sum("total", alias_name="total"),
     )
     return agg.map_batches(
         lambda b: _cast_round(b, ("cnt",), {"total": 2}),
