@@ -791,24 +791,47 @@ def ev_close_pairs(sf_dir: str):
         uid = np.asarray(group.column("user_id"), dtype=np.int64)
         ts = np.asarray(group.column("ts"), dtype=np.int64)
         eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        if len(uid) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "gap_s": pa.array([], pa.int64())})
         # offset each user onto a disjoint time band so windows never
-        # cross users: one searchsorted over the whole partition
+        # cross users: one searchsorted over the whole partition.
+        # Bands use DENSE user rank x (partition time span), not raw
+        # user_id — raw-id x constant overflows int64 once ids pass
+        # ~922 — and fall back to user-range chunks if rank x span
+        # still could not fit.
         order = np.lexsort((ts, uid))
         uid, ts, eid = uid[order], ts[order], eid[order]
-        adj = ts + uid * np.int64(10) ** 16
-        n = len(adj)
-        hi_b = np.searchsorted(adj, adj + window_us, side="right")
-        counts = hi_b - np.arange(n) - 1
-        a = np.repeat(np.arange(n), counts)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        b = np.arange(counts.sum()) - np.repeat(starts, counts) \
-            + np.repeat(np.arange(n) + 1, counts)
-        lo = np.minimum(eid[a], eid[b])
-        hi = np.maximum(eid[a], eid[b])
+        new_u = np.ones(len(uid), dtype=bool)
+        new_u[1:] = np.diff(uid) != 0
+        dense = np.cumsum(new_u) - 1
+        tmin = ts.min()
+        span = int(ts.max()) - int(tmin) + window_us + 2
+        users_per_chunk = max(1, (2 ** 62) // span)
+        outs = []
+        n_users = int(dense[-1]) + 1
+        for base in range(0, n_users, users_per_chunk):
+            m = (dense >= base) & (dense < base + users_per_chunk)
+            adj = (dense[m] - base) * span + (ts[m] - tmin)
+            tsc, eidc = ts[m], eid[m]
+            n = len(adj)
+            hi_b = np.searchsorted(adj, adj + window_us, side="right")
+            counts = hi_b - np.arange(n) - 1
+            a = np.repeat(np.arange(n), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            b = np.arange(counts.sum()) - np.repeat(starts, counts) \
+                + np.repeat(np.arange(n) + 1, counts)
+            outs.append((np.minimum(eidc[a], eidc[b]),
+                         np.maximum(eidc[a], eidc[b]),
+                         (tsc[b] - tsc[a]) // 1_000_000))
+        lo = np.concatenate([o[0] for o in outs])
+        hi = np.concatenate([o[1] for o in outs])
+        gap = np.concatenate([o[2] for o in outs])
         return pa.table({
             "lo": pa.array(lo, pa.int64()),
             "hi": pa.array(hi, pa.int64()),
-            "gap_s": pa.array((ts[b] - ts[a]) // 1_000_000, pa.int64()),
+            "gap_s": pa.array(gap, pa.int64()),
         })
 
     return ev.map_batches(add_part, batch_format="pyarrow",
