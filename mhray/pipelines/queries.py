@@ -485,12 +485,12 @@ def ev_sessionize(sf_dir: str):
             [("n", "sum")]).rename_columns(["user_id", "session_id", "n_events"])
 
     # partition by user hash so each group call sees whole users
-    from mhray.stages.candidates import _part_of
+    from mhray.stages.candidates import _part_of, auto_parts
 
     def add_part(batch: pa.Table) -> pa.Table:
         uid = np.asarray(batch.column("user_id"), dtype=np.int64)
         return batch.append_column("upart",
-                                   pa.array(_part_of(uid, 8), pa.int32()))
+                                   pa.array(_part_of(uid, auto_parts()), pa.int32()))
 
     return ev.map_batches(add_part, batch_format="pyarrow") \
         .groupby("upart").map_groups(sessions, batch_format="pyarrow")
@@ -691,12 +691,12 @@ def ev_moving_avg(sf_dir: str):
                                 pa.int64()),
         })
 
-    from mhray.stages.candidates import _part_of
+    from mhray.stages.candidates import _part_of, auto_parts
 
     def add_part(batch: pa.Table) -> pa.Table:
         uid = np.asarray(batch.column("user_id"), dtype=np.int64)
         return batch.append_column("upart",
-                                   pa.array(_part_of(uid, 8), pa.int32()))
+                                   pa.array(_part_of(uid, auto_parts()), pa.int32()))
 
     return ev.map_batches(add_part, batch_format="pyarrow") \
         .groupby("upart").map_groups(mov, batch_format="pyarrow")
@@ -712,7 +712,7 @@ def ev_asof_prev(sf_dir: str):
     ev = _read(sf_dir, "events").select_columns(
         ["user_id", "ts", "event_id", "event_type"])
 
-    from mhray.stages.candidates import _part_of
+    from mhray.stages.candidates import _part_of, auto_parts
 
     def tag(batch: pa.Table) -> pa.Table:
         uid = np.asarray(batch.column("user_id"), dtype=np.int64)
@@ -731,7 +731,7 @@ def ev_asof_prev(sf_dir: str):
         okey = np.concatenate([eid[is_p], np.zeros(len(uid), np.int64)])
         eid2 = np.concatenate([np.zeros(int(is_p.sum()), np.int64), eid])
         return pa.table({
-            "upart": pa.array(_part_of(uid2, 8), pa.int32()),
+            "upart": pa.array(_part_of(uid2, auto_parts()), pa.int32()),
             "user_id": pa.array(uid2, pa.int64()),
             "ts": pa.array(ts2, pa.int64()),
             "pri": pa.array(pri, pa.int8()),
@@ -776,12 +776,12 @@ def ev_close_pairs(sf_dir: str):
     ev = _read(sf_dir, "events").select_columns(["user_id", "ts", "event_id"])
     window_us = 4 * 3600 * 1_000_000
 
-    from mhray.stages.candidates import _part_of
+    from mhray.stages.candidates import _part_of, auto_parts
 
     def add_part(batch: pa.Table) -> pa.Table:
         uid = np.asarray(batch.column("user_id"), dtype=np.int64)
         return pa.table({
-            "upart": pa.array(_part_of(uid, 8), pa.int32()),
+            "upart": pa.array(_part_of(uid, auto_parts()), pa.int32()),
             "user_id": pa.array(uid, pa.int64()),
             "ts": batch.column("ts").cast(pa.int64()),
             "event_id": batch.column("event_id"),
@@ -876,12 +876,12 @@ def ev_gap_stats(sf_dir: str):
     integer microsecond arithmetic — no float summation order issues)."""
     ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
 
-    from mhray.stages.candidates import _part_of
+    from mhray.stages.candidates import _part_of, auto_parts
 
     def add_part(batch: pa.Table) -> pa.Table:
         uid = np.asarray(batch.column("user_id"), dtype=np.int64)
         return pa.table({
-            "upart": pa.array(_part_of(uid, 8), pa.int32()),
+            "upart": pa.array(_part_of(uid, auto_parts()), pa.int32()),
             "user_id": pa.array(uid, pa.int64()),
             "ts": batch.column("ts").cast(pa.int64()),
         })
