@@ -292,9 +292,20 @@ def e_dup_cosine(sf_dir: str):
     import ray
 
     ds = _read(sf_dir, "embeddings")
-    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    vid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    vm = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    # brute force NEEDS every vector against every other: the matrix
+    # broadcast is inherent to the baseline, so guard it explicitly —
+    # past the threshold the LSH-bucketed path (e_dup_lsh /
+    # stages.ann.embedding_dup_pairs) is the scale answer
+    n_vecs = ds.count()
+    if n_vecs > 2_000_000:
+        raise ValueError(
+            f"e_dup_cosine is the brute-force baseline ({n_vecs} rows > "
+            "2M): use stages.ann.embedding_dup_pairs (LSH) instead")
+    side = ds.select_columns(["vec_id", "embedding"])
+    tbl = pa.concat_tables([ray.get(r) for r in side.to_arrow_refs()],
+                           promote_options="default")
+    vid = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    vm = _normalize(_embedding_matrix(tbl, "embedding"))
     order = np.argsort(vid)
     ref = ray.put((vid[order], vm[order]))
     tau = 0.4
