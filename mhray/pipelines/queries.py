@@ -716,138 +716,27 @@ def ev_moving_avg(sf_dir: str):
 def ev_asof_prev(sf_dir: str):
     """As-of join (the operator class Ray Data lacks natively): each
     event matched to the user's most recent purchase event at-or-before
-    its timestamp. Implemented as the canonical distributed as-of shape:
-    tag both sides, ONE hash partition by key, per-partition time sort +
-    vectorized forward-fill — no per-row lookups, no broadcast, and the
-    only shuffle is the key partition (reused for any same-key as-of)."""
+    its timestamp — a thin parameterization of
+    :func:`mhray.stages.events.asof_join` (tagged union, one key
+    partition, per-partition time sort + vectorized forward-fill)."""
+    from mhray.stages.events import asof_join
+
     ev = _read(sf_dir, "events").select_columns(
         ["user_id", "ts", "event_id", "event_type"])
-
-    from mhray.stages.candidates import _part_of, auto_parts
-
-    def tag(batch: pa.Table) -> pa.Table:
-        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
-        ts = np.asarray(batch.column("ts").cast(pa.int64()))
-        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
-        is_p = np.asarray(pc.equal(batch.column("event_type"),
-                                   "purchase")).astype(bool)
-        # purchase rows appear TWICE: once as the right side (pri=0,
-        # carrying okey) and once as a probing event (pri=1) — the
-        # sort puts the right-side row first at equal ts, so an event
-        # sees purchases at-or-before its own timestamp
-        uid2 = np.concatenate([uid[is_p], uid])
-        ts2 = np.concatenate([ts[is_p], ts])
-        pri = np.concatenate([np.zeros(int(is_p.sum()), np.int8),
-                              np.ones(len(uid), np.int8)])
-        okey = np.concatenate([eid[is_p], np.zeros(len(uid), np.int64)])
-        eid2 = np.concatenate([np.zeros(int(is_p.sum()), np.int64), eid])
-        return pa.table({
-            "upart": pa.array(_part_of(uid2, auto_parts()), pa.int32()),
-            "user_id": pa.array(uid2, pa.int64()),
-            "ts": pa.array(ts2, pa.int64()),
-            "pri": pa.array(pri, pa.int8()),
-            "okey": pa.array(okey, pa.int64()),
-            "event_id": pa.array(eid2, pa.int64()),
-        })
-
-    def asof(group: pa.Table) -> pa.Table:
-        uid = np.asarray(group.column("user_id"), dtype=np.int64)
-        ts = np.asarray(group.column("ts"), dtype=np.int64)
-        pri = np.asarray(group.column("pri"), dtype=np.int8)
-        okey = np.asarray(group.column("okey"), dtype=np.int64)
-        eid = np.asarray(group.column("event_id"), dtype=np.int64)
-        order = np.lexsort((okey, pri, ts, uid))
-        uid, ts, pri, okey, eid = (a[order] for a in (uid, ts, pri, okey, eid))
-        n = len(uid)
-        idx = np.arange(n)
-        # forward-fill the index of the last right-side row, reset per user
-        last = np.maximum.accumulate(np.where(pri == 0, idx, -1))
-        user_start = np.maximum.accumulate(
-            np.where(np.diff(uid, prepend=uid[0] - 1) != 0, idx, -1))
-        valid = last >= user_start
-        probe = pri == 1
-        matched = valid[probe]
-        prev = np.where(matched, okey[np.maximum(last[probe], 0)], 0)
-        return pa.table({
-            "event_id": pa.array(eid[probe], pa.int64()),
-            "prev_purchase_id": pa.array(prev, pa.int64(),
-                                         mask=~matched),
-        })
-
-    return ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("upart").map_groups(asof, batch_format="pyarrow")
+    right = ev.filter(expr="event_type == 'purchase'")
+    return asof_join(ev, right, "user_id", "ts", "ts", "event_id",
+                     carry_cols=("event_id",), out_col="prev_purchase_id")
 
 
 def ev_close_pairs(sf_dir: str):
-    """Banded range self-join: pairs of same-user events within 4 hours
-    of each other. Hash-partition by user, per-partition time sort, then
-    a fully vectorized sliding-window pair emit (searchsorted bounds +
-    arange expansion) — the windowed range join never goes quadratic:
-    cost is output-proportional."""
+    """Windowed range self-join: pairs of same-user events within 4
+    hours — :func:`mhray.stages.events.window_self_join` (per-key time
+    sort + searchsorted window emit, output-proportional cost)."""
+    from mhray.stages.events import window_self_join
+
     ev = _read(sf_dir, "events").select_columns(["user_id", "ts", "event_id"])
-    window_us = 4 * 3600 * 1_000_000
-
-    from mhray.stages.candidates import _part_of, auto_parts
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
-        return pa.table({
-            "upart": pa.array(_part_of(uid, auto_parts()), pa.int32()),
-            "user_id": pa.array(uid, pa.int64()),
-            "ts": batch.column("ts").cast(pa.int64()),
-            "event_id": batch.column("event_id"),
-        })
-
-    def pairs(group: pa.Table) -> pa.Table:
-        uid = np.asarray(group.column("user_id"), dtype=np.int64)
-        ts = np.asarray(group.column("ts"), dtype=np.int64)
-        eid = np.asarray(group.column("event_id"), dtype=np.int64)
-        if len(uid) == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64()),
-                             "gap_s": pa.array([], pa.int64())})
-        # offset each user onto a disjoint time band so windows never
-        # cross users: one searchsorted over the whole partition.
-        # Bands use DENSE user rank x (partition time span), not raw
-        # user_id — raw-id x constant overflows int64 once ids pass
-        # ~922 — and fall back to user-range chunks if rank x span
-        # still could not fit.
-        order = np.lexsort((ts, uid))
-        uid, ts, eid = uid[order], ts[order], eid[order]
-        new_u = np.ones(len(uid), dtype=bool)
-        new_u[1:] = np.diff(uid) != 0
-        dense = np.cumsum(new_u) - 1
-        tmin = ts.min()
-        span = int(ts.max()) - int(tmin) + window_us + 2
-        users_per_chunk = max(1, (2 ** 62) // span)
-        outs = []
-        n_users = int(dense[-1]) + 1
-        for base in range(0, n_users, users_per_chunk):
-            m = (dense >= base) & (dense < base + users_per_chunk)
-            adj = (dense[m] - base) * span + (ts[m] - tmin)
-            tsc, eidc = ts[m], eid[m]
-            n = len(adj)
-            hi_b = np.searchsorted(adj, adj + window_us, side="right")
-            counts = hi_b - np.arange(n) - 1
-            a = np.repeat(np.arange(n), counts)
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            b = np.arange(counts.sum()) - np.repeat(starts, counts) \
-                + np.repeat(np.arange(n) + 1, counts)
-            outs.append((np.minimum(eidc[a], eidc[b]),
-                         np.maximum(eidc[a], eidc[b]),
-                         (tsc[b] - tsc[a]) // 1_000_000))
-        lo = np.concatenate([o[0] for o in outs])
-        hi = np.concatenate([o[1] for o in outs])
-        gap = np.concatenate([o[2] for o in outs])
-        return pa.table({
-            "lo": pa.array(lo, pa.int64()),
-            "hi": pa.array(hi, pa.int64()),
-            "gap_s": pa.array(gap, pa.int64()),
-        })
-
-    return ev.map_batches(add_part, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby("upart").map_groups(pairs, batch_format="pyarrow")
+    return window_self_join(ev, "user_id", "ts", "event_id",
+                            window_us=4 * 3600 * 1_000_000)
 
 
 def q_rollup(sf_dir: str):
@@ -883,42 +772,12 @@ def q_rollup(sf_dir: str):
 
 
 def ev_gap_stats(sf_dir: str):
-    """LAG-window analog: per-user inter-event gap count and total (all
-    integer microsecond arithmetic — no float summation order issues)."""
+    """LAG-window analog: per-user inter-event gap count/total in exact
+    integer microseconds — :func:`mhray.stages.events.gap_stats`."""
+    from mhray.stages.events import gap_stats
+
     ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
-
-    from mhray.stages.candidates import _part_of, auto_parts
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
-        return pa.table({
-            "upart": pa.array(_part_of(uid, auto_parts()), pa.int32()),
-            "user_id": pa.array(uid, pa.int64()),
-            "ts": batch.column("ts").cast(pa.int64()),
-        })
-
-    def gaps(group: pa.Table) -> pa.Table:
-        uid = np.asarray(group.column("user_id"), dtype=np.int64)
-        ts = np.asarray(group.column("ts"), dtype=np.int64)
-        order = np.lexsort((ts, uid))
-        uid, ts = uid[order], ts[order]
-        same_user = np.zeros(len(uid), dtype=bool)
-        same_user[1:] = np.diff(uid) == 0
-        d = np.zeros(len(ts), dtype=np.int64)
-        d[1:] = np.diff(ts)
-        users, idx = np.unique(uid, return_inverse=True)
-        n_gaps = np.bincount(idx, weights=same_user).astype(np.int64)
-        total = np.bincount(idx, weights=np.where(same_user, d, 0)) \
-            .astype(np.int64)
-        return pa.table({
-            "user_id": pa.array(users, pa.int64()),
-            "n_gaps": pa.array(n_gaps, pa.int64()),
-            "total_gap_us": pa.array(total, pa.int64()),
-        })
-
-    return ev.map_batches(add_part, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby("upart").map_groups(gaps, batch_format="pyarrow")
+    return gap_stats(ev, "user_id", "ts")
 
 
 def q_pivot_status(sf_dir: str):

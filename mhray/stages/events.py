@@ -1,0 +1,214 @@
+"""Time-series / event-stream operators: as-of join, windowed range
+self-join, inter-event gap stats.
+
+Engine-native additions (the reference has no temporal operators —
+SURVEY.md §2.10 "no windows, watermarks, or late data"); all three
+follow the same distributed shape: ONE hash partition by key, a
+per-partition time sort, then fully vectorized per-key logic — no
+per-row lookups, no broadcast state, cost proportional to input plus
+emitted output. The catalog entries in ``pipelines/queries.py``
+(`ev_asof_prev`, `ev_close_pairs`, `ev_gap_stats`) are thin
+parameterizations of these, each hash-checked against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mhray.stages.candidates import _part_of, auto_parts
+
+
+def asof_join(left_ds, right_ds, key_col: str, left_ts_col: str,
+              right_ts_col: str, right_value_col: str,
+              carry_cols: tuple = (), out_col: str = "asof_value",
+              num_parts: int | None = None):
+    """For every left row, attach the ``right_value_col`` of the right
+    row with the greatest ``right_ts_col`` at-or-before the left row's
+    timestamp within the same key (ties broken by greatest value —
+    deterministic). Null when no right row precedes the left row.
+
+    Output columns: ``carry_cols`` + ``out_col``. Both sides are tagged
+    into one stream, hash-partitioned by key, time-sorted per partition
+    and resolved by a vectorized forward-fill — the canonical
+    distributed as-of, with the single shuffle being the key partition.
+
+    Keys and timestamps must be integer-typed (cast timestamps with
+    ``.cast(pa.int64())`` upstream); ``right_value_col`` must be
+    integer-typed as well (the forward-fill gathers by position).
+    """
+    num_parts = auto_parts(num_parts)
+    carry_cols = tuple(carry_cols)
+
+    def _arrow_type(schema, name):
+        base = getattr(schema, "base_schema", schema)
+        if isinstance(base, pa.Schema):
+            return base.field(name).type
+        # PandasBlockSchema (from_pandas datasets): names + numpy dtypes
+        return pa.from_numpy_dtype(base.types[list(base.names).index(name)])
+
+    left_schema = left_ds.schema()
+    carry_types = {c: _arrow_type(left_schema, c) for c in carry_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(left_ts_col).cast(pa.int64()))
+        cols = {
+            "__part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "__key": pa.array(key, pa.int64()),
+            "__ts": pa.array(ts, pa.int64()),
+            "__pri": pa.array(np.ones(len(key), np.int8), pa.int8()),
+            "__val": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+        }
+        for c in carry_cols:
+            cols[f"__c_{c}"] = batch.column(c)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        ts = np.asarray(batch.column(right_ts_col).cast(pa.int64()))
+        val = np.asarray(batch.column(right_value_col), dtype=np.int64)
+        n = len(key)
+        cols = {
+            "__part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "__key": pa.array(key, pa.int64()),
+            "__ts": pa.array(ts, pa.int64()),
+            "__pri": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "__val": pa.array(val, pa.int64()),
+        }
+        for c in carry_cols:
+            cols[f"__c_{c}"] = pa.nulls(n, carry_types[c])
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        key = np.asarray(group.column("__key"), dtype=np.int64)
+        ts = np.asarray(group.column("__ts"), dtype=np.int64)
+        pri = np.asarray(group.column("__pri"), dtype=np.int8)
+        val = np.asarray(group.column("__val"), dtype=np.int64)
+        order = np.lexsort((val, pri, ts, key))
+        key, ts, pri, val = key[order], ts[order], pri[order], val[order]
+        n = len(key)
+        idx = np.arange(n)
+        last = np.maximum.accumulate(np.where(pri == 0, idx, -1))
+        user_start = np.maximum.accumulate(
+            np.where(np.diff(key, prepend=key[0] - 1) != 0, idx, -1)) \
+            if n else np.empty(0, np.int64)
+        matched = (last >= user_start)[pri == 1]
+        probe_rows = np.flatnonzero(pri == 1)
+        gather = np.maximum(last[probe_rows], 0)
+        out = {}
+        take = pa.array(order[probe_rows], pa.int64())
+        for c in carry_cols:
+            out[c] = group.column(f"__c_{c}").take(take)
+        out[out_col] = pa.array(
+            np.where(matched, val[gather], 0), pa.int64(), mask=~matched)
+        return pa.table(out)
+
+    return tagged.groupby("__part", num_partitions=num_parts).map_groups(
+        resolve, batch_format="pyarrow")
+
+
+def window_self_join(ds, key_col: str, ts_col: str, id_col: str,
+                     window_us: int, num_parts: int | None = None):
+    """(lo, hi, gap_s) pairs of same-key rows within ``window_us`` of
+    each other, canonical by id. Per-partition time sort + searchsorted
+    window bounds + arange expansion: cost is input + output, never the
+    per-key quadratic. Keys band onto disjoint time ranges via dense
+    rank x partition span (never raw ids — overflow), chunked if even
+    that cannot fit int64."""
+    num_parts = auto_parts(num_parts)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "__key": pa.array(key, pa.int64()),
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+            "__id": batch.column(id_col).cast(pa.int64()),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        key = np.asarray(group.column("__key"), dtype=np.int64)
+        ts = np.asarray(group.column("__ts"), dtype=np.int64)
+        rid = np.asarray(group.column("__id"), dtype=np.int64)
+        if len(key) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "gap_s": pa.array([], pa.int64())})
+        order = np.lexsort((ts, key))
+        key, ts, rid = key[order], ts[order], rid[order]
+        new_k = np.ones(len(key), dtype=bool)
+        new_k[1:] = np.diff(key) != 0
+        dense = np.cumsum(new_k) - 1
+        tmin = ts.min()
+        span = int(ts.max()) - int(tmin) + window_us + 2
+        keys_per_chunk = max(1, (2 ** 62) // span)
+        outs = []
+        n_keys = int(dense[-1]) + 1
+        for base in range(0, n_keys, keys_per_chunk):
+            m = (dense >= base) & (dense < base + keys_per_chunk)
+            adj = (dense[m] - base) * span + (ts[m] - tmin)
+            tsc, ridc = ts[m], rid[m]
+            n = len(adj)
+            hi_b = np.searchsorted(adj, adj + window_us, side="right")
+            counts = hi_b - np.arange(n) - 1
+            a = np.repeat(np.arange(n), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            b = np.arange(counts.sum()) - np.repeat(starts, counts) \
+                + np.repeat(np.arange(n) + 1, counts)
+            outs.append((np.minimum(ridc[a], ridc[b]),
+                         np.maximum(ridc[a], ridc[b]),
+                         (tsc[b] - tsc[a]) // 1_000_000))
+        return pa.table({
+            "lo": pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+            "hi": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+            "gap_s": pa.array(np.concatenate([o[2] for o in outs]),
+                              pa.int64()),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(pairs, batch_format="pyarrow")
+
+
+def gap_stats(ds, key_col: str, ts_col: str, num_parts: int | None = None):
+    """Per-key inter-event gap count and total, all in exact integer
+    microseconds (the LAG-window aggregate shape)."""
+    num_parts = auto_parts(num_parts)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(key, num_parts), pa.int32()),
+            key_col: pa.array(key, pa.int64()),
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+        })
+
+    def gaps(group: pa.Table) -> pa.Table:
+        key = np.asarray(group.column(key_col), dtype=np.int64)
+        ts = np.asarray(group.column("__ts"), dtype=np.int64)
+        order = np.lexsort((ts, key))
+        key, ts = key[order], ts[order]
+        same = np.zeros(len(key), dtype=bool)
+        same[1:] = np.diff(key) == 0
+        d = np.zeros(len(ts), dtype=np.int64)
+        d[1:] = np.diff(ts)
+        keys, idx = np.unique(key, return_inverse=True)
+        n_gaps = np.bincount(idx, weights=same).astype(np.int64)
+        total = np.bincount(idx, weights=np.where(same, d, 0)).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(keys, pa.int64()),
+            "n_gaps": pa.array(n_gaps, pa.int64()),
+            "total_gap_us": pa.array(total, pa.int64()),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(gaps, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""Generic event-stream operators (stages/events.py) vs brute-force
+pandas references on seeded random frames — including key/timestamp
+regimes the testdata never hits (huge key ids, dense ts ties)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rand_events(rng, n, n_keys, span_us, key_base=0):
+    return pd.DataFrame({
+        "k": rng.integers(key_base, key_base + n_keys, n).astype(np.int64),
+        "ts": rng.integers(0, span_us, n).astype(np.int64),
+        "rid": np.arange(n, dtype=np.int64) * 7 + 3,
+    })
+
+
+def _brute_asof(left, right):
+    out = []
+    for _, row in left.iterrows():
+        cand = right[(right["k"] == row["k"]) & (right["ts"] <= row["ts"])]
+        if len(cand):
+            best_ts = cand["ts"].max()
+            out.append(cand[cand["ts"] == best_ts]["rid"].max())
+        else:
+            out.append(None)
+    return out
+
+
+def _brute_window_pairs(df, window_us):
+    rows = []
+    recs = df.to_dict("records")
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = recs[i], recs[j]
+            if a["k"] != b["k"]:
+                continue
+            if abs(a["ts"] - b["ts"]) <= window_us:
+                lo, hi = sorted((a["rid"], b["rid"]))
+                rows.append((lo, hi, abs(a["ts"] - b["ts"]) // 1_000_000))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed,key_base", [(1, 0), (2, 10 ** 17), (3, 0)])
+def test_asof_join_vs_brute(seed, key_base, ray_session):
+    import ray.data
+
+    from mhray.stages.events import asof_join
+
+    rng = np.random.default_rng(seed)
+    left = _rand_events(rng, 200, 9, 10 ** 9, key_base)
+    right = _rand_events(rng, 60, 9, 10 ** 9, key_base)
+    got = asof_join(
+        ray.data.from_pandas(left.rename(columns={"rid": "lid"})),
+        ray.data.from_pandas(right),
+        "k", "ts", "ts", "rid", carry_cols=("lid",), out_col="m",
+        num_parts=4,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    expect = _brute_asof(left, right)
+    got_map = dict(zip(got["lid"], got["m"]))
+    for lid, exp in zip(left["rid"], expect):
+        g = got_map[lid]
+        if exp is None:
+            assert pd.isna(g), lid
+        else:
+            assert g == exp, (lid, g, exp)
+
+
+@pytest.mark.parametrize("seed,n_keys,span", [
+    (4, 5, 10 ** 8),            # dense ts ties
+    (5, 50, 10 ** 13),          # wide span -> chunked banding regime
+    (6, 3, 100),                # everything within every window
+])
+def test_window_self_join_vs_brute(seed, n_keys, span, ray_session):
+    import ray.data
+
+    from mhray.stages.events import window_self_join
+
+    rng = np.random.default_rng(seed)
+    df = _rand_events(rng, 150, n_keys, span)
+    window_us = max(span // 4, 1)
+    got = window_self_join(ray.data.from_pandas(df), "k", "ts", "rid",
+                           window_us, num_parts=4).to_pandas()
+    got_rows = sorted(map(tuple, got[["lo", "hi", "gap_s"]].to_numpy()))
+    assert got_rows == _brute_window_pairs(df, window_us)
+
+
+def test_window_self_join_partition_invariant(ray_session):
+    """The pair set must not depend on how keys land in partitions (or
+    how partitions split into chunk bands)."""
+    import ray.data
+
+    from mhray.stages.events import window_self_join
+
+    rng = np.random.default_rng(7)
+    df = _rand_events(rng, 300, 40, 10 ** 10)
+    key = ["lo", "hi", "gap_s"]
+    base = window_self_join(ray.data.from_pandas(df), "k", "ts", "rid",
+                            10 ** 9, num_parts=2).to_pandas()
+    alt = window_self_join(ray.data.from_pandas(df), "k", "ts", "rid",
+                           10 ** 9, num_parts=7).to_pandas()
+    assert sorted(map(tuple, base[key].to_numpy())) == \
+        sorted(map(tuple, alt[key].to_numpy()))
+
+
+def test_gap_stats_vs_brute(ray_session):
+    import ray.data
+
+    from mhray.stages.events import gap_stats
+
+    rng = np.random.default_rng(8)
+    df = _rand_events(rng, 400, 12, 10 ** 12)
+    got = gap_stats(ray.data.from_pandas(df), "k", "ts",
+                    num_parts=4).to_pandas().set_index("k")
+    for k, grp in df.groupby("k"):
+        ts = np.sort(grp["ts"].to_numpy())
+        assert got.loc[k, "n_gaps"] == len(ts) - 1
+        assert got.loc[k, "total_gap_us"] == int(ts[-1] - ts[0])
