@@ -183,49 +183,68 @@ def _box_blur3(gray: np.ndarray) -> np.ndarray:
     ) / 9.0
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+_PHASH_OPS: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _phash_ops(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(U, V) such that the 8x8 DCT block of the blurred, resampled
+    grayscale equals ``U @ gray @ V.T``.
+
+    The whole gray -> clamped 3x3 box blur -> nearest resample ->
+    2-D DCT -> top-left 8x8 chain is LINEAR in the pixels, and the
+    clamped box blur is separable, so it all folds into one (8, h) and
+    one (8, w) matrix per image shape — the per-image work collapses
+    to two skinny matmuls instead of full-image blur + pad + DCT.
+    """
+    key = (h, w)
+    ops = _PHASH_OPS.get(key)
+    if ops is not None:
+        return ops
+    ys = (np.arange(_DCT_N) * h // _DCT_N).astype(np.int64)
+    xs = (np.arange(_DCT_N) * w // _DCT_N).astype(np.int64)
+    ry = np.zeros((_DCT_N, h))
+    rx = np.zeros((_DCT_N, w))
+    for d in (-1, 0, 1):
+        np.add.at(ry, (np.arange(_DCT_N), np.clip(ys + d, 0, h - 1)), 1 / 3)
+        np.add.at(rx, (np.arange(_DCT_N), np.clip(xs + d, 0, w - 1)), 1 / 3)
+    a8 = _DCT_T[:8]
+    ops = (a8 @ ry, a8 @ rx)
+    _PHASH_OPS[key] = ops
+    return ops
+
+
+def _phash_from_blocks(block: np.ndarray) -> np.ndarray:
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint8)
+    return np.packbits(bits, axis=1, bitorder="little").view(np.uint64) \
+        .ravel().view(np.int64)
+
+
 def phash64(img: np.ndarray) -> int:
-    """64-bit perceptual hash of an (h, w, 3) uint8 image; returns int64."""
-    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    gray = _box_blur3(gray)
-    small = _resample_nearest(gray, _DCT_N)
-    dct = _DCT_T @ small @ _DCT_T.T
-    block = dct[:8, :8].ravel()
-    med = np.median(block[1:])  # DC excluded from the threshold
-    bits = (block > med).astype(np.uint8)
-    val = int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
-    return val - (1 << 64) if val >= (1 << 63) else val
+    """64-bit perceptual hash of an (h, w, 3) uint8 image; returns
+    int64. Delegates to the batched fused-operator path so every
+    caller (synth, oracle, pipeline, multimodal) computes the
+    identical hash."""
+    return int(phash64_batch([img])[0])
 
 
 def phash64_batch(imgs: list[np.ndarray]) -> np.ndarray:
-    """Batched pHash: per-image gray+resample (cheap), then ONE batched
-    DCT einsum over the whole batch. Bit-identical to phash64."""
+    """Batched pHash via the fused linear operator (see _phash_ops):
+    per shape group, one luma contraction and two skinny matmuls."""
     n = len(imgs)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    luma = np.array([0.299, 0.587, 0.114])
-    grays = np.empty((n, _DCT_N, _DCT_N), dtype=np.float64)
-    # group by shape: gray/blur/resample run batched per shape group
+    blocks = np.empty((n, 64), dtype=np.float64)
     by_shape: dict[tuple, list[int]] = {}
     for i, img in enumerate(imgs):
         by_shape.setdefault(img.shape, []).append(i)
     for shape, idx in by_shape.items():
-        stack = np.stack([imgs[i] for i in idx]).astype(np.float64)
-        g = stack @ luma  # (B, h, w)
-        p = np.pad(g, ((0, 0), (1, 1), (1, 1)), mode="edge")
-        blur = (
-            p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:]
-            + p[:, 1:-1, :-2] + p[:, 1:-1, 1:-1] + p[:, 1:-1, 2:]
-            + p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:]
-        ) / 9.0
-        h, w = shape[0], shape[1]
-        ys = (np.arange(_DCT_N) * h // _DCT_N).astype(np.int64)
-        xs = (np.arange(_DCT_N) * w // _DCT_N).astype(np.int64)
-        grays[np.asarray(idx)] = blur[:, ys][:, :, xs]
-    dct = (_DCT_T @ grays) @ _DCT_T.T  # batched BLAS matmuls
-    block = dct[:, :8, :8].reshape(n, 64)
-    med = np.median(block[:, 1:], axis=1)
-    bits = (block > med[:, None]).astype(np.uint8)
-    return np.packbits(bits, axis=1, bitorder="little").view(np.uint64).ravel().view(np.int64)
+        u, v = _phash_ops(shape[0], shape[1])
+        stack = np.stack([imgs[i] for i in idx])
+        g = stack.astype(np.float64) @ _LUMA          # (B, h, w)
+        blocks[np.asarray(idx)] = (u @ g @ v.T).reshape(len(idx), 64)
+    return _phash_from_blocks(blocks)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
