@@ -214,7 +214,11 @@ def d_minhash_pairs(sf_dir: str):
     from mhray.stages.dedup import minhash_text_pairs
 
     cfg = PRESETS["captions"].with_(threshold=0.9)
-    out = minhash_text_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), cfg)
+    from mhray.checkpoint import parquet_num_rows
+
+    out = minhash_text_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), cfg,
+        n_rows_hint=parquet_num_rows(f"{sf_dir}/documents.parquet"))
     return out.select_columns(["lo", "hi", "shared_slots"])
 
 

@@ -429,17 +429,28 @@ def docs_as_images(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
-                       id_col: str = "doc_id", num_parts: int | None = None):
+                       id_col: str = "doc_id", num_parts: int | None = None,
+                       n_rows_hint: int | None = None):
     """(lo, hi, shared_slots, score, ...) via signature LSH + verify —
-    the MHAP flagship machinery on any (id, text) table."""
+    the MHAP flagship machinery on any (id, text) table.
+
+    ``n_rows_hint`` sizes the sketch actor pool to the input (one
+    actor per ~2000 rows, capped below the CPU count) — for small
+    tables, pool spin-up otherwise dominates the stage."""
     from mhray.stages.candidates import minhash_candidates
     from mhray.stages.sketch import sketch_dataset
     from mhray.stages.verify import verify_candidates
 
     num_parts = auto_parts(num_parts)
 
+    concurrency = None
+    if n_rows_hint is not None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        hi = max(2, min(cpus - 2, n_rows_hint // 2000))
+        concurrency = (hi, hi)
     as_images = docs_as_images(ds, text_col, id_col)
-    sketches = sketch_dataset(as_images, cfg, decode_pixels=False)
+    sketches = sketch_dataset(as_images, cfg, decode_pixels=False,
+                              concurrency=concurrency)
     valid = sketches.filter(expr="valid == True").materialize()
     cands = minhash_candidates(valid, cfg, num_parts)
     return verify_candidates(cands, valid, cfg, num_parts)
