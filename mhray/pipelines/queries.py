@@ -22,9 +22,31 @@ from mhray.config import PRESETS
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     # columns= prunes the scan at the parquet reader — unread columns
-    # never leave storage
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                 columns=columns)
+    # never leave storage. Block count sized to the row count (footer
+    # metadata, no execution): Ray's default splits small files into
+    # ~64 near-empty read tasks whose launch overhead dwarfs the scan.
+    path = f"{sf_dir}/{table}.parquet"
+    from mhray.checkpoint import parquet_num_rows
+
+    import ray as _ray
+
+    rows = parquet_num_rows(path)
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    blocks = int(max(4, min(2 * cpus, rows // 5000 + 1)))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)
+
+
+def _doc_parts(sf_dir: str) -> int:
+    """Shuffle partition count for documents-table operators, sized to
+    the table instead of the CPU count (32 sort partitions over 5000
+    rows is pure launch overhead)."""
+    from mhray.checkpoint import parquet_num_rows
+    from mhray.stages.candidates import auto_parts
+
+    rows = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    return max(2, min(auto_parts(), rows // 2000 + 1))
 
 
 def _cast_round(tbl: pa.Table, int_cols=(), scale_cols=None) -> pa.Table:
@@ -174,7 +196,8 @@ def q_events_hourly(sf_dir: str):
 def d_exact_dedup(sf_dir: str):
     from mhray.stages.dedup import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       num_parts=_doc_parts(sf_dir))
 
 
 def d_jaccard_pairs(sf_dir: str):
