@@ -172,17 +172,6 @@ def _resample_nearest(gray: np.ndarray, n: int) -> np.ndarray:
     return gray[np.ix_(ys, xs)]
 
 
-def _box_blur3(gray: np.ndarray) -> np.ndarray:
-    """3x3 box blur (edge-clamped): the smoothing step of classic pHash,
-    makes the hash stable under small per-pixel noise."""
-    p = np.pad(gray, 1, mode="edge")
-    return (
-        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
-        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
-    ) / 9.0
-
-
 _LUMA = np.array([0.299, 0.587, 0.114])
 _PHASH_OPS: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 

@@ -28,11 +28,9 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     path = f"{sf_dir}/{table}.parquet"
     from mhray.checkpoint import parquet_num_rows
 
-    import ray as _ray
-
     rows = parquet_num_rows(path)
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-        if _ray.is_initialized() else 8
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
     blocks = int(max(4, min(2 * cpus, rows // 5000 + 1)))
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
@@ -1105,7 +1103,8 @@ ORACLE_SQL = {
     "d_lang_id": r"""
         WITH w AS (
             SELECT doc_id,
-                   list_distinct(regexp_split_to_array(lower(text), '\s+')) AS ws
+                   list_distinct(regexp_split_to_array(lower(text),
+                                 '[ \t\n\r\f\v]+')) AS ws
             FROM documents
         ), s AS (
             SELECT doc_id,
@@ -1130,9 +1129,10 @@ ORACLE_SQL = {
     "d_quality": r"""
         WITH t AS (
             SELECT doc_id, length(text) AS n,
-                   list_filter(regexp_split_to_array(text, '\s+'),
+                   list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
                                x -> x <> '') AS toks,
-                   length(regexp_replace(text, '[^A-Za-z\s]', '', 'g')) AS na
+                   length(regexp_replace(text, '[^A-Za-z \t\n\r\f\v]',
+                                         '', 'g')) AS na
             FROM documents
         ), s AS (
             SELECT doc_id,

@@ -44,8 +44,13 @@ def asof_join(left_ds, right_ds, key_col: str, left_ts_col: str,
         base = getattr(schema, "base_schema", schema)
         if isinstance(base, pa.Schema):
             return base.field(name).type
-        # PandasBlockSchema (from_pandas datasets): names + numpy dtypes
-        return pa.from_numpy_dtype(base.types[list(base.names).index(name)])
+        # PandasBlockSchema (from_pandas datasets): names + numpy dtypes;
+        # object dtype (strings etc.) has no numpy mapping -> string
+        dt = base.types[list(base.names).index(name)]
+        try:
+            return pa.from_numpy_dtype(dt)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
 
     left_schema = left_ds.schema()
     carry_types = {c: _arrow_type(left_schema, c) for c in carry_cols}

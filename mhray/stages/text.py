@@ -66,6 +66,14 @@ def bpe_token_count(batch: pa.Table, text_col: str = "text",
     })
 
 
+# EXPLICIT ASCII whitespace on both sides of the DuckDB oracles:
+# Python's \s / str.split() match Unicode whitespace, RE2's \s is
+# ASCII-only — pin the exact class so the hash compare cannot diverge
+# on non-ASCII-whitespace corpora.
+_WS = " \t\n\r\f\v"
+_WS_SPLIT_RE = re.compile(f"[{_WS}]+")
+
+
 def lang_id(batch: pa.Table, text_col: str = "text",
             id_col: str = "doc_id") -> pa.Table:
     """Stopword-profile language heuristic; 'und' (undetermined) when no
@@ -73,7 +81,7 @@ def lang_id(batch: pa.Table, text_col: str = "text",
     texts = batch.column(text_col).to_pylist()
     preds = []
     for t in texts:
-        words = set(t.lower().split())
+        words = set(w for w in _WS_SPLIT_RE.split(t.lower()) if w)
         best_lang, best_score = "und", 0
         for lang in sorted(_LANG_STOPWORDS):
             score = len(words & _LANG_STOPWORDS[lang])
@@ -86,7 +94,7 @@ def lang_id(batch: pa.Table, text_col: str = "text",
     })
 
 
-_NON_ALPHA_RE = re.compile(r"[^A-Za-z\s]")
+_NON_ALPHA_RE = re.compile(f"[^A-Za-z{_WS}]")
 
 
 def quality_score(batch: pa.Table, text_col: str = "text",
@@ -95,9 +103,10 @@ def quality_score(batch: pa.Table, text_col: str = "text",
     mean word length band, repetition (distinct-token ratio).
 
     SQL-matched definitions (the DuckDB oracle mirrors each term):
-    tokens = \\s+ split dropping empties; alpha = len(re.sub('[^A-Za-z\\s]',
-    '', t)) / len(t); outputs are per-10000 scaled ints (round half away
-    from zero) so the value hash is engine-independent."""
+    tokens = ASCII-whitespace split dropping empties; alpha =
+    len(re.sub('[^A-Za-z<ws>]', '', t)) / len(t) with the explicit
+    ASCII class _WS; outputs are per-10000 scaled ints (round half
+    away from zero) so the value hash is engine-independent."""
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
     quality = np.zeros(n)
@@ -106,7 +115,7 @@ def quality_score(batch: pa.Table, text_col: str = "text",
     for i, t in enumerate(texts):
         if not t:
             continue
-        toks = t.split()
+        toks = [w for w in _WS_SPLIT_RE.split(t) if w]
         alpha = len(_NON_ALPHA_RE.sub("", t)) / len(t)
         distinct = len(set(toks)) / len(toks) if toks else 0.0
         len_ok = 1.0 if 20 <= len(t) <= 10000 else 0.0

@@ -14,42 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from mhray.config import MhapConfig
-from mhray.kernels import unpack_bottom_sketch, verify_pair
-
-
-def _sketch_views(col):
-    """Zero-copy per-row (hashes, positions, seq_len) accessor for a
-    binary column of packed bottom sketches.
-
-    Returns ``fetch(i) -> (h, p, seq_len)`` where h/p are int32 VIEWS
-    into the Arrow data buffer — no per-row bytes allocation (the
-    ``to_pylist`` + ``np.frombuffer`` path copies every blob). Blob
-    layout is [seq_len][k][k hashes][k positions] int32s, so every
-    value offset stays 4-aligned; falls back to the copying path if an
-    unaligned offset ever appears.
-    """
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-        col.offset:col.offset + len(col) + 1]
-    if len(offs) and (offs % 4).any():
-        blobs = col.to_pylist()
-
-        def fetch_slow(i):
-            return unpack_bottom_sketch(blobs[i])
-
-        return fetch_slow
-    buf = col.buffers()[2]
-    flat32 = np.frombuffer(buf, dtype="<i4",
-                           count=len(buf) // 4)
-
-    def fetch(i):
-        s = offs[i] >> 2
-        k = int(flat32[s + 1])
-        h = flat32[s + 2:s + 2 + k]
-        return h, flat32[s + 2 + k:s + 2 + 2 * k], int(flat32[s])
-
-    return fetch
+from mhray.kernels import unpack_bottom_sketch
 
 
 def attach_sketches(pairs_ds, sketches_ds, num_partitions: int = 32,
