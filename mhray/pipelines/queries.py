@@ -352,6 +352,17 @@ def e_dup_cosine(sf_dir: str):
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def e_kmeans(sf_dir: str):
+    """Distributed full-corpus Lloyd's k-means assignments (rows-only:
+    iterative ML has no SQL equivalent; exactness vs a driver-side
+    Lloyd with identical init is pytest-asserted on planted blobs)."""
+    from mhray.stages.ann import kmeans
+
+    _, assignments = kmeans(_read(sf_dir, "embeddings"), n_clusters=8,
+                            iters=4, seed=13)
+    return assignments
+
+
 def e_knn_ivf(sf_dir: str):
     """IVF approximate top-k (rows-only; recall vs brute checked in
     tests/test_ann_ivf.py)."""
@@ -881,6 +892,7 @@ QUERIES = {
     "ev_gap_stats": ev_gap_stats,
     "q_pivot_status": q_pivot_status,
     "d_tiered_dedup": d_tiered_dedup,
+    "e_kmeans": e_kmeans,
 }
 
 ORACLE_SQL = {

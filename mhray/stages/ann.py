@@ -117,6 +117,97 @@ def _unpack_rows(col, dim: int) -> np.ndarray:
     return flat[off * dim:(off + len(col)) * dim].reshape(len(col), dim)
 
 
+def kmeans(ds, n_clusters: int = 8, iters: int = 5, seed: int = 13,
+           id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Distributed Lloyd's k-means (Euclidean) over the FULL corpus.
+
+    Each iteration streams every vector once: a ``map_batches`` pass
+    assigns rows to the broadcast centroids and emits per-batch
+    ``(cluster, partial_sum, count)`` rows, which reduce to the new
+    centroids driver-side — the driver only ever holds
+    ``n_clusters x dim`` floats, never the corpus. Init is the same
+    deterministic hash-bottom uniform sample the IVF coarse quantizer
+    uses (order-independent, unbiased on sorted input).
+
+    Returns ``(centroids ndarray, assignments Dataset(id, cluster))``;
+    assignment ties break toward the lower cluster index (np.argmin).
+    """
+    n_sample = max(n_clusters * 16, 256)
+
+    def partial_sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        x = ids.view(np.uint64) ^ (np.uint64(seed)
+                                   * np.uint64(0x9E3779B97F4A7C15))
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        h = x.view(np.int64)
+        take = min(n_sample, len(ids))
+        idx = np.argpartition(h, take - 1)[:take] if take < len(ids) \
+            else np.arange(len(ids))
+        return pa.table({
+            "h": pa.array(h[idx], pa.int64()),
+            "vec": _pack_rows(_embedding_matrix(batch, emb_col)[idx]),
+        })
+
+    sample_tbl = ds.map_batches(partial_sample, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .sort("h").limit(n_sample).take_batch(n_sample,
+                                              batch_format="pyarrow")
+    dim = sample_tbl.column("vec").type.byte_width // 8
+    sm = _unpack_rows(sample_tbl.column("vec"), dim)
+    rng = np.random.default_rng(seed)
+    cent = sm[rng.choice(len(sm), size=min(n_clusters, len(sm)),
+                         replace=False)].copy()
+
+    def make_partials(cent_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _embedding_matrix(batch, emb_col)
+            # argmin ||x-c||^2 = argmax (x.c - |c|^2/2); ties -> low idx
+            d = m @ c.T - 0.5 * (c * c).sum(axis=1)
+            assign = np.argmax(d, axis=1)
+            sums = np.zeros((len(c), m.shape[1]))
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            used = np.flatnonzero(counts)
+            return pa.table({
+                "cluster": pa.array(used, pa.int64()),
+                "vsum": _pack_rows(sums[used]),
+                "cnt": pa.array(counts[used], pa.int64()),
+            })
+        return partials
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        parts = ds.map_batches(make_partials(cent_ref),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), np.int64)
+        for r in parts:
+            ci = int(r["cluster"])
+            sums[ci] += np.frombuffer(r["vsum"], dtype="<f8")
+            counts[ci] += int(r["cnt"])
+        has = counts > 0
+        cent[has] = sums[has] / counts[has, None]
+
+    cent_ref = ray.put(cent)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _embedding_matrix(batch, emb_col)
+        d = m @ c.T - 0.5 * (c * c).sum(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(np.argmax(d, axis=1), pa.int64()),
+        })
+
+    assignments = ds.map_batches(assign_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return cent, assignments
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     h = rng.standard_normal((n_bits, dim))

@@ -1,0 +1,89 @@
+"""Distributed k-means vs a driver-side Lloyd with the same init, on
+planted well-separated blobs (assignment-exact there), plus block-count
+invariance of the reduction."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _blobs(rng, n_clusters, per, dim, spread=0.05):
+    centers = rng.standard_normal((n_clusters, dim)) * 10
+    vecs = np.concatenate([
+        centers[c] + rng.standard_normal((per, dim)) * spread
+        for c in range(n_clusters)])
+    truth = np.repeat(np.arange(n_clusters), per)
+    perm = rng.permutation(len(vecs))
+    ids = np.arange(len(vecs), dtype=np.int64)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(vecs[perm]),
+                              pa.list_(pa.float64())),
+    }), truth[perm]
+
+
+def _driver_lloyd(ids, vecs, cent0, iters):
+    cent = cent0.copy()
+    for _ in range(iters):
+        d = vecs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cent)):
+            m = vecs[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    d = vecs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+    return cent, np.argmax(d, axis=1)
+
+
+def test_kmeans_matches_driver_lloyd_on_blobs(ray_session):
+    import ray.data
+
+    from mhray.stages.ann import _embedding_matrix, kmeans
+
+    rng = np.random.default_rng(21)
+    tbl, truth = _blobs(rng, 4, 120, 8)
+    ds = ray.data.from_arrow(tbl)
+    cent, assignments = kmeans(ds, n_clusters=4, iters=4, seed=13)
+    got = assignments.to_pandas().sort_values("vec_id")
+
+    # re-derive the SAME init the operator used (hash-bottom sample)
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    x = ids.view(np.uint64) ^ (np.uint64(13) * np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    h = x.view(np.int64)
+    n_sample = max(4 * 16, 256)
+    order = np.argsort(h, kind="stable")[:n_sample]
+    vecs = _embedding_matrix(tbl, "embedding")
+    sm = vecs[order]
+    cent0 = sm[np.random.default_rng(13).choice(len(sm), size=4,
+                                                replace=False)]
+    ref_cent, ref_assign = _driver_lloyd(ids, vecs, cent0, 4)
+
+    np.testing.assert_allclose(np.sort(cent, axis=0),
+                               np.sort(ref_cent, axis=0), atol=1e-8)
+    got_assign = got["cluster"].to_numpy()
+    assert (got_assign == ref_assign).all()
+    # Lloyd from a random init can merge/split planted blobs (local
+    # minimum) — exact parity above is the operator contract; here just
+    # require that most rows land with their blob's majority cluster.
+    agree = 0
+    for b in np.unique(truth):
+        labels = got_assign[truth == b]
+        agree += (labels == np.bincount(labels).argmax()).sum()
+    assert agree / len(truth) >= 0.7
+
+
+def test_kmeans_block_invariance(ray_session):
+    import ray.data
+
+    from mhray.stages.ann import kmeans
+
+    rng = np.random.default_rng(22)
+    tbl, _ = _blobs(rng, 3, 80, 6)
+    a = kmeans(ray.data.from_arrow(tbl), n_clusters=3, iters=3,
+               seed=5)[1].to_pandas().sort_values("vec_id")
+    b = kmeans(ray.data.from_arrow(tbl).repartition(7), n_clusters=3,
+               iters=3, seed=5)[1].to_pandas().sort_values("vec_id")
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
