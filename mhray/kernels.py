@@ -800,22 +800,43 @@ def verify_pairs_batch(h1, p1, off1, len1, h2, p2, off2, len2,
 # ---------------------------------------------------------------------------
 
 
-def simhash64(texts: list[str], k: int, seed: int = 0) -> np.ndarray:
-    """64-bit SimHash per text: per-bit majority vote over shingle hashes."""
+def simhash64(texts: list[str], k: int, seed: int = 0,
+              chunk_shingles: int = 1 << 19) -> np.ndarray:
+    """64-bit SimHash per text: per-bit majority vote over shingle
+    hashes. The (shingles x 64) bit expansion runs in document-aligned
+    CHUNKS of ~chunk_shingles so peak scratch stays ~32 MB — a single
+    expansion over a large block allocates shingles x 64 x 4 bytes
+    (>1 GB for a few thousand documents) and first-touch page faults
+    dominate the kernel in fresh workers."""
     hashes, row_offsets = shingle_hashes64(texts, k, seed)
     n_rows = len(row_offsets) - 1
     out = np.zeros(n_rows, dtype=np.uint64)
     if len(hashes) == 0:
         return out.view(np.int64)
-    bits = np.unpackbits(hashes[:, None].view(np.uint8), axis=1, bitorder="little")
-    votes = 2 * bits.astype(np.int32) - 1  # (N, 64)
     counts = np.diff(row_offsets)
-    nz = counts > 0
-    starts = row_offsets[:-1][nz]
-    sums = np.add.reduceat(votes, starts, axis=0)  # (rows_with_shingles, 64)
-    maj = (sums > 0).astype(np.uint8)
-    packed = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).ravel()
-    out[nz] = packed
+    lo = 0
+    while lo < n_rows:
+        hi = lo + 1
+        tot = int(counts[lo])
+        while hi < n_rows and tot + counts[hi] <= chunk_shingles:
+            tot += int(counts[hi])
+            hi += 1
+        seg = hashes[row_offsets[lo]:row_offsets[hi]]
+        c = counts[lo:hi]
+        nz = c > 0
+        if nz.any() and len(seg):
+            starts = (row_offsets[lo:hi][nz] - row_offsets[lo])
+            bits = np.unpackbits(seg[:, None].view(np.uint8), axis=1,
+                                 bitorder="little")
+            ones = np.add.reduceat(bits, starts, axis=0)  # (nz, 64)
+            # majority: sum(2b-1) > 0  <=>  2*ones > n  (exact integers)
+            maj = (2 * ones.astype(np.int64) > c[nz][:, None]) \
+                .astype(np.uint8)
+            packed = np.packbits(maj, axis=1, bitorder="little") \
+                .view(np.uint64).ravel()
+            idx = np.arange(lo, hi)[nz]
+            out[idx] = packed
+        lo = hi
     return out.view(np.int64)
 
 
