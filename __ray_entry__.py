@@ -28,10 +28,15 @@ def entry() -> Any:
     from mhray.stages.cluster import cluster_edges
     from mhray.stages.dedup import minhash_text_pairs
 
+    from mhray.checkpoint import parquet_num_rows
+
     sf_dir = "/root/testdata/sf0.001"
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     cfg = PRESETS["captions"].with_(threshold=0.9)
-    pairs = minhash_text_pairs(docs, cfg).materialize()
+    pairs = minhash_text_pairs(
+        docs, cfg,
+        n_rows_hint=parquet_num_rows(f"{sf_dir}/documents.parquet"),
+    ).materialize()
     pair_clusters = cluster_edges(pairs.select_columns(["lo", "hi"]))
     ids = docs.select_columns(["doc_id"])
     assigned = ids.join(

@@ -435,8 +435,9 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
     the MHAP flagship machinery on any (id, text) table.
 
     ``n_rows_hint`` sizes the sketch actor pool to the input (one
-    actor per ~2000 rows, capped below the CPU count) — for small
-    tables, pool spin-up otherwise dominates the stage."""
+    actor per ~600 rows — full documents sketch at ~1.7 ms/row, far
+    heavier than short captions — capped below the CPU count); for
+    small tables, pool spin-up otherwise dominates the stage."""
     from mhray.stages.candidates import minhash_candidates
     from mhray.stages.sketch import sketch_dataset
     from mhray.stages.verify import verify_candidates
@@ -446,7 +447,7 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
     concurrency = None
     if n_rows_hint is not None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        hi = max(2, min(cpus - 2, n_rows_hint // 2000))
+        hi = max(2, min(cpus - 2, n_rows_hint // 600))
         concurrency = (hi, hi)
     as_images = docs_as_images(ds, text_col, id_col)
     sketches = sketch_dataset(as_images, cfg, decode_pixels=False,
