@@ -75,7 +75,15 @@ def _attach_broadcast(pairs_ds, key_col, side_ds, side_key, payload_cols,
 
 def scrub_blocks(ds, schema: pa.Schema | None = None, num_blocks: int = 8):
     """Remove schema-less empty blocks; optionally guarantee a typed
-    schema even for an all-empty dataset."""
+    schema even for an all-empty dataset. The typed empty block leads
+    the union so a downstream join resolves its key schema from a
+    TYPED bundle even when every data block is schema-less (an
+    all-empty candidate set otherwise fails the acero join with
+    'no match for key field')."""
+    # repartition FIRST (absorbs schema-less empties into typed
+    # neighbors when any data exists), then union the typed empty so
+    # it survives — repartition of an ALL-empty dataset strips the
+    # schema from every block, so the union must come after.
     out = ds.repartition(num_blocks)
     if schema is not None:
         out = out.union(ray.data.from_arrow(schema.empty_table()))
@@ -86,11 +94,55 @@ def safe_join(left, right, join_type: str, num_partitions: int,
               on: tuple, right_on: tuple,
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None):
-    """Dataset.join with empty-block scrubbing on both sides."""
-    left = scrub_blocks(left, left_schema, num_partitions)
-    right = scrub_blocks(right, right_schema, num_partitions)
+    """Dataset.join with empty-block scrubbing on both sides.
+
+    Both sides materialize and then REBUILD from their non-empty block
+    refs (metadata-only — no block is fetched to the driver): any
+    schema-less empty block that reaches the join operator breaks its
+    key-schema resolution ('no match or multiple matches for key
+    field'), and neither union order nor repartition can remove them
+    from an all-empty dataset (repartition strips the schema from
+    every block of a zero-row dataset). safe_join is only used on
+    candidate-scale tables, so the barrier is cheap."""
+    left = _nonempty_blocks(left, left_schema, num_partitions)
+    right = _nonempty_blocks(right, right_schema, num_partitions)
+    if join_type == "inner" and (left.count() == 0 or right.count() == 0):
+        # Ray's join operator cannot execute with a zero-row side (its
+        # hash partitions arrive schema-less at the acero join); an
+        # inner join with an empty side is just an empty table with
+        # the combined schema
+        def _schema_of(ds, override):
+            if override is not None:
+                return override
+            s = ds.schema()
+            return getattr(s, "base_schema", s)
+
+        ls = _schema_of(left, left_schema)
+        rs = _schema_of(right, right_schema)
+        fields = list(ls) + [f for f in rs if f.name not in ls.names]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
     return left.join(right, join_type=join_type,
                      num_partitions=num_partitions, on=on, right_on=right_on)
+
+
+def _nonempty_blocks(ds, schema: pa.Schema | None, num_blocks: int):
+    """Materialize and rebuild from refs to non-empty blocks only;
+    an all-empty dataset becomes one typed empty block (or stays
+    as-is when no schema is supplied)."""
+    mat = ds.materialize()
+    refs = []
+    try:
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    refs.append(ref)
+    except AttributeError:  # internal API moved: fall back to scrubbing
+        return scrub_blocks(mat, schema, num_blocks)
+    if not refs:
+        if schema is not None:
+            return ray.data.from_arrow(schema.empty_table())
+        return mat
+    return ray.data.from_arrow_refs(refs)
 
 
 def anti_join_ids(ds, ids_ds, key_col: str, ids_key: str | None = None,

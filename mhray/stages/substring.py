@@ -145,13 +145,29 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
         ("lo", pa.int64()), ("hi", pa.int64()), ("count()", pa.int64())]),
         num_parts)
 
+    from mhray.rayutil import safe_join
+
     side = texts_ds
-    j = cands.join(
+    cand_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                             ("count()", pa.int64())])
+    j = safe_join(
+        cands,
         side.rename_columns({id_col: "_ilo", text_col: "text_lo"}),
-        join_type="inner", num_partitions=num_parts, on=("lo",), right_on=("_ilo",),
-    ).join(
+        join_type="inner", num_partitions=num_parts,
+        on=("lo",), right_on=("_ilo",),
+        left_schema=cand_schema,
+        right_schema=pa.schema([("_ilo", pa.int64()),
+                                ("text_lo", pa.string())]),
+    )
+    j = safe_join(
+        j,
         side.rename_columns({id_col: "_ihi", text_col: "text_hi"}),
-        join_type="inner", num_partitions=num_parts, on=("hi",), right_on=("_ihi",),
+        join_type="inner", num_partitions=num_parts,
+        on=("hi",), right_on=("_ihi",),
+        left_schema=pa.schema(list(cand_schema)
+                              + [pa.field("text_lo", pa.string())]),
+        right_schema=pa.schema([("_ihi", pa.int64()),
+                                ("text_hi", pa.string())]),
     )
 
     def verify(batch: pa.Table) -> pa.Table:

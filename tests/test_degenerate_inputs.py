@@ -1,0 +1,71 @@
+"""Degenerate-corpus robustness: operators must return empty/small
+results — not crash in the join layer — when there are zero duplicate
+candidates, empty texts, or a handful of rows. (Ray's join operator
+cannot execute with a zero-row side; rayutil.safe_join short-circuits
+that case.)"""
+
+import pyarrow as pa
+import pytest
+
+
+def test_jaccard_tiny_corpus_with_empty_text(ray_session):
+    import ray.data
+
+    from mhray.stages.dedup import ngram_jaccard_pairs
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["", "a  b", "a  b", "a b"])})
+    out = ngram_jaccard_pairs(ray.data.from_arrow(tbl), tau=0.5).to_pandas()
+    got = sorted(map(tuple, out[["lo", "hi"]].to_numpy()))
+    # docs 2/3 identical; doc 4 shares {a,b} but 2/3 also carry the
+    # empty token from the double space -> jaccard 2/3 >= 0.5
+    assert got == [(2, 3), (2, 4), (3, 4)]
+
+
+def test_substring_zero_candidates(ray_session):
+    import ray.data
+
+    from mhray.stages.substring import substring_pairs
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["completely different alpha",
+                                      "nothing shared zzz"])})
+    out = substring_pairs(ray.data.from_arrow(tbl), min_len=16).to_pandas()
+    assert len(out) == 0
+
+
+def test_safe_join_empty_sides(ray_session):
+    import ray.data
+
+    from mhray.rayutil import safe_join
+
+    schema_l = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    schema_r = pa.schema([("_k", pa.int64()), ("v", pa.int64())])
+    empty = ray.data.from_arrow(schema_l.empty_table())
+    full = ray.data.from_arrow(pa.table({
+        "_k": pa.array([1, 2], pa.int64()),
+        "v": pa.array([10, 20], pa.int64())}))
+    out = safe_join(empty, full, join_type="inner", num_partitions=2,
+                    on=("lo",), right_on=("_k",),
+                    left_schema=schema_l, right_schema=schema_r)
+    assert out.count() == 0
+    s = out.schema()
+    base = getattr(s, "base_schema", s)
+    assert {"lo", "hi", "v"} <= set(base.names)
+
+
+def test_minhash_pairs_unique_corpus(ray_session):
+    import ray.data
+
+    from mhray.config import PRESETS
+    from mhray.stages.dedup import minhash_text_pairs
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([f"totally unique document number {i} "
+                          f"with distinct content {i * 7919}"
+                          for i in range(6)]),
+    })
+    cfg = PRESETS["captions"].with_(threshold=0.99)
+    out = minhash_text_pairs(ray.data.from_arrow(tbl), cfg).to_pandas()
+    assert len(out) == 0
