@@ -211,14 +211,6 @@ def tiered_dedup(ds, cfg: MhapConfig | None = None, text_col: str = "text",
 # exact token-set Jaccard self-join (prefix filtering)
 # ---------------------------------------------------------------------------
 
-def _token_blob(tokens: np.ndarray) -> bytes:
-    return np.sort(tokens.astype("<u8")).tobytes()
-
-
-def _blob_tokens(blob: bytes) -> np.ndarray:
-    return np.frombuffer(blob, dtype="<u8")
-
-
 def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
                         id_col: str = "doc_id", num_parts: int | None = None,
                         group_cap: int = 100000,
@@ -373,28 +365,49 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
                                 ("blob_hi", pa.binary())]),
     )
 
+    def _blob_concat(col):
+        """binary column of packed u64 token sets -> (flat u64 view,
+        element offsets). Zero-copy when the buffer stays 8-aligned."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset:col.offset + len(col) + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        flat = data[offs[0]:offs[-1]]
+        if len(flat) % 8 or (offs % 8).any():
+            # misaligned (shouldn't happen: blobs are whole u64s)
+            toks = [np.frombuffer(b, dtype="<u8") for b in col.to_pylist()]
+            lens = np.array([len(t) for t in toks], np.int64)
+            off = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            return (np.concatenate(toks) if toks else
+                    np.empty(0, np.uint64)), off
+        return flat.view("<u8"), (offs - offs[0]) // 8
+
     def jaccard_gate(batch: pa.Table) -> pa.Table:
-        lo_b = batch.column("blob_lo").to_pylist()
-        hi_b = batch.column("blob_hi").to_pylist()
+        """All pairs of the block at once: tag every token with its
+        pair ordinal, ONE lexsort, count adjacent (pair, token)
+        duplicates = per-pair intersection size (each side is a unique
+        set, so a common token appears exactly twice)."""
         n = batch.num_rows
-        keep = np.zeros(n, dtype=bool)
-        jac = np.zeros(n)
-        for i in range(n):
-            a = _blob_tokens(lo_b[i])
-            b = _blob_tokens(hi_b[i])
-            # both sides are sorted unique token sets: one merge probe
-            # instead of intersect1d's concat+sort
-            if len(a) and len(b):
-                pos = np.minimum(np.searchsorted(b, a), len(b) - 1)
-                inter = int(np.count_nonzero(b[pos] == a))
-            else:
-                inter = 0
-            union = len(a) + len(b) - inter
-            jac[i] = inter / union if union else 1.0
-            keep[i] = jac[i] >= tau
+        a_flat, a_off = _blob_concat(batch.column("blob_lo"))
+        b_flat, b_off = _blob_concat(batch.column("blob_hi"))
+        na, nb = np.diff(a_off), np.diff(b_off)
+        pid = np.concatenate([np.repeat(np.arange(n), na),
+                              np.repeat(np.arange(n), nb)])
+        tok = np.concatenate([a_flat, b_flat])
+        order = np.lexsort((tok, pid))
+        p_s, t_s = pid[order], tok[order]
+        dup = np.zeros(0, dtype=bool) if len(p_s) < 2 else \
+            (p_s[1:] == p_s[:-1]) & (t_s[1:] == t_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=n) if len(dup) \
+            else np.zeros(n, np.int64)
+        union = na + nb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = pa.array(jac >= tau)
         return pa.table({
-            "lo": batch.column("lo").filter(pa.array(keep)),
-            "hi": batch.column("hi").filter(pa.array(keep)),
+            "lo": batch.column("lo").filter(keep),
+            "hi": batch.column("hi").filter(keep),
         })
 
     return j.map_batches(jaccard_gate, batch_format="pyarrow",
