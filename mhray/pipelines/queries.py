@@ -432,6 +432,19 @@ def q_distinct_parts(sf_dir: str):
     return pa.table({"cnt": pa.array([n], pa.int64())})
 
 
+def q_approx_distinct(sf_dir: str):
+    """Approximate COUNT(DISTINCT l_partkey) via HyperLogLog (rows-only:
+    the estimate is deterministic but intentionally not exact; pytest
+    bounds its relative error against the exact count). The scale
+    answer to q_distinct_parts — per-block 16 KiB sketches merged by
+    max instead of an all-to-all distinct shuffle."""
+    from mhray.stages.freqjob import hll_distinct
+
+    est = hll_distinct(_read(sf_dir, "lineitem", ["l_partkey"]),
+                       "l_partkey", p=14)
+    return pa.table({"approx_distinct_parts": pa.array([est], pa.int64())})
+
+
 def q_union_names(sf_dir: str):
     """union_all of two sources -> grouped count by first letter."""
     r = _read(sf_dir, "region").select_columns(["r_name"]).rename_columns(
@@ -893,6 +906,7 @@ QUERIES = {
     "q_pivot_status": q_pivot_status,
     "d_tiered_dedup": d_tiered_dedup,
     "e_kmeans": e_kmeans,
+    "q_approx_distinct": q_approx_distinct,
 }
 
 ORACLE_SQL = {

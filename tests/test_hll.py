@@ -1,0 +1,56 @@
+"""HyperLogLog: error bounds vs exact cardinality, merge semantics,
+and the distributed operator against DuckDB's exact count."""
+
+import numpy as np
+import pytest
+
+from mhray.stages.freqjob import HyperLogLog
+
+# 3-sigma bound for p=14: 3 * 1.04 / sqrt(2^14) ~ 2.4%
+TOL = 0.025
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 300_000])
+def test_hll_error_bound(n):
+    rng = np.random.default_rng(n)
+    keys = rng.integers(-2 ** 62, 2 ** 62, n * 2).astype(np.int64)
+    keys = np.unique(keys)[:n]
+    h = HyperLogLog(14)
+    h.add(keys)
+    est = h.estimate()
+    assert abs(est - len(keys)) / len(keys) < TOL, (est, len(keys))
+
+
+def test_hll_duplicates_do_not_inflate():
+    keys = np.arange(1000, dtype=np.int64)
+    h = HyperLogLog(14)
+    for _ in range(5):
+        h.add(keys)  # re-adding the same keys is idempotent
+    assert abs(h.estimate() - 1000) / 1000 < TOL
+
+
+def test_hll_merge_equals_single_shot():
+    rng = np.random.default_rng(9)
+    keys = rng.integers(-2 ** 62, 2 ** 62, 50_000).astype(np.int64)
+    whole = HyperLogLog(12)
+    whole.add(keys)
+    a = HyperLogLog(12)
+    a.add(keys[:20_000])
+    b = HyperLogLog(12)
+    b.add(keys[15_000:])  # overlapping halves
+    merged = a.merge(b)
+    assert (merged.reg == whole.reg).all()
+    assert merged.estimate() == whole.estimate()
+
+
+def test_hll_distinct_vs_exact(ray_session):
+    import duckdb
+
+    from mhray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    est = QUERIES["q_approx_distinct"](sf)["approx_distinct_parts"][0].as_py()
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM "
+        f"read_parquet('{sf}/lineitem.parquet')").fetchone()[0]
+    assert abs(est - exact) / exact < TOL, (est, exact)

@@ -67,7 +67,8 @@ ORACLE_CHECKED = [
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
-             "d_incremental_pairs", "d_tiered_dedup", "e_kmeans"]
+             "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
+             "q_approx_distinct"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
