@@ -117,22 +117,14 @@ def _unpack_rows(col, dim: int) -> np.ndarray:
     return flat[off * dim:(off + len(col)) * dim].reshape(len(col), dim)
 
 
-def kmeans(ds, n_clusters: int = 8, iters: int = 5, seed: int = 13,
-           id_col: str = "vec_id", emb_col: str = "embedding"):
-    """Distributed Lloyd's k-means (Euclidean) over the FULL corpus.
-
-    Each iteration streams every vector once: a ``map_batches`` pass
-    assigns rows to the broadcast centroids and emits per-batch
-    ``(cluster, partial_sum, count)`` rows, which reduce to the new
-    centroids driver-side — the driver only ever holds
-    ``n_clusters x dim`` floats, never the corpus. Init is the same
-    deterministic hash-bottom uniform sample the IVF coarse quantizer
-    uses (order-independent, unbiased on sorted input).
-
-    Returns ``(centroids ndarray, assignments Dataset(id, cluster))``;
-    assignment ties break toward the lower cluster index (np.argmin).
-    """
-    n_sample = max(n_clusters * 16, 256)
+def _hash_bottom_sample(ds, n_sample: int, seed: int, id_col: str,
+                        emb_col: str) -> np.ndarray:
+    """Deterministic UNIFORM sample of up to n_sample vectors: bottom-n
+    rows by a 64-bit mix of the id — order-independent, so sorted or
+    clustered input cannot bias the sample (``limit()`` would take the
+    first blocks). Per-batch partial bottom-n keeps the candidate set
+    small before the tiny global sort. Shared by the IVF coarse
+    quantizer and k-means init."""
 
     def partial_sample(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
@@ -155,7 +147,26 @@ def kmeans(ds, n_clusters: int = 8, iters: int = 5, seed: int = 13,
         .sort("h").limit(n_sample).take_batch(n_sample,
                                               batch_format="pyarrow")
     dim = sample_tbl.column("vec").type.byte_width // 8
-    sm = _unpack_rows(sample_tbl.column("vec"), dim)
+    return _unpack_rows(sample_tbl.column("vec"), dim)
+
+
+def kmeans(ds, n_clusters: int = 8, iters: int = 5, seed: int = 13,
+           id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Distributed Lloyd's k-means (Euclidean) over the FULL corpus.
+
+    Each iteration streams every vector once: a ``map_batches`` pass
+    assigns rows to the broadcast centroids and emits per-batch
+    ``(cluster, partial_sum, count)`` rows, which reduce to the new
+    centroids driver-side — the driver only ever holds
+    ``n_clusters x dim`` floats, never the corpus. Init is the same
+    deterministic hash-bottom uniform sample the IVF coarse quantizer
+    uses (order-independent, unbiased on sorted input).
+
+    Returns ``(centroids ndarray, assignments Dataset(id, cluster))``;
+    assignment ties break toward the lower cluster index (np.argmin).
+    """
+    sm = _hash_bottom_sample(ds, max(n_clusters * 16, 256), seed,
+                             id_col, emb_col)
     rng = np.random.default_rng(seed)
     cent = sm[rng.choice(len(sm), size=min(n_clusters, len(sm)),
                          replace=False)].copy()
@@ -247,35 +258,10 @@ def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     """
     import ray
 
-    # deterministic UNIFORM sample for the coarse centroids: bottom-S
-    # rows by a 64-bit mix of the id (order-independent — `limit()`
-    # would take the first blocks and bias cells on sorted/clustered
-    # input). Per-batch partial bottom-S keeps the candidate set small
-    # before the tiny global sort.
-    n_sample = max(512, n_cells * 16)
-
-    def partial_sample(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        x = ids.view(np.uint64) ^ (np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
-        h = x.view(np.int64)
-        take = min(n_sample, len(ids))
-        idx = np.argpartition(h, take - 1)[:take] if take < len(ids) \
-            else np.arange(len(ids))
-        m = _embedding_matrix(batch, emb_col)[idx]
-        return pa.table({
-            "h": pa.array(h[idx], pa.int64()),
-            "vec": _pack_rows(m),
-        })
-
-    partials = ds.map_batches(partial_sample, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    sample_tbl = partials.sort("h").limit(n_sample).take_batch(
-        n_sample, batch_format="pyarrow")
-    dim0 = sample_tbl.column("vec").type.byte_width // 8
-    sm = _normalize(_unpack_rows(sample_tbl.column("vec"), dim0))
+    # coarse centroids from the shared deterministic hash-bottom
+    # uniform sample (also the k-means init), cosine-normalized
+    sm = _normalize(_hash_bottom_sample(ds, max(512, n_cells * 16), seed,
+                                        id_col, emb_col))
     rng = np.random.default_rng(seed)
     cent = sm[rng.choice(len(sm), size=n_cells, replace=False)]
     for _ in range(lloyd_iters):
