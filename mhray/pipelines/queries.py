@@ -432,6 +432,23 @@ def q_distinct_parts(sf_dir: str):
     return pa.table({"cnt": pa.array([n], pa.int64())})
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic ~5% Bernoulli sample of orders by Knuth
+    multiplicative key hash (K4 random-sampling analog as a
+    repeatable, engine-independent operator: the SAME rows come back
+    on every engine and every run — the property 'random_sample'
+    cannot give an oracle). Pure per-batch filter: no shuffle, no
+    state, trivially parallel at any scale."""
+    o = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        h = (k * 2654435761) % 4294967296
+        return batch.filter(pa.array(h < int(0.05 * 4294967296)))
+
+    return o.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_approx_distinct(sf_dir: str):
     """Approximate COUNT(DISTINCT l_partkey) via HyperLogLog (rows-only:
     the estimate is deterministic but intentionally not exact; pytest
@@ -907,6 +924,7 @@ QUERIES = {
     "d_tiered_dedup": d_tiered_dedup,
     "e_kmeans": e_kmeans,
     "q_approx_distinct": q_approx_distinct,
+    "q_hash_sample": q_hash_sample,
 }
 
 ORACLE_SQL = {
@@ -1183,8 +1201,14 @@ ORACLE_SQL = {
                     + alpha + dr) * 10000, 0) AS BIGINT) AS quality_pm
         FROM s
     """,
+    "q_hash_sample": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE (o_orderkey * 2654435761) % 4294967296
+              < CAST(0.05 * 4294967296 AS BIGINT)
+    """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
-    # e_knn_ivf / d_substring_pairs / d_incremental_pairs: custom-hash /
-    # approximate operators with no faithful ANSI-SQL equivalent ->
-    # rows-only driver check.
+    # e_knn_ivf / d_substring_pairs / d_incremental_pairs /
+    # d_tiered_dedup / e_kmeans / q_approx_distinct: custom-hash /
+    # approximate / iterative operators with no faithful ANSI-SQL
+    # equivalent -> rows-only driver check.
 }
