@@ -261,3 +261,74 @@ def test_cli_entry(tmp_path):
                           if l.startswith("{")][-1])
     assert summary["rows"] == 150
     assert os.path.exists(d + "/run/pairs_with_ids")
+
+
+# ---------------------------------------------------------------------------
+# overlap-file parsers (EstimateROC.getOverlapInfo, S7)
+# ---------------------------------------------------------------------------
+
+def test_parse_overlap_formats():
+    from mhray.export import parse_overlap_line
+
+    # MHAP M4 (EstimateROC.java:398-418)
+    o = parse_overlap_line("7 12 0.050000 10 0 5 40 100 0 2 38 90")
+    assert o == {"id1": "7", "id2": "12", "score": 0.05, "fwd": True,
+                 "a1": 5, "a2": 40, "b1": 2, "b2": 38}
+    # a2/b2 clamp to sequence lengths when provided (:411-417)
+    o = parse_overlap_line("7 12 0.050000 10 0 5 40 100 0 2 38 90",
+                           lengths={"7": 30, "12": 35})
+    assert (o["a2"], o["b2"]) == (30, 35)
+
+    # CA format (:381-396): coords only with lengths
+    o = parse_overlap_line("3 9 N 4 -6 0.02")
+    assert (o["id1"], o["id2"], o["fwd"]) == ("3", "9", True)
+    assert (o["a1"], o["a2"], o["b1"], o["b2"]) == (0, 0, 0, 0)
+    o = parse_overlap_line("3 9 I 4 -6 0.02", lengths={"3": 50, "9": 60})
+    assert o["fwd"] is False
+    assert (o["a1"], o["a2"]) == (4, 44)   # max(0,4), min(50, 50-6)
+    assert (o["b1"], o["b2"]) == (0, 60)   # -min(0,4), min(60, 60+6)
+
+    # BLASR M4 (:420-452): 13 fields, id cleanup + reverse flip via f[11]
+    o = parse_overlap_line(
+        "read/0/0_100 ref,chr1 -100 99.0 0 10 90 100 1 20 80 200 254")
+    assert (o["id1"], o["id2"]) == ("read", "chr1")
+    assert o["fwd"] is False
+    assert (o["b1"], o["b2"]) == (200 - 80, 200 - 20)
+
+    # bracketed layout-diff lines (:454-469)
+    o = parse_overlap_line(
+        "  1  1,182 n   [ 4,746.. 8,108] x [     0.. 3,896] "
+        ":   <    982 diffs  ( 34 trace pts)")
+    assert (o["id1"], o["id2"], o["fwd"]) == ("1", "1182", True)
+    assert (o["a1"], o["a2"], o["b1"], o["b2"]) == (4746, 8108, 0, 3896)
+
+    # junk lines -> None (the reference warns and skips, :470-473)
+    assert parse_overlap_line("not an overlap line") is None
+    assert parse_overlap_line("a b c d e NaNx") is None
+
+
+def test_read_overlaps_roundtrip(tmp_path, ray_session):
+    """write_m4 -> read_overlaps roundtrip; canonical pair order."""
+    import ray.data
+
+    from mhray.export import edges_from_overlaps, read_overlaps, write_m4
+
+    pairs = ray.data.from_items([
+        {"lo": 5, "hi": 2, "score": 0.95, "shared_slots": 10,
+         "a1": 0, "a2": 50, "b1": 1, "b2": 49},
+        {"lo": 3, "hi": 4, "score": 0.80, "shared_slots": 4,
+         "a1": 5, "a2": 40, "b1": 2, "b2": 38},
+    ])
+    out = str(tmp_path / "m4")
+    write_m4(pairs, out)
+    got = read_overlaps(out).take_all()
+    rows = sorted((r["lo_id"], r["hi_id"], r["score"]) for r in got)
+    # "5 2" canonicalizes to ("2","5") with the edge swapped
+    assert [(r[0], r[1]) for r in rows] == [("2", "5"), ("3", "4")]
+    assert rows[0][2] == pytest.approx(0.05, abs=1e-6)  # score col = err
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pylist(got)
+    edges = edges_from_overlaps(tbl)
+    assert edges[("2", "5")] == (1, 49, 0, 50)
+    assert edges[("3", "4")] == (5, 40, 2, 38)
