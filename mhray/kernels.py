@@ -133,25 +133,15 @@ def shingle_hashes32(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hash_strings64(texts, seed: int = 0) -> np.ndarray:
-    """murmur3_128 (h1) of each full text's UTF-16LE bytes, vectorized by
-    grouping equal-length strings (murmur is fixed-width vectorized).
-    Accepts list[str] or an Arrow string column. Used as the
-    exact-duplicate grouping key."""
+    """murmur3_128 (h1) of each full text's UTF-16LE bytes via the
+    ragged block-iterative kernel (one vector pass per 16-byte block
+    index — diverse lengths cost no extra calls). Accepts list[str] or
+    an Arrow string column. Used as the exact-duplicate grouping key."""
+    from mhray.murmur import murmur3_x64_128_ragged
+
     units, offsets = _units_of(texts)
-    n = len(offsets) - 1
-    out = np.empty(n, dtype=np.uint64)
-    lens = np.diff(offsets)
-    starts = offsets[:-1]
-    for ln in np.unique(lens):
-        idx = np.flatnonzero(lens == ln)
-        if ln == 0:
-            out[idx] = murmur3_x64_128(np.empty((1, 0), np.uint8), seed)[0]
-            continue
-        gather = starts[idx][:, None] + np.arange(ln)[None, :]
-        mat = np.ascontiguousarray(units[gather]).view(np.uint8).reshape(
-            len(idx), 2 * int(ln))
-        out[idx] = murmur3_x64_128(mat, seed)
-    return out.view(np.int64)
+    return murmur3_x64_128_ragged(
+        units.view(np.uint8), offsets * 2, seed).view(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -193,11 +183,25 @@ def _xorshift_step(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_U21, _U35, _U4 = np.uint64(21), np.uint64(35), np.uint64(4)
+
+
+def _xorshift_inplace(x: np.ndarray, tmp: np.ndarray) -> None:
+    """One XORShift step with no temporaries (``tmp`` is scratch)."""
+    np.left_shift(x, _U21, out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.right_shift(x, _U35, out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+    np.left_shift(x, _U4, out=tmp)
+    np.bitwise_xor(x, tmp, out=x)
+
+
 def weighted_minhash(
     keys: np.ndarray,
     weights: np.ndarray,
     urow_offsets: np.ndarray,
     num_hashes: int,
+    tile_keys: int = 1 << 17,
 ) -> np.ndarray:
     """(n_rows, num_hashes) int32 signature matrix.
 
@@ -208,6 +212,14 @@ def weighted_minhash(
     value (MinHashSketch.java:133-153). Rows with zero kmers get
     int32.min signatures (callers must mask them out — the reference
     throws ZeroNGramsFoundException instead, MinHashSketch.java:84-85).
+
+    The hot loop is num_hashes passes over every kmer instance, so two
+    memory-level optimizations apply (bit-exact, loop structure only):
+    document-aligned TILES of ~tile_keys instances keep the working set
+    cache-resident, and all per-word arrays are preallocated scratch —
+    no temporaries. (Per-tile distinct-key dedup was measured a wash:
+    ~0.8 distinct ratio per tile, and the gather-back costs what the
+    skipped XORShift steps save.)
     """
     n_rows = len(urow_offsets) - 1
     best_val = np.full((n_rows, num_hashes), I64_MAX, dtype=np.int64)
@@ -216,44 +228,69 @@ def weighted_minhash(
         return _signature_from_keys(best_key, best_val)
 
     counts = np.diff(urow_offsets)
-    row_of = np.repeat(np.arange(n_rows), counts)
     weights = np.asarray(weights, dtype=np.int64)
 
-    for w in np.unique(weights):
-        w = int(w)
-        if w <= 0:
-            continue  # weight<=0 kmers are skipped (MinHashSketch.java:127-128)
-        sel = weights == w
-        keys_w = keys[sel]
-        rows_w = row_of[sel]
-        n_w = len(keys_w)
-        # segment starts of each row-run inside this weight group
-        starts_w = np.flatnonzero(np.diff(rows_w, prepend=-1))
-        urows_w = rows_w[starts_w]
-        seg_counts = np.diff(starts_w, append=n_w)
-        idx = np.arange(n_w)
+    lo = 0
+    while lo < n_rows:
+        hi = lo + 1
+        tot = int(counts[lo])
+        while hi < n_rows and tot + counts[hi] <= tile_keys:
+            tot += int(counts[hi])
+            hi += 1
+        sl = slice(int(urow_offsets[lo]), int(urow_offsets[hi]))
+        k_t = keys[sl]
+        w_t = weights[sl]
+        row_of = np.repeat(np.arange(lo, hi), counts[lo:hi])
 
-        x = keys_w.astype(np.uint64, copy=True)
-        for word in range(num_hashes):
-            m = None
-            for _ in range(w):
-                x = _xorshift_step(x)
-                xv = x.view(np.int64)
-                m = xv.copy() if m is None else np.minimum(m, xv)
-            rmin = np.minimum.reduceat(m, starts_w)
-            # first index attaining the min (Java strict `<` keeps earliest)
-            rmin_exp = np.repeat(rmin, seg_counts)
-            cand = np.where(m == rmin_exp, idx, n_w)
-            widx = np.minimum.reduceat(cand, starts_w)
-            wkeys = keys_w[widx]
+        for w in np.unique(w_t):
+            w = int(w)
+            if w <= 0:
+                continue  # weight<=0 kmers skipped (MinHashSketch.java:127-128)
+            sel = w_t == w
+            keys_w = k_t[sel]
+            rows_w = row_of[sel]
+            n_w = len(keys_w)
+            # segment starts of each row-run inside this weight group
+            starts_w = np.flatnonzero(np.diff(rows_w, prepend=-1))
+            urows_w = rows_w[starts_w]
+            seg_counts = np.diff(starts_w, append=n_w)
+            seg_of = np.repeat(np.arange(len(starts_w)), seg_counts)
+            idx = np.arange(n_w)
 
-            col_val = best_val[:, word]
-            col_key = best_key[:, word]
-            cur = col_val[urows_w]
-            upd = rmin < cur
-            rows_upd = urows_w[upd]
-            col_val[rows_upd] = rmin[upd]
-            col_key[rows_upd] = wkeys[upd]
+            x = keys_w.astype(np.uint64, copy=True)
+            tmp = np.empty(n_w, np.uint64)
+            m = np.empty(n_w, np.int64)
+            rmin_exp = np.empty(n_w, np.int64)
+            cand = np.empty(n_w, np.int64)
+            eq = np.empty(n_w, bool)
+            for word in range(num_hashes):
+                _xorshift_inplace(x, tmp)
+                if w == 1:
+                    mv = x.view(np.int64)
+                else:
+                    np.copyto(m, x.view(np.int64))
+                    for _ in range(w - 1):
+                        _xorshift_inplace(x, tmp)
+                        np.minimum(m, x.view(np.int64), out=m)
+                    mv = m
+                rmin = np.minimum.reduceat(mv, starts_w)
+                # first index attaining the min (Java strict `<` keeps
+                # the earliest-inserted key on value ties)
+                np.take(rmin, seg_of, out=rmin_exp)
+                np.equal(mv, rmin_exp, out=eq)
+                cand[:] = n_w
+                np.copyto(cand, idx, where=eq)
+                widx = np.minimum.reduceat(cand, starts_w)
+                wkeys = keys_w[widx]
+
+                col_val = best_val[:, word]
+                col_key = best_key[:, word]
+                cur = col_val[urows_w]
+                upd = rmin < cur
+                rows_upd = urows_w[upd]
+                col_val[rows_upd] = rmin[upd]
+                col_key[rows_upd] = wkeys[upd]
+        lo = hi
 
     return _signature_from_keys(best_key, best_val)
 

@@ -126,6 +126,89 @@ def murmur3_x64_128(data: np.ndarray, seed: int = 0) -> np.ndarray:
     return h1
 
 
+def murmur3_x64_128_ragged(data: np.ndarray, byte_offsets: np.ndarray,
+                           seed: int = 0) -> np.ndarray:
+    """murmur3 x64 128-bit (h1) over N VARIABLE-width byte rows.
+
+    ``data`` is the concatenated byte stream; row i is
+    ``data[byte_offsets[i]:byte_offsets[i+1]]``. Iterates over the
+    16-byte BLOCK INDEX — every iteration advances all still-active
+    rows with vector ops — instead of hashing one exact-length group
+    per call (hundreds of tiny murmur invocations whose numpy call
+    overhead dominates when lengths are diverse). Bit-identical to
+    ``murmur3_x64_128`` row-by-row.
+    """
+    byte_offsets = np.asarray(byte_offsets, dtype=np.int64)
+    n = len(byte_offsets) - 1
+    widths = np.diff(byte_offsets)
+    h1 = np.full(n, seed, dtype=_U64)
+    h2 = np.full(n, seed, dtype=_U64)
+    nblocks = widths // 16
+    starts = byte_offsets[:-1]
+
+    max_b = int(nblocks.max()) if n else 0
+    for b in range(max_b):
+        act = np.flatnonzero(nblocks > b)
+        blk = data[(starts[act] + 16 * b)[:, None] + np.arange(16)]
+        words = blk.view("<u8")
+        k1 = words[:, 0].astype(_U64, copy=True)
+        k2 = words[:, 1].astype(_U64, copy=True)
+        a1 = h1[act]
+        a2 = h2[act]
+
+        k1 *= _C1_128
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2_128
+        a1 ^= k1
+        a1 = _rotl64(a1, 27)
+        a1 += a2
+        a1 = a1 * np.uint64(5) + np.uint64(0x52DCE729)
+
+        k2 *= _C2_128
+        k2 = _rotl64(k2, 33)
+        k2 *= _C1_128
+        a2 ^= k2
+        a2 = _rotl64(a2, 31)
+        a2 += a1
+        a2 = a2 * np.uint64(5) + np.uint64(0x38495AB5)
+        h1[act] = a1
+        h2[act] = a2
+
+    tails = widths & 15
+    for tl in np.unique(tails):
+        tl = int(tl)
+        if tl == 0:
+            continue
+        act = np.flatnonzero(tails == tl)
+        base = starts[act] + 16 * nblocks[act]
+        k1 = np.zeros(len(act), dtype=_U64)
+        k2 = np.zeros(len(act), dtype=_U64)
+        for i in range(min(tl, 8)):
+            k1 ^= data[base + i].astype(_U64) << np.uint64(8 * i)
+        for i in range(8, tl):
+            k2 ^= data[base + i].astype(_U64) << np.uint64(8 * (i - 8))
+        k2 *= _C2_128
+        k2 = _rotl64(k2, 33)
+        k2 *= _C1_128
+        h2[act] ^= k2
+        k1 *= _C1_128
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2_128
+        h1[act] ^= k1
+
+    wlen = widths.view(np.uint64) if widths.dtype == np.int64 \
+        else widths.astype(_U64)
+    h1 ^= wlen
+    h2 ^= wlen
+    h1 += h2
+    h2 += h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 += h2
+    # h2 += h1  # not needed: we only return h1
+    return h1
+
+
 def murmur3_x86_32(data: np.ndarray, seed: int = 0) -> np.ndarray:
     """murmur3 x86 32-bit over N fixed-width byte rows; returns int32.
 
