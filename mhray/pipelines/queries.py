@@ -20,18 +20,22 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from mhray.config import PRESETS
 
 
-def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+def _read(sf_dir: str, table: str, columns=None,
+          rows_per_block: int = 5000) -> "ray.data.Dataset":
     # columns= prunes the scan at the parquet reader — unread columns
     # never leave storage. Block count sized to the row count (footer
     # metadata, no execution): Ray's default splits small files into
     # ~64 near-empty read tasks whose launch overhead dwarfs the scan.
+    # Compute-heavy consumers (sketching: ~1ms/row downstream) pass a
+    # SMALLER rows_per_block — block count caps their map parallelism,
+    # and for them the extra read-task launches are noise.
     path = f"{sf_dir}/{table}.parquet"
     from mhray.checkpoint import parquet_num_rows
 
     rows = parquet_num_rows(path)
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    blocks = int(max(4, min(2 * cpus, rows // 5000 + 1)))
+    blocks = int(max(4, min(2 * cpus, rows // rows_per_block + 1)))
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
 
@@ -238,15 +242,17 @@ def d_minhash_pairs(sf_dir: str):
     from mhray.checkpoint import parquet_num_rows
 
     out = minhash_text_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), cfg,
-        n_rows_hint=parquet_num_rows(f"{sf_dir}/documents.parquet"))
+        _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=800),
+        cfg, n_rows_hint=parquet_num_rows(f"{sf_dir}/documents.parquet"))
     return out.select_columns(["lo", "hi", "shared_slots"])
 
 
 def d_simhash_pairs(sf_dir: str):
     from mhray.stages.dedup import simhash_pairs
 
-    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=4)
+    return simhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=800),
+        max_hamming=4)
 
 
 def d_lang_id(sf_dir: str):
@@ -271,7 +277,8 @@ def d_tiered_dedup(sf_dir: str):
     sequentially-applied single-tier operators."""
     from mhray.stages.dedup import tiered_dedup
 
-    res = tiered_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    res = tiered_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=800))
     kept = res["survivors"].map_batches(
         lambda b: pa.table({
             "doc_id": b.column("doc_id"),
