@@ -79,3 +79,27 @@ def test_lcs_symmetric_and_bounded(a, b):
         # witness exists: some substring of that length is shared
         found = any(a[i:i + l1] in b for i in range(len(a) - l1 + 1))
         assert found
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.binary(max_size=70), max_size=20), st.integers(0, 2**31))
+def test_ragged_murmur_matches_scalar(rows, seed):
+    from mhray.murmur import murmur3_x64_128_ragged, murmur3_x64_128_scalar
+
+    data = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    offs = np.concatenate(
+        [[0], np.cumsum([len(r) for r in rows])]).astype(np.int64)
+    got = murmur3_x64_128_ragged(data, offs, seed)
+    for i, r in enumerate(rows):
+        assert int(got[i]) == murmur3_x64_128_scalar(r, seed)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=12))
+def test_hash_strings64_matches_scalar_utf16(texts):
+    from mhray.kernels import hash_strings64
+    from mhray.murmur import murmur3_x64_128_scalar
+
+    got = np.asarray(hash_strings64(texts)).view(np.uint64)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == murmur3_x64_128_scalar(t.encode("utf-16-le"), 0)
