@@ -884,6 +884,74 @@ def q_pivot_status(sf_dir: str):
         batch_format="pyarrow")
 
 
+def ev_range_count(sf_dir: str):
+    """Interval-RANGE window aggregate: per event, the count of the
+    same user's events in the preceding 10 minutes (peers at the same
+    timestamp included — exact ANSI RANGE semantics) —
+    :func:`mhray.stages.events.range_window_count`."""
+    from mhray.stages.events import range_window_count
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id"])
+    return range_window_count(ev, "user_id", "ts", "event_id",
+                              window_us=10 * 60 * 1_000_000)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: the 20 orders with the lowest
+    Knuth-multiplicative key hash PER STATUS (per-group Bernoulli-style
+    sampling with an exact, engine-independent oracle). Per-batch
+    partial top-20 per group (combiner) then a tiny grouped final —
+    only |groups| x 20 rows ever shuffle."""
+    o = _read(sf_dir, "orders").select_columns(
+        ["o_orderstatus", "o_orderkey"])
+    n_per = 20
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = batch.column("o_orderstatus").to_pylist()
+        k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        h = (k * 2654435761) % 4294967296
+        codes, inv = np.unique(np.asarray(st), return_inverse=True)
+        keep = np.zeros(len(k), dtype=bool)
+        for g in range(len(codes)):
+            rows = np.flatnonzero(inv == g)
+            if len(rows) > n_per:
+                rows = rows[np.argpartition(h[rows], n_per - 1)[:n_per]]
+            keep[rows] = True
+        return pa.table({
+            "o_orderstatus": pa.array(np.asarray(st)[keep]),
+            "o_orderkey": pa.array(k[keep], pa.int64()),
+            "h": pa.array(h[keep], pa.int64()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        k = np.asarray(group.column("o_orderkey"), dtype=np.int64)
+        h = np.asarray(group.column("h"), dtype=np.int64)
+        order = np.lexsort((k, h))[:n_per]
+        return pa.table({
+            "o_orderstatus": group.column("o_orderstatus").take(
+                pa.array(order, pa.int64())),
+            "o_orderkey": pa.array(k[order], pa.int64()),
+        })
+
+    return o.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("o_orderstatus").map_groups(final, batch_format="pyarrow")
+
+
+def e_semdedup(sf_dir: str):
+    """Semantic dedup (SemDeDup, arXiv:2303.09540): k-means clusters
+    over the embedding space, greedy within-cluster cosine pruning at
+    tau — rows-only (k-means is iterative, not SQL-expressible);
+    pytest asserts the keep/prune invariants directly. tau=0.45: the
+    random testdata's cosine ceiling is ~0.51 (same reason e_dup_cosine
+    uses 0.4), so a production-style 0.95 would prune nothing here."""
+    from mhray.stages.ann import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, n_clusters=16, tau=0.45, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -932,6 +1000,9 @@ QUERIES = {
     "e_kmeans": e_kmeans,
     "q_approx_distinct": q_approx_distinct,
     "q_hash_sample": q_hash_sample,
+    "ev_range_count": ev_range_count,
+    "q_stratified_sample": q_stratified_sample,
+    "e_semdedup": e_semdedup,
 }
 
 ORACLE_SQL = {
@@ -1213,9 +1284,27 @@ ORACLE_SQL = {
         WHERE (o_orderkey * 2654435761) % 4294967296
               < CAST(0.05 * 4294967296 AS BIGINT)
     """,
+    "ev_range_count": """
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS w_cnt
+        FROM events
+    """,
+    "q_stratified_sample": """
+        SELECT o_orderstatus, o_orderkey FROM (
+            SELECT o_orderstatus, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY (o_orderkey * 2654435761) % 4294967296,
+                                o_orderkey) AS rn
+            FROM orders)
+        WHERE rn <= 20
+    """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
     # e_knn_ivf / d_substring_pairs / d_incremental_pairs /
-    # d_tiered_dedup / e_kmeans / q_approx_distinct: custom-hash /
-    # approximate / iterative operators with no faithful ANSI-SQL
-    # equivalent -> rows-only driver check.
+    # d_tiered_dedup / e_kmeans / e_semdedup / q_approx_distinct:
+    # custom-hash / approximate / iterative operators with no faithful
+    # ANSI-SQL equivalent -> rows-only driver check.
 }

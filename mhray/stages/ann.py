@@ -219,6 +219,115 @@ def kmeans(ds, n_clusters: int = 8, iters: int = 5, seed: int = 13,
     return cent, assignments
 
 
+def _list_column(m: np.ndarray) -> pa.ListArray:
+    """(N, D) matrix -> list<double> column (one flat buffer, no
+    per-row Python)."""
+    m = np.ascontiguousarray(m, dtype=np.float64)
+    n, d = m.shape
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offs, pa.array(m.ravel()))
+
+
+def semdedup(ds, n_clusters: int = 16, tau: float = 0.95, iters: int = 3,
+             seed: int = 13, id_col: str = "vec_id",
+             emb_col: str = "embedding", group_cap: int = 20000,
+             num_parts: int | None = None):
+    """Semantic dedup over an embedding column (the SemDeDup shape,
+    Abbas et al. 2023, arXiv:2303.09540): k-means clusters partition
+    the space, then WITHIN each cluster a greedy leader pass prunes
+    near-duplicates — members are visited in (centroid-similarity
+    ascending, id) order (the paper keeps the LOW-centroid-similarity
+    exemplar of each duplicate group) and a member is kept iff its
+    cosine to every already-kept member is < tau.
+
+    Distributed shape: centroids come from the shared full-corpus
+    Lloyd's k-means (driver holds k x dim floats, never vectors); one
+    map pass assigns clusters and packs the normalized vector as a
+    fixed-width blob; ONE cluster-keyed partition co-locates each
+    cluster and pruning runs there as a per-cluster matmul. Groups over
+    ``group_cap`` keep their overflow members unconditionally (keep=
+    true) and log the count — dedup must never silently DROP rows.
+
+    Returns a Dataset of (id_col, cluster, keep) covering every input
+    row. Recall is bounded by the cluster partition (cross-cluster
+    near-dups survive), exactly as published.
+    """
+    from mhray.stages.candidates import auto_parts
+
+    def norm_rows(batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            emb_col: _list_column(m),
+        })
+
+    nds = ds.map_batches(norm_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    cent, _ = kmeans(nds, n_clusters=n_clusters, iters=iters, seed=seed,
+                     id_col=id_col, emb_col=emb_col)
+    cnorm = _normalize(cent)
+    cent_ref = ray.put((cent, cnorm))
+
+    def assign_pack(batch: pa.Table) -> pa.Table:
+        c, cn = ray.get(cent_ref)
+        m = _embedding_matrix(batch, emb_col)  # already normalized
+        d = m @ c.T - 0.5 * (c * c).sum(axis=1)
+        cl = np.argmax(d, axis=1)
+        csim = (m * cn[cl]).sum(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cl, pa.int64()),
+            "csim": pa.array(csim, pa.float64()),
+            "vec": _pack_rows(m),
+        })
+
+    def prune(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        cl = np.asarray(group.column("cluster"), dtype=np.int64)
+        csim = np.asarray(group.column("csim"), dtype=np.float64)
+        dim = group.column("vec").type.byte_width // 8
+        vecs = _unpack_rows(group.column("vec"), dim)
+        order = np.lexsort((ids, csim, cl))
+        ids, cl, vecs = ids[order], cl[order], vecs[order]
+        keep = np.ones(len(ids), dtype=bool)
+        starts = np.flatnonzero(np.diff(cl, prepend=cl[0] - 1))
+        sizes = np.diff(np.append(starts, len(cl)))
+        overflow = 0
+        for gi in range(len(starts)):
+            s, g = int(starts[gi]), int(sizes[gi])
+            if g < 2:
+                continue
+            if g > group_cap:
+                overflow += g - group_cap
+                g = group_cap
+            m = vecs[s:s + g]
+            sims = m @ m.T
+            kept = np.zeros(g, dtype=bool)
+            kept[0] = True
+            for i in range(1, g):
+                if not (sims[i, :i][kept[:i]] >= tau).any():
+                    kept[i] = True
+            keep[s:s + g] = kept
+        if overflow:
+            print(f"[mhray] semdedup cluster cap: kept {overflow} overflow "
+                  "members unpruned in one partition")
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    num_parts = min(n_clusters, auto_parts(num_parts))
+    return nds.map_batches(assign_pack, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("cluster", num_partitions=num_parts) \
+        .map_groups(prune, batch_format="pyarrow")
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     h = rng.standard_normal((n_bits, dim))

@@ -117,3 +117,33 @@ def test_gap_stats_vs_brute(ray_session):
         ts = np.sort(grp["ts"].to_numpy())
         assert got.loc[k, "n_gaps"] == len(ts) - 1
         assert got.loc[k, "total_gap_us"] == int(ts[-1] - ts[0])
+
+
+def _brute_range_count(df, window_us):
+    out = {}
+    for _, row in df.iterrows():
+        n = ((df["k"] == row["k"]) & (df["ts"] <= row["ts"])
+             & (df["ts"] >= row["ts"] - window_us)).sum()
+        out[int(row["rid"])] = int(n)
+    return out
+
+
+@pytest.mark.parametrize("seed,n_keys,span", [
+    (8, 5, 10 ** 8),            # dense ts ties (peer rows)
+    (9, 40, 10 ** 13),          # wide span -> chunked banding regime
+    (10, 2, 50),                # everything inside every window
+])
+def test_range_window_count_vs_brute(seed, n_keys, span, ray_session):
+    import ray.data
+
+    from mhray.stages.events import range_window_count
+
+    rng = np.random.default_rng(seed)
+    df = _rand_events(rng, 180, n_keys, span)
+    window_us = max(span // 4, 1)
+    got = range_window_count(ray.data.from_pandas(df), "k", "ts", "rid",
+                             window_us, num_parts=4).to_pandas()
+    assert len(got) == len(df)
+    expect = _brute_range_count(df, window_us)
+    for rid, cnt in zip(got["rid"], got["w_cnt"]):
+        assert int(cnt) == expect[int(rid)], rid

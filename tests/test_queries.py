@@ -64,12 +64,12 @@ ORACLE_CHECKED = [
     "q_percentiles", "q_corr", "q_histogram", "q_distinct_per_group",
     "ev_moving_avg", "ev_asof_prev", "ev_close_pairs", "q_rollup",
     "ev_gap_stats", "q_pivot_status", "d_lang_id", "d_quality",
-    "q_hash_sample",
+    "q_hash_sample", "ev_range_count", "q_stratified_sample",
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
-             "q_approx_distinct"]
+             "q_approx_distinct", "e_semdedup"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
