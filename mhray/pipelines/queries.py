@@ -939,6 +939,17 @@ def q_stratified_sample(sf_dir: str):
         .groupby("o_orderstatus").map_groups(final, batch_format="pyarrow")
 
 
+def d_lm_score(sf_dir: str):
+    """Char-trigram statistical-LM document scoring (train on the
+    corpus, score every doc by mean trigram log-prob) — rows-only
+    (iterative two-pass model fit, not SQL-expressible); pytest
+    asserts gibberish scores below in-distribution text."""
+    from mhray.stages.text import trigram_lm_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return trigram_lm_score(docs)
+
+
 def e_semdedup(sf_dir: str):
     """Semantic dedup (SemDeDup, arXiv:2303.09540): k-means clusters
     over the embedding space, greedy within-cluster cosine pruning at
@@ -1003,6 +1014,7 @@ QUERIES = {
     "ev_range_count": ev_range_count,
     "q_stratified_sample": q_stratified_sample,
     "e_semdedup": e_semdedup,
+    "d_lm_score": d_lm_score,
 }
 
 ORACLE_SQL = {
@@ -1304,7 +1316,8 @@ ORACLE_SQL = {
     """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
     # e_knn_ivf / d_substring_pairs / d_incremental_pairs /
-    # d_tiered_dedup / e_kmeans / e_semdedup / q_approx_distinct:
-    # custom-hash / approximate / iterative operators with no faithful
-    # ANSI-SQL equivalent -> rows-only driver check.
+    # d_tiered_dedup / e_kmeans / e_semdedup / d_lm_score /
+    # q_approx_distinct: custom-hash / approximate / iterative
+    # operators with no faithful ANSI-SQL equivalent -> rows-only
+    # driver check.
 }

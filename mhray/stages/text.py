@@ -138,6 +138,106 @@ def quality_score(batch: pa.Table, text_col: str = "text",
     })
 
 
+def _trigram_keys_batch(texts: list[str]):
+    """Vectorized char-trigram extraction for a whole batch: one
+    utf-32 encode of the concatenated text, one shifted-OR key build
+    (codepoint | c1<<21 | c2<<42 — exact and collision-free, every
+    Unicode codepoint < 2^21), then a boundary mask so no trigram
+    spans two documents. Returns (keys int64, doc_idx int64)."""
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    buf = "".join(texts).encode("utf-32-le")
+    a = np.frombuffer(buf, "<u4").astype(np.int64)
+    n = len(a)
+    if n < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    keys = a[:-2] | (a[1:-1] << 21) | (a[2:] << 42)
+    ends = np.cumsum(lens)
+    valid = np.ones(n - 2, dtype=bool)
+    for off in (1, 2):  # positions whose trigram crosses a doc end
+        bad = ends - off
+        bad = bad[(bad >= 0) & (bad < n - 2)]
+        valid[bad] = False
+    pos = np.flatnonzero(valid)
+    doc_idx = np.searchsorted(ends, pos, side="right")
+    return keys[pos], doc_idx
+
+
+def trigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+                     top_k: int = 200_000, floor_count: float = 0.5,
+                     num_parts: int | None = None):
+    """Statistical-LM quality scoring (the batched model-inference
+    operator shape): train a char-trigram multinomial on the corpus
+    itself, then score every document by its mean trigram log-probability
+    — gibberish and out-of-distribution text scores low, in-distribution
+    text high. Two streaming passes:
+
+    1. TRAIN: per-batch partial trigram counts (combiner) -> one grouped
+       sum -> the TOP-``top_k`` trigrams by (count desc, key asc) come to
+       the driver and broadcast via ``ray.put`` — the model size is
+       bounded by top_k, never by corpus vocabulary (same bounded-
+       broadcast rule as the jaccard df cap). The truncated tail scores
+       as unseen (``floor_count / total``), which only LOWERS scores of
+       rare-trigram documents — exactly the filter's intent.
+    2. SCORE: map pass, vectorized searchsorted lookup against the
+       broadcast (keys, logp) arrays; per-doc mean via segment sums.
+
+    Returns (id_col, n_trigrams, lm_logprob_pm) — mean log-prob scaled
+    to per-mille int (round half away from zero), deterministic.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        keys, _ = _trigram_keys_batch(batch.column(text_col).to_pylist())
+        if len(keys) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # materialize: consumed twice (total + top-k) — distributed blocks,
+    # never driver-resident
+    grouped = partials.groupby("key").aggregate(
+        Sum("cnt", alias_name="cnt")).materialize()
+    total = grouped.sum("cnt") or 0
+    top = grouped.sort(["cnt", "key"], descending=[True, False]) \
+        .limit(top_k).take_all()
+    mk = np.array([r["key"] for r in top], dtype=np.int64)
+    mc = np.array([r["cnt"] for r in top], dtype=np.float64)
+    order = np.argsort(mk)
+    logp = np.log(np.maximum(mc, floor_count) / max(total, 1.0))
+    model_ref = ray.put((mk[order], logp[order],
+                         float(np.log(floor_count / max(total, 1.0)))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, doc_idx = _trigram_keys_batch(
+            batch.column(text_col).to_pylist())
+        n = batch.num_rows
+        mkeys, mlogp, floor_lp = ray.get(model_ref)
+        lp = np.full(len(keys), floor_lp)
+        if len(mkeys) and len(keys):
+            posn = np.minimum(np.searchsorted(mkeys, keys), len(mkeys) - 1)
+            hit = mkeys[posn] == keys
+            lp[hit] = mlogp[posn[hit]]
+        sums = np.bincount(doc_idx, weights=lp, minlength=n)
+        cnts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+        pm = (np.sign(mean) * np.floor(np.abs(mean) * 1000 + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_trigrams": pa.array(cnts, pa.int64()),
+            "lm_logprob_pm": pa.array(pm, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def winnow_fingerprints(batch: pa.Table, k: int = 8, window: int = 4,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> pa.Table:
