@@ -69,3 +69,50 @@ def test_minhash_pairs_unique_corpus(ray_session):
     cfg = PRESETS["captions"].with_(threshold=0.99)
     out = minhash_text_pairs(ray.data.from_arrow(tbl), cfg).to_pandas()
     assert len(out) == 0
+
+
+def test_semdedup_tiny_and_duplicate_only_corpus(ray_session):
+    import ray.data
+
+    from mhray.stages.ann import semdedup
+
+    # a single row, and a corpus that is ONE vector repeated
+    one = pa.table({"vec_id": pa.array([7], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0, 0.0]],
+                                          pa.list_(pa.float32()))})
+    out = semdedup(ray.data.from_arrow(one), n_clusters=4).to_pandas()
+    assert len(out) == 1 and bool(out["keep"][0])
+
+    rep = pa.table({"vec_id": pa.array(range(5), pa.int64()),
+                    "embedding": pa.array([[0.0, 2.0, 0.0]] * 5,
+                                          pa.list_(pa.float32()))})
+    out = semdedup(ray.data.from_arrow(rep), n_clusters=2,
+                   tau=0.99).to_pandas()
+    assert len(out) == 5 and int(out["keep"].sum()) == 1
+
+
+def test_lm_score_empty_and_short_docs(ray_session):
+    import ray.data
+
+    from mhray.stages.text import trigram_lm_score
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["", "ab", "abcabc"])})
+    df = trigram_lm_score(ray.data.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id")
+    assert df.loc[1, "n_trigrams"] == 0 and df.loc[1, "lm_logprob_pm"] == 0
+    assert df.loc[2, "n_trigrams"] == 0
+    assert df.loc[3, "n_trigrams"] == 4
+
+
+def test_range_window_count_single_row_keys(ray_session):
+    import ray.data
+
+    from mhray.stages.events import range_window_count
+
+    tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "ts": pa.array([10, 10, 10], pa.int64()),
+                    "rid": pa.array([100, 200, 300], pa.int64())})
+    df = range_window_count(ray.data.from_arrow(tbl), "k", "ts", "rid",
+                            window_us=5, num_parts=2).to_pandas()
+    assert len(df) == 3 and (df["w_cnt"] == 1).all()
