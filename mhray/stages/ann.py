@@ -228,6 +228,44 @@ def _list_column(m: np.ndarray) -> pa.ListArray:
     return pa.ListArray.from_arrays(offs, pa.array(m.ravel()))
 
 
+def _greedy_leader_keep(m: np.ndarray, tau: float,
+                        chunk: int = 512) -> np.ndarray:
+    """Sequential greedy leader pass over normalized rows IN ORDER:
+    row i is kept iff cos(i, j) < tau for every kept j < i.
+
+    Chunked vectorization of the inherently sequential scan: each chunk
+    first matmuls against ALL previously-kept rows (one BLAS call kills
+    most rows in dense-duplicate regions), then the surviving rows run
+    the in-chunk sequential check on the chunk's own (C x C) sim matrix
+    — Python iterates only over per-chunk survivors, never all rows.
+    """
+    g = len(m)
+    keep = np.zeros(g, dtype=bool)
+    kept_rows: list[np.ndarray] = []
+    n_kept = 0
+    for s in range(0, g, chunk):
+        c = m[s:s + chunk]
+        alive = np.ones(len(c), dtype=bool)
+        if n_kept:
+            prev = np.concatenate(kept_rows) if len(kept_rows) > 1 \
+                else kept_rows[0]
+            kept_rows = [prev]
+            alive = ~((c @ prev.T) >= tau).any(axis=1)
+        if alive.any():
+            sims = c @ c.T
+            idx = np.flatnonzero(alive)
+            local = np.zeros(len(c), dtype=bool)
+            for i in idx:
+                if not (sims[i, :i][local[:i]] >= tau).any():
+                    local[i] = True
+            keep[s + np.flatnonzero(local)] = True
+            new = c[local]
+            if len(new):
+                kept_rows.append(new)
+                n_kept += len(new)
+    return keep
+
+
 def semdedup(ds, n_clusters: int = 16, tau: float = 0.95, iters: int = 3,
              seed: int = 13, id_col: str = "vec_id",
              emb_col: str = "embedding", group_cap: int = 20000,
@@ -304,14 +342,7 @@ def semdedup(ds, n_clusters: int = 16, tau: float = 0.95, iters: int = 3,
             if g > group_cap:
                 overflow += g - group_cap
                 g = group_cap
-            m = vecs[s:s + g]
-            sims = m @ m.T
-            kept = np.zeros(g, dtype=bool)
-            kept[0] = True
-            for i in range(1, g):
-                if not (sims[i, :i][kept[:i]] >= tau).any():
-                    kept[i] = True
-            keep[s:s + g] = kept
+            keep[s:s + g] = _greedy_leader_keep(vecs[s:s + g], tau)
         if overflow:
             print(f"[mhray] semdedup cluster cap: kept {overflow} overflow "
                   "members unpruned in one partition")

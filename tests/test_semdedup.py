@@ -103,3 +103,24 @@ def test_semdedup_tau_one_keeps_everything_distinct(ray_session):
         assert sims.max() >= 1.0 - 1e-12
     # random gaussians are almost surely not colinear
     assert len(pruned) == 0
+
+
+@pytest.mark.parametrize("seed,n,dim,tau,chunk", [
+    (1, 700, 8, 0.9, 64), (2, 300, 4, 0.5, 50), (3, 120, 6, 0.99, 7),
+])
+def test_greedy_leader_chunked_matches_naive(seed, n, dim, tau, chunk):
+    from mhray.stages.ann import _greedy_leader_keep, _normalize
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n // 3, dim))
+    m = _normalize(np.concatenate([
+        base, base + rng.standard_normal((n // 3, dim)) * 0.05,
+        rng.standard_normal((n - 2 * (n // 3), dim))]))
+    rng.shuffle(m)
+
+    naive = np.zeros(n, dtype=bool)
+    for i in range(n):
+        sims = m[:i][naive[:i]] @ m[i]
+        naive[i] = not (sims >= tau).any()
+    got = _greedy_leader_keep(m, tau, chunk=chunk)
+    assert (got == naive).all()
