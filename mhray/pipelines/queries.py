@@ -269,6 +269,36 @@ def d_quality(sf_dir: str):
         quality_score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs (doc_id % 97 != 0)
+    flagged by any shared word 3-gram with the deterministic in-table
+    'benchmark' subset (doc_id % 97 == 0)."""
+    from mhray.stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_filter(is_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch.column("doc_id"), np.int64) % 97 == 0
+            return batch.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return decontaminate(corpus, bench, n=3,
+                         num_parts=_doc_parts(sf_dir))
+
+
+def d_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition signals."""
+    from mhray.stages.text import repetition_stats
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def d_tiered_dedup(sf_dir: str):
     """Full disposition of every document through the tiered dedup
     cascade (exact -> simhash -> minhash): (doc_id, tier, dup_of) with
@@ -983,6 +1013,8 @@ QUERIES = {
     "d_simhash_pairs": d_simhash_pairs,
     "d_lang_id": d_lang_id,
     "d_quality": d_quality,
+    "d_decontaminate": d_decontaminate,
+    "d_repetition": d_repetition,
     "d_fingerprints": d_fingerprints,
     "e_knn_brute": e_knn_brute,
     "e_dup_cosine": e_dup_cosine,
@@ -1290,6 +1322,68 @@ ORACLE_SQL = {
                     + (CASE WHEN wl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
                     + alpha + dr) * 10000, 0) AS BIGINT) AS quality_pm
         FROM s
+    """,
+    "d_decontaminate": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text,
+                               '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, array_to_string(toks[i:i+2], chr(31)) AS sh
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        ), b AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+        ), c AS (
+            SELECT sh.doc_id AS doc_id, COUNT(DISTINCT sh.sh) AS n_hits
+            FROM sh JOIN b USING (sh)
+            WHERE sh.doc_id % 97 <> 0
+            GROUP BY sh.doc_id
+        )
+        SELECT t.doc_id AS doc_id,
+               COALESCE(c.n_hits, 0) AS n_hits,
+               CASE WHEN COALESCE(c.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                   AS contaminated
+        FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+        WHERE t.doc_id % 97 <> 0
+    """,
+    "d_repetition": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text,
+                               '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+            FROM documents
+        ), g2 AS (
+            SELECT doc_id, array_to_string(toks[i:i+1], chr(31)) AS sh
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+        ), c2 AS (
+            SELECT doc_id, MAX(cnt) AS mx, SUM(cnt) AS tot
+            FROM (SELECT doc_id, sh, COUNT(*) AS cnt
+                  FROM g2 GROUP BY doc_id, sh)
+            GROUP BY doc_id
+        ), g3 AS (
+            SELECT doc_id, array_to_string(toks[i:i+2], chr(31)) AS sh
+            FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+        ), c3 AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ,
+                   SUM(cnt) AS tot
+            FROM (SELECT doc_id, sh, COUNT(*) AS cnt
+                  FROM g3 GROUP BY doc_id, sh)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id AS doc_id,
+               len(t.toks) AS n_words,
+               CAST(ROUND(CASE WHEN len(t.toks) = 0 THEN 0.0
+                    ELSE (1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                          / len(t.toks)) END * 10000, 0) AS BIGINT)
+                   AS dup_word_pm,
+               CAST(ROUND(COALESCE(CAST(c2.mx AS DOUBLE) / c2.tot, 0.0)
+                    * 10000, 0) AS BIGINT) AS top2_pm,
+               CAST(ROUND(COALESCE(CAST(c3.dup_occ AS DOUBLE) / c3.tot, 0.0)
+                    * 10000, 0) AS BIGINT) AS dup3_pm
+        FROM t LEFT JOIN c2 ON t.doc_id = c2.doc_id
+               LEFT JOIN c3 ON t.doc_id = c3.doc_id
     """,
     "q_hash_sample": """
         SELECT o_orderkey, o_totalprice FROM orders

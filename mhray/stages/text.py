@@ -138,6 +138,77 @@ def quality_score(batch: pa.Table, text_col: str = "text",
     })
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1 'repetition removal'), SQL-matched definitions:
+
+    - n_words: non-empty ASCII-whitespace tokens
+    - dup_word_pm: 1 - distinct_words/n_words (0 when no tokens)
+    - top2_pm: occurrences of the most frequent word 2-gram / total
+      2-gram occurrences (0 when < 2 tokens)
+    - dup3_pm: fraction of 3-gram occurrences whose 3-gram occurs
+      more than once in the doc (0 when < 3 tokens)
+
+    All ratios scaled to int64 per-10000 (round half away from zero).
+    Token/n-gram identity is 64-bit murmur (collision risk merges two
+    n-grams — negligible, and only nudges ratios upward)."""
+    from mhray.stages.decontam import _ngram_keys, _token_hash_stream
+
+    texts = batch.column(text_col).to_pylist()
+    nd = len(texts)
+    th, lens = _token_hash_stream(texts)
+    nw = lens.astype(np.int64)
+
+    def _runs(keys: np.ndarray, didx: np.ndarray):
+        """Sorted run lengths of equal (doc, key): (run_doc, run_len)."""
+        order = np.lexsort((keys, didx))
+        ks, ds_ = keys[order], didx[order]
+        new = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            new[1:] = (np.diff(ds_) != 0) | (np.diff(ks) != 0)
+        starts = np.flatnonzero(new)
+        return ds_[starts], np.diff(np.append(starts, len(ks)))
+
+    dup_word = np.zeros(nd)
+    if len(th):
+        k1, d1 = _ngram_keys(th, lens, 1)
+        rd, runs = _runs(k1, d1)
+        distinct = np.bincount(rd, minlength=nd)
+        dup_word = np.where(nw > 0, 1.0 - distinct / np.maximum(nw, 1), 0.0)
+
+    top2 = np.zeros(nd)
+    k2, d2 = _ngram_keys(th, lens, 2)
+    if len(k2):
+        rd, runs = _runs(k2, d2)
+        mx = np.zeros(nd)
+        np.maximum.at(mx, rd, runs)
+        tot = np.bincount(d2, minlength=nd)
+        top2 = np.where(tot > 0, mx / np.maximum(tot, 1), 0.0)
+
+    dup3 = np.zeros(nd)
+    k3, d3 = _ngram_keys(th, lens, 3)
+    if len(k3):
+        rd, runs = _runs(k3, d3)
+        dup_occ = np.zeros(nd)
+        rep = runs > 1
+        np.add.at(dup_occ, rd[rep], runs[rep])
+        tot = np.bincount(d3, minlength=nd)
+        dup3 = np.where(tot > 0, dup_occ / np.maximum(tot, 1), 0.0)
+
+    def scale(x: np.ndarray) -> pa.Array:
+        return pa.array(np.floor(x * 10000 + 0.5).astype(np.int64),
+                        pa.int64())
+
+    return pa.table({
+        id_col: batch.column(id_col).cast(pa.int64()),
+        "n_words": pa.array(nw, pa.int64()),
+        "dup_word_pm": scale(dup_word),
+        "top2_pm": scale(top2),
+        "dup3_pm": scale(dup3),
+    })
+
+
 def _trigram_keys_batch(texts: list[str]):
     """Vectorized char-trigram extraction for a whole batch: one
     utf-32 encode of the concatenated text, one shifted-OR key build
