@@ -156,7 +156,8 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
     names = ["q_pricing_summary", "q_join_agg", "q_topk_orders",
              "q_events_hourly", "d_exact_dedup", "d_minhash_pairs",
              "d_simhash_pairs", "e_knn_brute", "d_fingerprints",
-             "ev_range_count", "e_semdedup"]
+             "ev_range_count", "e_semdedup", "d_decontaminate",
+             "d_repetition"]
     out = {}
     for name in names:
         t0 = time.time()
