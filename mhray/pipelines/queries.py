@@ -299,6 +299,26 @@ def d_repetition(sf_dir: str):
         repetition_stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the highest-quality member of each duplicate
+    group (ties -> lowest doc_id) instead of an arbitrary survivor."""
+    from mhray.stages.dedup import dedup_keep_best
+    from mhray.stages.text import quality_score
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+            "quality_pm": q.column("quality_pm"),
+        })
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_keep_best(scored, "quality_pm",
+                           num_parts=_doc_parts(sf_dir))
+
+
 def d_tiered_dedup(sf_dir: str):
     """Full disposition of every document through the tiered dedup
     cascade (exact -> simhash -> minhash): (doc_id, tier, dup_of) with
@@ -1015,6 +1035,7 @@ QUERIES = {
     "d_quality": d_quality,
     "d_decontaminate": d_decontaminate,
     "d_repetition": d_repetition,
+    "d_dedup_keep_best": d_dedup_keep_best,
     "d_fingerprints": d_fingerprints,
     "e_knn_brute": e_knn_brute,
     "e_dup_cosine": e_dup_cosine,
@@ -1322,6 +1343,44 @@ ORACLE_SQL = {
                     + (CASE WHEN wl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
                     + alpha + dr) * 10000, 0) AS BIGINT) AS quality_pm
         FROM s
+    """,
+    "d_dedup_keep_best": r"""
+        WITH t AS (
+            SELECT doc_id, text, length(text) AS n,
+                   list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                               x -> x <> '') AS toks,
+                   length(regexp_replace(text, '[^A-Za-z \t\n\r\f\v]',
+                                         '', 'g')) AS na
+            FROM documents
+        ), s AS (
+            SELECT doc_id, text,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(na AS DOUBLE) / n END AS alpha,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / len(toks) END AS dr,
+                   CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END
+                       AS len_ok,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(toks,
+                                  x -> length(x))) AS DOUBLE)
+                             / len(toks) END AS wl
+            FROM t
+        ), q AS (
+            SELECT doc_id, text,
+                   CAST(ROUND(0.25 * (len_ok
+                        + (CASE WHEN wl BETWEEN 3 AND 12 THEN 1.0
+                           ELSE 0.0 END)
+                        + alpha + dr) * 10000, 0) AS BIGINT) AS quality_pm
+            FROM s
+        )
+        SELECT doc_id, group_size, quality_pm FROM (
+            SELECT doc_id, quality_pm,
+                   COUNT(*) OVER (PARTITION BY text) AS group_size,
+                   ROW_NUMBER() OVER (PARTITION BY text
+                       ORDER BY quality_pm DESC, doc_id) AS rn
+            FROM q
+        ) WHERE rn = 1
     """,
     "d_decontaminate": r"""
         WITH t AS (

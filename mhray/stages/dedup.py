@@ -71,6 +71,51 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(dedup_part, batch_format="pyarrow")
 
 
+def dedup_keep_best(ds, score_col: str, text_col: str = "text",
+                    id_col: str = "doc_id", num_parts: int | None = None):
+    """Exact dedup with canonical-representative selection: per distinct
+    text keep the member with the HIGHEST ``score_col`` (ties -> lowest
+    id) — the standard web-pipeline step of collapsing a duplicate
+    group onto its best-quality copy instead of an arbitrary one.
+    Returns (id_col, group_size, score_col). Same one-shuffle shape as
+    ``exact_dedup``; only (id, hash, score) rows move."""
+    from mhray.kernels import hash_strings64
+
+    num_parts = auto_parts(num_parts)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings64(batch.column(text_col).to_pylist())
+        return pa.table({
+            id_col: batch.column(id_col),
+            score_col: batch.column(score_col),
+            "text_hash": pa.array(h, pa.int64()),
+            "part": pa.array(_part_of(h, num_parts), pa.int32()),
+        })
+
+    def best_part(part: pa.Table) -> pa.Table:
+        h = np.asarray(part.column("text_hash"), dtype=np.int64)
+        d = np.asarray(part.column(id_col), dtype=np.int64)
+        s = np.asarray(part.column(score_col), dtype=np.float64)
+        order = np.lexsort((d, -s, h))  # per hash: score desc, id asc
+        h_s, d_s, s_s = h[order], d[order], s[order]
+        first = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            first[1:] = np.diff(h_s) != 0
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(h_s)))
+        return pa.table({
+            id_col: pa.array(d_s[starts], pa.int64()),
+            "group_size": pa.array(sizes, pa.int64()),
+            score_col: part.column(score_col).take(
+                pa.array(order[starts], pa.int64())),
+        })
+
+    return ds.map_batches(add_hash, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part", num_partitions=num_parts) \
+        .map_groups(best_part, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # tiered dedup cascade
 # ---------------------------------------------------------------------------

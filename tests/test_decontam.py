@@ -110,6 +110,23 @@ def test_repetition_stats_brute():
         assert out.loc[i, "dup3_pm"] == int(np.floor(dup3 * 10000 + 0.5))
 
 
+def test_dedup_keep_best(ray_session):
+    from mhray.stages.dedup import dedup_keep_best
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["aa", "aa", "bb", "aa", "cc", "cc"], pa.string()),
+        "score": pa.array([1.0, 5.0, 2.0, 5.0, 3.0, 3.0], pa.float64()),
+    })
+    out = dedup_keep_best(ray.data.from_arrow(tbl), "score", num_parts=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # 'aa': max score 5.0 tie between ids 2 and 4 -> lowest id 2
+    # 'bb': only id 3; 'cc': tie 5/6 -> 5
+    assert out["doc_id"].tolist() == [2, 3, 5]
+    assert out["group_size"].tolist() == [3, 1, 2]
+    assert out["score"].tolist() == [5.0, 2.0, 3.0]
+
+
 def test_doc_distinct():
     keys = np.array([5, 5, 3, 3, 5], np.int64)
     didx = np.array([0, 0, 0, 1, 1], np.int64)

@@ -65,7 +65,7 @@ ORACLE_CHECKED = [
     "ev_moving_avg", "ev_asof_prev", "ev_close_pairs", "q_rollup",
     "ev_gap_stats", "q_pivot_status", "d_lang_id", "d_quality",
     "q_hash_sample", "ev_range_count", "q_stratified_sample",
-    "d_decontaminate", "d_repetition",
+    "d_decontaminate", "d_repetition", "d_dedup_keep_best",
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
