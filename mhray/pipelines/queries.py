@@ -319,6 +319,16 @@ def d_dedup_keep_best(sf_dir: str):
                            num_parts=_doc_parts(sf_dir))
 
 
+def d_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing over the documents table (budget
+    128). Rows-only driver check (next-fit packing has no SQL
+    equivalent); the kernel is brute-force-parity-tested in pytest."""
+    from mhray.stages.pack import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          budget=128, num_parts=_doc_parts(sf_dir))
+
+
 def d_tiered_dedup(sf_dir: str):
     """Full disposition of every document through the tiered dedup
     cascade (exact -> simhash -> minhash): (doc_id, tier, dup_of) with
@@ -1036,6 +1046,7 @@ QUERIES = {
     "d_decontaminate": d_decontaminate,
     "d_repetition": d_repetition,
     "d_dedup_keep_best": d_dedup_keep_best,
+    "d_pack_sequences": d_pack_sequences,
     "d_fingerprints": d_fingerprints,
     "e_knn_brute": e_knn_brute,
     "e_dup_cosine": e_dup_cosine,

@@ -70,7 +70,8 @@ ORACLE_CHECKED = [
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
-             "q_approx_distinct", "e_semdedup", "d_lm_score"]
+             "q_approx_distinct", "e_semdedup", "d_lm_score",
+             "d_pack_sequences"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
