@@ -319,6 +319,15 @@ def d_dedup_keep_best(sf_dir: str):
                            num_parts=_doc_parts(sf_dir))
 
 
+def d_top_terms(sf_dir: str):
+    """Top-3 distinctive terms per doc (tf desc, df asc, token asc —
+    integer-exact tf-idf-style ranking)."""
+    from mhray.stages.text import top_terms
+
+    return top_terms(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     k=3, num_parts=_doc_parts(sf_dir))
+
+
 def d_pack_sequences(sf_dir: str):
     """Token-budget sequence packing over the documents table (budget
     128). Rows-only driver check (next-fit packing has no SQL
@@ -1047,6 +1056,7 @@ QUERIES = {
     "d_repetition": d_repetition,
     "d_dedup_keep_best": d_dedup_keep_best,
     "d_pack_sequences": d_pack_sequences,
+    "d_top_terms": d_top_terms,
     "d_fingerprints": d_fingerprints,
     "e_knn_brute": e_knn_brute,
     "e_dup_cosine": e_dup_cosine,
@@ -1354,6 +1364,26 @@ ORACLE_SQL = {
                     + (CASE WHEN wl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
                     + alpha + dr) * 10000, 0) AS BIGINT) AS quality_pm
         FROM s
+    """,
+    "d_top_terms": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text,
+                       '[ \t\n\r\f\v]+'), x -> x <> '')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        )
+        SELECT doc_id, token, rank FROM (
+            SELECT tf.doc_id AS doc_id, tf.token AS token,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.token ASC)
+                       AS rank
+            FROM tf JOIN df USING (token)
+        ) WHERE rank <= 3
     """,
     "d_dedup_keep_best": r"""
         WITH t AS (

@@ -209,6 +209,100 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+def top_terms(ds, k: int = 3, text_col: str = "text",
+              id_col: str = "doc_id", num_parts: int | None = None):
+    """Top-k distinctive terms per document — tf-idf-style ranking with
+    an INTEGER-EXACT order (tf desc, global df asc, token asc) so the
+    result is engine-independent (no float idf ties). The df/idf table
+    semantics mirror the reference's FrequencyCounts (A5,
+    impl/FrequencyCounts.java) applied to word tokens.
+
+    Two hash shuffles, no driver materialization: (doc, token, tf)
+    rows partition by TOKEN to count df (each token lives in exactly
+    one partition), then by DOC to rank. Token strings ride the
+    shuffles (they are the output); counts are int64.
+    Returns (id_col, token, rank) with rank 1..k.
+    """
+    from mhray.kernels import hash_strings64
+    from mhray.stages.candidates import _part_of, auto_parts
+
+    num_parts = auto_parts(num_parts)
+
+    def doc_token_tf(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(batch.column(text_col),
+                                       f"[{_WS}]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        offs = np.asarray(split.offsets, np.int64)
+        parent = np.searchsorted(offs[1:], np.arange(len(flat)),
+                                 side="right")
+        keep = np.asarray(pc.utf8_length(flat)) > 0  # drop empties
+        h = hash_strings64(flat)
+        pk = np.flatnonzero(keep)
+        # distinct (doc, token) with counts; representative index
+        # recovers the token string zero-copy
+        combo = np.stack([parent[pk], h[pk]], axis=1)
+        uniq, idx, cnt = np.unique(combo, axis=0, return_index=True,
+                                   return_counts=True)
+        rep = pk[idx]
+        ids = np.asarray(batch.column(id_col), np.int64)[uniq[:, 0]]
+        tok = flat.take(pa.array(rep, pa.int64()))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "token": tok,
+            "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            "tpart": pa.array(_part_of(uniq[:, 1], num_parts), pa.int32()),
+        })
+
+    def attach_df(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "dpart": pa.array([], pa.int32())})
+        h = hash_strings64(part.column("token"))
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        new = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            new[1:] = np.diff(h_s) != 0
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(h_s)))
+        df = np.empty(len(h_s), np.int64)
+        df[order] = np.repeat(sizes, sizes)
+        ids = np.asarray(part.column(id_col), np.int64)
+        return pa.table({
+            id_col: part.column(id_col),
+            "token": part.column("token"),
+            "tf": part.column("tf"),
+            "df": pa.array(df, pa.int64()),
+            "dpart": pa.array(_part_of(ids, num_parts), pa.int32()),
+        })
+
+    def rank_docs(part: "object") -> "object":
+        import pandas as pd
+
+        if len(part) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "token": pd.Series([], dtype="object"),
+                                 "rank": pd.Series([], dtype="int64")})
+        part = part.sort_values(
+            [id_col, "tf", "df", "token"],
+            ascending=[True, False, True, True], kind="mergesort")
+        part["rank"] = part.groupby(id_col).cumcount() + 1
+        out = part[part["rank"] <= k]
+        return out[[id_col, "token", "rank"]]
+
+    return ds.map_batches(doc_token_tf, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("tpart", num_partitions=num_parts) \
+        .map_groups(attach_df, batch_format="pyarrow") \
+        .groupby("dpart", num_partitions=num_parts) \
+        .map_groups(rank_docs, batch_format="pandas")
+
+
 def _trigram_keys_batch(texts: list[str]):
     """Vectorized char-trigram extraction for a whole batch: one
     utf-32 encode of the concatenated text, one shifted-OR key build

@@ -127,6 +127,38 @@ def test_dedup_keep_best(ray_session):
     assert out["score"].tolist() == [5.0, 2.0, 3.0]
 
 
+def test_top_terms_brute(ray_session):
+    from collections import Counter
+
+    from mhray.stages.text import top_terms
+
+    texts = [
+        "b b b a a c",
+        "z z y a a a",
+        "a a a a",
+        "q r s t",
+        "",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = top_terms(ds, k=2, num_parts=2).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    df_global = Counter()
+    tfs = []
+    for t in texts:
+        c = Counter(t.split())
+        tfs.append(c)
+        df_global.update(c.keys())
+    expect = []
+    for i, c in enumerate(tfs):
+        ranked = sorted(c, key=lambda w: (-c[w], df_global[w], w))[:2]
+        expect += [(i, w, r + 1) for r, w in enumerate(ranked)]
+    got = list(out.itertuples(index=False, name=None))
+    assert got == expect
+
+
 def test_doc_distinct():
     keys = np.array([5, 5, 3, 3, 5], np.int64)
     didx = np.array([0, 0, 0, 1, 1], np.int64)
