@@ -1032,6 +1032,43 @@ def e_semdedup(sf_dir: str):
     return semdedup(emb, n_clusters=16, tau=0.45, iters=3)
 
 
+def ev_json_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with ONE vectorized Arrow regex over the
+    whole column (:func:`mhray.stages.text.json_extract_int` — no
+    per-row Python), then a grouped aggregate per event_type."""
+    from mhray.stages.text import json_extract_int
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": json_extract_int(batch, "props", "k"),
+        })
+
+    agg = ev.map_batches(extract, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"))
+    return agg.map_batches(
+        lambda b: _cast_round(b, ("n_events", "sum_k", "min_k", "max_k")),
+        batch_format="pyarrow")
+
+
+def d_chunk_dedup(sf_dir: str):
+    """Chunk-level (line-level) exact dedup with document reassembly
+    (RefinedWeb/FineWeb repeated-span removal) —
+    :func:`mhray.stages.dedup.chunk_dedup`, 8-word chunks."""
+    from mhray.stages.dedup import chunk_dedup
+
+    return chunk_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       chunk_words=8, num_parts=_doc_parts(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1089,6 +1126,8 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "e_semdedup": e_semdedup,
     "d_lm_score": d_lm_score,
+    "ev_json_extract": ev_json_extract,
+    "d_chunk_dedup": d_chunk_dedup,
 }
 
 ORACLE_SQL = {
@@ -1507,6 +1546,41 @@ ORACLE_SQL = {
                                 o_orderkey) AS rn
             FROM orders)
         WHERE rn <= 20
+    """,
+    "ev_json_extract": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "d_chunk_dedup": """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS wi
+            FROM documents
+        ), c AS (
+            SELECT doc_id, CAST(floor((wi - 1) / 8) AS BIGINT) AS ci,
+                   string_agg(word, ' ' ORDER BY wi) AS chunk
+            FROM w GROUP BY doc_id, ci
+        ), r AS (
+            SELECT doc_id, ci, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, ci) AS rn
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                          ORDER BY ci) AS kept_text
+        FROM r GROUP BY doc_id
     """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
     # e_knn_ivf / d_substring_pairs / d_incremental_pairs /

@@ -116,6 +116,128 @@ def dedup_keep_best(ds, score_col: str, text_col: str = "text",
         .map_groups(best_part, batch_format="pyarrow")
 
 
+def chunk_dedup(ds, chunk_words: int = 8, text_col: str = "text",
+                id_col: str = "doc_id", num_parts: int | None = None):
+    """Chunk-level (line-level) exact dedup with document reassembly —
+    the RefinedWeb/FineWeb pipeline step of removing REPEATED SPANS
+    across the corpus rather than whole duplicate documents: each
+    document is cut into fixed ``chunk_words``-word chunks, every chunk
+    that already occurred earlier in corpus order (first occurrence =
+    lexicographic min (doc_id, chunk_idx)) is dropped, and each
+    document is rebuilt from its surviving chunks.
+
+    Returns (id_col, n_chunks, n_kept, kept_text) with kept_text NULL
+    when every chunk of the document was seen elsewhere first.
+
+    Distributed shape: two hash shuffles, both carrying (ids, chunk
+    text) rows — chunks partition by CHUNK HASH to pick winners (each
+    distinct chunk lives in exactly one partition), then by DOC id to
+    reassemble. No driver state; chunk text rides the shuffle because
+    it IS the output. Splitting, chunk joining and winner marking are
+    zero-copy Arrow / numpy (no per-row Python).
+    """
+    import pyarrow.compute as pc
+
+    from mhray.kernels import hash_strings64
+
+    num_parts = auto_parts(num_parts)
+    W = int(chunk_words)
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        offs = np.asarray(split.offsets, np.int64)
+        counts = np.diff(offs)                       # words per doc (>=1)
+        nch = (counts + W - 1) // W                  # chunks per doc
+        doc_of = np.repeat(np.arange(len(counts)), nch)
+        within = np.arange(nch.sum(), dtype=np.int64) - \
+            np.repeat(np.cumsum(nch) - nch, nch)
+        starts = offs[doc_of] + W * within
+        # each chunk ends where the next begins (doc boundaries align:
+        # the next doc's first chunk starts at this doc's end offset)
+        ch_offsets = np.append(starts, offs[-1]).astype(np.int32)
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(ch_offsets, pa.int32()), flat),
+            " ")
+        h = hash_strings64(chunks)
+        ids = np.asarray(batch.column(id_col), np.int64)[doc_of]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "ci": pa.array(within, pa.int64()),
+            "chunk": chunks,
+            "hpart": pa.array(_part_of(h, num_parts), pa.int32()),
+        })
+
+    def mark_winners(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "ci": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string()),
+                             "kept": pa.array([], pa.bool_()),
+                             "dpart": pa.array([], pa.int32())})
+        h = hash_strings64(part.column("chunk"))
+        d = np.asarray(part.column(id_col), np.int64)
+        c = np.asarray(part.column("ci"), np.int64)
+        order = np.lexsort((c, d, h))
+        h_s = h[order]
+        first = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            first[1:] = np.diff(h_s) != 0
+        kept = np.empty(len(h_s), dtype=bool)
+        kept[order] = first
+        return pa.table({
+            id_col: part.column(id_col),
+            "ci": part.column("ci"),
+            "chunk": part.column("chunk"),
+            "kept": pa.array(kept, pa.bool_()),
+            "dpart": pa.array(_part_of(d, num_parts), pa.int32()),
+        })
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_chunks": pa.array([], pa.int64()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "kept_text": pa.array([], pa.string())})
+        d = np.asarray(part.column(id_col), np.int64)
+        c = np.asarray(part.column("ci"), np.int64)
+        kept = np.asarray(part.column("kept"))
+        order = np.lexsort((c, d))
+        d_s, kept_s = d[order], kept[order]
+        first = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            first[1:] = np.diff(d_s) != 0
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(d_s)))
+        n_kept = np.add.reduceat(kept_s.astype(np.int64), starts)
+        # surviving chunks in (doc, ci) order -> one list per doc
+        kept_idx = order[np.flatnonzero(kept_s)]
+        kept_chunks = part.column("chunk").take(pa.array(kept_idx, pa.int64()))
+        if isinstance(kept_chunks, pa.ChunkedArray):
+            kept_chunks = kept_chunks.combine_chunks()
+        k_offs = np.append(0, np.cumsum(n_kept)).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(k_offs, pa.int32()),
+                                     kept_chunks), " ")
+        kept_text = pc.if_else(pa.array(n_kept > 0), joined,
+                               pa.nulls(len(n_kept), pa.string()))
+        return pa.table({
+            id_col: pa.array(d_s[starts], pa.int64()),
+            "n_chunks": pa.array(sizes, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "kept_text": kept_text,
+        })
+
+    return ds.map_batches(explode_chunks, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hpart", num_partitions=num_parts) \
+        .map_groups(mark_winners, batch_format="pyarrow") \
+        .groupby("dpart", num_partitions=num_parts) \
+        .map_groups(rebuild, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # tiered dedup cascade
 # ---------------------------------------------------------------------------
