@@ -1059,6 +1059,19 @@ def ev_json_extract(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing pass (:func:`mhray.stages.text.scrub_pii`) applied
+    to the customer names' long id-number runs — vectorized RE2
+    count+replace, no per-row Python. The full pattern set (emails,
+    IPs, phones) is exercised on planted data in pytest."""
+    from mhray.stages.text import scrub_pii
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return c.map_batches(
+        lambda b: scrub_pii(b, "c_name", patterns=(("id", r"\d{6,}"),)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def d_chunk_dedup(sf_dir: str):
     """Chunk-level (line-level) exact dedup with document reassembly
     (RefinedWeb/FineWeb repeated-span removal) —
@@ -1128,6 +1141,7 @@ QUERIES = {
     "d_lm_score": d_lm_score,
     "ev_json_extract": ev_json_extract,
     "d_chunk_dedup": d_chunk_dedup,
+    "q_pii_scrub": q_pii_scrub,
 }
 
 ORACLE_SQL = {
@@ -1581,6 +1595,14 @@ ORACLE_SQL = {
                string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                           ORDER BY ci) AS kept_text
         FROM r GROUP BY doc_id
+    """,
+    "q_pii_scrub": r"""
+        SELECT c_custkey, c_name,
+               CAST(len(regexp_extract_all(c_name, '\d{6,}')) AS BIGINT)
+                   AS n_id,
+               regexp_replace(c_name, '\d{6,}', '[ID]', 'g')
+                   AS c_name_scrubbed
+        FROM customer
     """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
     # e_knn_ivf / d_substring_pairs / d_incremental_pairs /

@@ -303,6 +303,47 @@ def top_terms(ds, k: int = 3, text_col: str = "text",
         .map_groups(rank_docs, batch_format="pandas")
 
 
+# PII-shaped substring patterns (RE2-compatible: no lookbehind).
+# ORDER MATTERS: email before bare number runs so an address's digits
+# are consumed as one email hit, not counted again as an id.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    # a phone needs a + prefix or internal separators — a bare digit
+    # run is an id_number, not a phone
+    ("phone", r"\+\d[\d\-\s()]{6,}\d"
+              r"|\(?\d{1,4}[\s\-()]+\d{2,4}[\s\-()]+[\d\-\s()]*\d"),
+    ("id_number", r"\d{6,}"),
+)
+
+
+def scrub_pii(batch: pa.Table, text_col: str = "text",
+              patterns=PII_PATTERNS) -> pa.Table:
+    """Redact PII-shaped substrings (emails, IPs, phone-like digit
+    runs, long id numbers) from a text column — the standard
+    web-pipeline scrubbing pass before training-data release.
+
+    Fully vectorized: one ``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` pair per pattern over the whole
+    column (RE2; no per-row Python). Patterns apply in order to the
+    PREVIOUS pattern's output, so earlier (more specific) patterns
+    consume their text before broader ones can re-match it. Each match
+    is replaced by ``[<NAME>]`` and counted in an ``n_<name>`` column;
+    the scrubbed text lands in ``<text_col>_scrubbed``.
+    """
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = {n: batch.column(n) for n in batch.column_names}
+    for name, pat in patterns:
+        cnt = pc.count_substring_regex(col, pat)
+        col = pc.replace_substring_regex(col, pat,
+                                         f"[{name.upper()}]")
+        out[f"n_{name}"] = cnt.cast(pa.int64())
+    out[f"{text_col}_scrubbed"] = col
+    return pa.table(out)
+
+
 def json_extract_int(batch: pa.Table, col: str = "props", key: str = "k",
                      strict: bool = False) -> pa.Array:
     """Extract an integer field from a JSON-string column (the

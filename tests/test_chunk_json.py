@@ -1,4 +1,5 @@
-"""chunk_dedup brute-force parity + json_extract_int path parity."""
+"""chunk_dedup brute-force parity, json_extract_int path parity, and
+PII scrubbing on planted data."""
 
 import numpy as np
 import pyarrow as pa
@@ -6,7 +7,7 @@ import pyarrow as pa
 import ray.data
 
 from mhray.stages.dedup import chunk_dedup
-from mhray.stages.text import json_extract_int
+from mhray.stages.text import json_extract_int, scrub_pii
 
 
 def _brute_chunk_dedup(docs: list[tuple[int, str]], W: int):
@@ -74,3 +75,38 @@ def test_json_extract_non_integer_values_null_on_both_paths():
     fast = json_extract_int(batch, "props", "k").to_pylist()
     strict = json_extract_int(batch, "props", "k", strict=True).to_pylist()
     assert fast == strict == [None, None, None, 7]
+
+
+def test_scrub_pii_planted():
+    texts = [
+        "contact bob.smith+x@mail.example.org for details",
+        "server at 10.0.255.3 answered",
+        "call +1 (555) 123-4567 now",
+        "order 123456789 shipped",
+        "no pii here at all",
+        "two mails a@b.co and c@d.io plus id 9876543",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = scrub_pii(batch)
+    s = out.column("text_scrubbed").to_pylist()
+    assert s[0] == "contact [EMAIL] for details"
+    assert s[1] == "server at [IPV4] answered"
+    assert s[2] == "call [PHONE] now"
+    assert s[3] == "order [ID_NUMBER] shipped"
+    assert s[4] == texts[4]
+    assert s[5] == "two mails [EMAIL] and [EMAIL] plus id [ID_NUMBER]"
+    assert out.column("n_email").to_pylist() == [1, 0, 0, 0, 0, 2]
+    assert out.column("n_ipv4").to_pylist() == [0, 1, 0, 0, 0, 0]
+    assert out.column("n_phone").to_pylist() == [0, 0, 1, 0, 0, 0]
+    assert out.column("n_id_number").to_pylist() == [0, 0, 0, 1, 0, 1]
+
+
+def test_scrub_pii_pattern_precedence():
+    # an email's digits must be consumed by the email pattern, never
+    # double-counted by the broader id_number pattern
+    batch = pa.table({"text": pa.array(["id 1234567890@corp.example.com"])})
+    out = scrub_pii(batch)
+    assert out.column("text_scrubbed").to_pylist() == ["id [EMAIL]"]
+    assert out.column("n_email").to_pylist() == [1]
+    assert out.column("n_id_number").to_pylist() == [0]
