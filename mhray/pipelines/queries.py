@@ -1072,6 +1072,21 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_quality_buckets(sf_dir: str):
+    """Exact global quality-decile assignment (ANSI NTILE(10) OVER
+    (ORDER BY quality_pm, doc_id)) — the "drop the bottom-quality
+    decile" curation step, distributed without a global row-number
+    pass (:func:`mhray.stages.quantile.ntile`: sorted-block metadata
+    scan + <=9 boundary-block reads + broadcast boundary keys)."""
+    from mhray.stages.quantile import ntile
+    from mhray.stages.text import quality_score
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: quality_score(b).select(["doc_id", "quality_pm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ntile(scored, 10, "quality_pm", "doc_id", bucket_col="decile")
+
+
 def d_chunk_dedup(sf_dir: str):
     """Chunk-level (line-level) exact dedup with document reassembly
     (RefinedWeb/FineWeb repeated-span removal) —
@@ -1142,6 +1157,7 @@ QUERIES = {
     "ev_json_extract": ev_json_extract,
     "d_chunk_dedup": d_chunk_dedup,
     "q_pii_scrub": q_pii_scrub,
+    "d_quality_buckets": d_quality_buckets,
 }
 
 ORACLE_SQL = {
@@ -1611,3 +1627,15 @@ ORACLE_SQL = {
     # operators with no faithful ANSI-SQL equivalent -> rows-only
     # driver check.
 }
+
+# composed from the d_quality oracle so the quality definition lives in
+# exactly one place; NTILE over the distinct (quality_pm, doc_id) key
+# makes the rank — and the bucket — engine-independent
+ORACLE_SQL["d_quality_buckets"] = f"""
+    WITH q AS (SELECT doc_id, quality_pm
+               FROM ({ORACLE_SQL["d_quality"]}))
+    SELECT doc_id, quality_pm,
+           CAST(NTILE(10) OVER (ORDER BY quality_pm, doc_id) AS BIGINT)
+               AS decile
+    FROM q
+"""
