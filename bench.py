@@ -157,7 +157,8 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
              "q_events_hourly", "d_exact_dedup", "d_minhash_pairs",
              "d_simhash_pairs", "e_knn_brute", "d_fingerprints",
              "ev_range_count", "e_semdedup", "d_decontaminate",
-             "d_repetition"]
+             "d_repetition", "d_chunk_dedup", "d_quality_buckets",
+             "ev_json_extract"]
     out = {}
     for name in names:
         t0 = time.time()

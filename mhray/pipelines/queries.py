@@ -1072,6 +1072,17 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_ngram_topk(sf_dir: str):
+    """Global top-20 word bigrams (boilerplate/stopword mining) with
+    the count pushed below the shuffle — each batch emits pre-counted
+    partials, one hash shuffle, per-partition exact top-k, final
+    sort over k x parts rows (:func:`mhray.stages.text.ngram_topk`)."""
+    from mhray.stages.text import ngram_topk
+
+    return ngram_topk(_read(sf_dir, "documents", ["text"]), k=20, n=2,
+                      num_parts=_doc_parts(sf_dir))
+
+
 def d_quality_buckets(sf_dir: str):
     """Exact global quality-decile assignment (ANSI NTILE(10) OVER
     (ORDER BY quality_pm, doc_id)) — the "drop the bottom-quality
@@ -1158,6 +1169,7 @@ QUERIES = {
     "d_chunk_dedup": d_chunk_dedup,
     "q_pii_scrub": q_pii_scrub,
     "d_quality_buckets": d_quality_buckets,
+    "d_ngram_topk": d_ngram_topk,
 }
 
 ORACLE_SQL = {
@@ -1611,6 +1623,27 @@ ORACLE_SQL = {
                string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                           ORDER BY ci) AS kept_text
         FROM r GROUP BY doc_id
+    """,
+    "d_ngram_topk": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), w AS (
+            SELECT doc_id, unnest(toks) AS word,
+                   generate_subscripts(toks, 1) AS wi
+            FROM d
+        ), b AS (
+            SELECT word || ' ' ||
+                   lead(word) OVER (PARTITION BY doc_id ORDER BY wi)
+                       AS ngram
+            FROM w
+        ), g AS (
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b WHERE ngram IS NOT NULL GROUP BY ngram
+        )
+        SELECT ngram, n FROM g ORDER BY n DESC, ngram LIMIT 20
     """,
     "q_pii_scrub": r"""
         SELECT c_custkey, c_name,

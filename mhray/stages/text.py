@@ -303,6 +303,90 @@ def top_terms(ds, k: int = 3, text_col: str = "text",
         .map_groups(rank_docs, batch_format="pandas")
 
 
+def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
+               num_parts: int | None = None):
+    """Global top-k most frequent word n-grams — the corpus-statistics
+    pass (boilerplate discovery, stopword mining). Aggregation is
+    pushed below the shuffle: each batch emits PRE-COUNTED (ngram,
+    partial) rows, one hash shuffle lands each distinct n-gram in
+    exactly one partition, partitions emit their exact local top-k,
+    and a final sort+limit runs over only k x num_parts rows. Returns
+    (ngram, n) ordered (n desc, ngram asc) — deterministic ties.
+    """
+    from mhray.kernels import hash_strings64
+    from mhray.stages.candidates import _part_of, auto_parts
+
+    num_parts = auto_parts(num_parts)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(batch.column(text_col), f"[{_WS}]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        offs = np.asarray(split.offsets, np.int64)
+        parent = np.searchsorted(offs[1:], np.arange(len(flat)),
+                                 side="right")
+        keep = np.flatnonzero(np.asarray(pc.utf8_length(flat)) > 0)
+        flat = flat.take(pa.array(keep, pa.int64()))
+        parent = parent[keep]
+        if len(flat) < n:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "partial": pa.array([], pa.int64()),
+                             "tpart": pa.array([], pa.int32())})
+        # n-gram start i is valid when tokens i..i+n-1 share a doc
+        valid = parent[:len(parent) - n + 1] == parent[n - 1:]
+        starts = np.flatnonzero(valid)
+        parts = [flat.take(pa.array(starts + j, pa.int64()))
+                 for j in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = pc.binary_join_element_wise(grams, p, " ")
+        h = hash_strings64(grams)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        first = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            first[1:] = np.diff(h_s) != 0
+        starts_u = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts_u, len(h_s)))
+        rep = order[starts_u]
+        uniq = grams.take(pa.array(rep, pa.int64()))
+        return pa.table({
+            "ngram": uniq,
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            "tpart": pa.array(_part_of(h_s[starts_u], num_parts),
+                              pa.int32()),
+        })
+
+    def local_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        h = hash_strings64(part.column("ngram"))
+        p = np.asarray(part.column("partial"), np.int64)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        first = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            first[1:] = np.diff(h_s) != 0
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        tot = np.bincount(gid, weights=p[order]).astype(np.int64)
+        uniq = part.column("ngram").take(pa.array(order[starts], pa.int64()))
+        grams = np.asarray(uniq.to_pylist())  # '<U' dtype: lexsort-able
+        top = np.lexsort((grams, -tot))[:k]
+        return pa.table({
+            "ngram": uniq.take(pa.array(top, pa.int64())),
+            "n": pa.array(tot[top], pa.int64()),
+        })
+
+    return ds.map_batches(partial_counts, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("tpart", num_partitions=num_parts) \
+        .map_groups(local_topk, batch_format="pyarrow") \
+        .sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
 # PII-shaped substring patterns (RE2-compatible: no lookbehind).
 # ORDER MATTERS: email before bare number runs so an address's digits
 # are consumed as one email hit, not counted again as an id.

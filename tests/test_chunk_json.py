@@ -110,3 +110,25 @@ def test_scrub_pii_pattern_precedence():
     assert out.column("text_scrubbed").to_pylist() == ["id [EMAIL]"]
     assert out.column("n_email").to_pylist() == [1]
     assert out.column("n_id_number").to_pylist() == [0]
+
+
+def test_ngram_topk_bruteforce(ray_session):
+    from mhray.stages.text import ngram_topk
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+             for _ in range(60)]
+    texts += ["  aa   bb  aa bb ", ""]  # extra whitespace + empty doc
+    import collections
+    want = collections.Counter()
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        for i in range(len(toks) - 2):
+            want[" ".join(toks[i:i + 3])] += 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    got = [(r["ngram"], r["n"])
+           for r in ngram_topk(ds, k=5, n=3, num_parts=4).take_all()]
+    assert got == top

@@ -67,7 +67,7 @@ ORACLE_CHECKED = [
     "q_hash_sample", "ev_range_count", "q_stratified_sample",
     "d_decontaminate", "d_repetition", "d_dedup_keep_best",
     "d_top_terms", "ev_json_extract", "d_chunk_dedup", "q_pii_scrub",
-    "d_quality_buckets",
+    "d_quality_buckets", "d_ngram_topk",
 ]
 ROWS_ONLY = ["d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
