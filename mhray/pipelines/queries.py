@@ -1072,6 +1072,23 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_approx_percentiles(sf_dir: str):
+    """Mergeable equi-depth quantile summary over l_extendedprice —
+    the sketch-family scale path for percentiles (rows-only: the
+    summary is approximate by construction; the error bound vs the
+    exact quantile is pytest-asserted)."""
+    from mhray.stages.freqjob import approx_percentiles
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = approx_percentiles(li, "l_extendedprice",
+                             qs=(0.1, 0.25, 0.5, 0.75, 0.9))
+    return pa.table({
+        "q": pa.array(sorted(res), pa.float64()),
+        "value": pa.array([round(res[q], 2) for q in sorted(res)],
+                          pa.float64()),
+    })
+
+
 def d_ngram_topk(sf_dir: str):
     """Global top-20 word bigrams (boilerplate/stopword mining) with
     the count pushed below the shuffle — each batch emits pre-counted
@@ -1170,6 +1187,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "d_quality_buckets": d_quality_buckets,
     "d_ngram_topk": d_ngram_topk,
+    "q_approx_percentiles": q_approx_percentiles,
 }
 
 ORACLE_SQL = {

@@ -224,3 +224,79 @@ def countmin_shingle_counts(ds, cfg: MhapConfig, text_col: str = "caption",
             p["depth"], p["width"])
         merged.grid += grid
     return merged
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (the sketch-family companion for
+# percentiles: CountMin = frequencies, HLL = distincts, this = ranks)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_summary(v: np.ndarray, w: np.ndarray, s: int):
+    """Compress a weighted sorted sample to <= s evenly-weight-spaced
+    points (equi-depth): point j sits at cumulative weight
+    (j + 0.5) / s of the total."""
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    total = w.sum()
+    if len(v) <= s:
+        return v, w
+    cum = np.cumsum(w) - 0.5 * w  # midpoint mass of each sample
+    targets = (np.arange(s) + 0.5) * (total / s)
+    idx = np.clip(np.searchsorted(cum, targets), 0, len(v) - 1)
+    return v[idx], np.full(s, total / s)
+
+
+def approx_percentiles(ds, col: str, qs=(0.25, 0.5, 0.75),
+                       samples_per_block: int = 256,
+                       num_parts: int = 8) -> dict[float, float]:
+    """Distributed approximate percentiles via a MERGEABLE equi-depth
+    summary — the scale path when an exact global sort per metric is
+    too expensive: each block compresses to <= samples_per_block
+    weighted points (one streaming pass, no shuffle of raw values), a
+    hash-partitioned second level re-compresses, and the driver sees
+    only num_parts x samples_per_block points. Rank error per level is
+    <= 1/samples_per_block of the mass, so quantiles land within
+    ~2/samples_per_block of exact.
+    """
+    import pyarrow as pa
+
+    from mhray.stages.candidates import _part_of
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col), np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64()),
+                             "part": pa.array([], pa.int32())})
+        sv, sw = _weighted_summary(v, np.ones(len(v)), samples_per_block)
+        part = _part_of(np.arange(len(sv)), num_parts)
+        return pa.table({"v": pa.array(sv, pa.float64()),
+                         "w": pa.array(sw, pa.float64()),
+                         "part": pa.array(part, pa.int32())})
+
+    def remerge(part: pa.Table) -> pa.Table:
+        v = np.asarray(part.column("v"), np.float64)
+        w = np.asarray(part.column("w"), np.float64)
+        sv, sw = _weighted_summary(v, w, samples_per_block)
+        return pa.table({"v": pa.array(sv, pa.float64()),
+                         "w": pa.array(sw, pa.float64())})
+
+    rows = ds.map_batches(summarize, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part", num_partitions=num_parts) \
+        .map_groups(remerge, batch_format="pyarrow").take_all()
+    if not rows:
+        return {float(q): float("nan") for q in qs}
+    v = np.array([r["v"] for r in rows])
+    w = np.array([r["w"] for r in rows])
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w) - 0.5 * w
+    total = w.sum()
+    out = {}
+    for q in qs:
+        i = int(np.clip(np.searchsorted(cum, q * total), 0, len(v) - 1))
+        out[float(q)] = float(v[i])
+    return out

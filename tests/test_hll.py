@@ -54,3 +54,42 @@ def test_hll_distinct_vs_exact(ray_session):
         f"SELECT COUNT(DISTINCT l_partkey) FROM "
         f"read_parquet('{sf}/lineitem.parquet')").fetchone()[0]
     assert abs(est - exact) / exact < TOL, (est, exact)
+
+
+def test_approx_percentiles_error_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.freqjob import approx_percentiles
+
+    rng = np.random.default_rng(11)
+    # skewed lognormal: rank-based summaries must still land close
+    vals = rng.lognormal(mean=3.0, sigma=1.2, size=40_000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    ds = ds.repartition(16)
+    got = approx_percentiles(ds, "x", qs=(0.1, 0.5, 0.9),
+                             samples_per_block=256)
+    for q in (0.1, 0.5, 0.9):
+        exact_rank = np.searchsorted(np.sort(vals), got[q]) / len(vals)
+        # two compression levels at 256 points each -> rank error well
+        # under 2/256; assert a 3x safety margin
+        assert abs(exact_rank - q) < 3 * 2 / 256, (q, exact_rank)
+
+
+def test_approx_percentiles_empty_and_exact_small(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.freqjob import approx_percentiles
+
+    e = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    out = approx_percentiles(e, "x", qs=(0.5,))
+    assert np.isnan(out[0.5])
+    # fewer values than samples_per_block: summaries are lossless, the
+    # returned quantile is an actual data value at the right rank
+    small = ray.data.from_arrow(pa.table({
+        "x": pa.array(np.arange(100, dtype=np.float64))}))
+    out = approx_percentiles(small, "x", qs=(0.5,), samples_per_block=256)
+    assert abs(out[0.5] - 50.0) <= 1.0
