@@ -1072,6 +1072,22 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_curate(sf_dir: str):
+    """End-to-end text curation (pipelines/curate.py): quality floor ->
+    PII scrub -> chunk-level span dedup -> tiered exact/SimHash/MinHash
+    dedup -> token-budget packing. Rows-only (the cascade composes LSH
+    tiers); per-stage semantics are each oracle- or pytest-checked in
+    their standalone operators, and the composition invariants are
+    pytest-asserted (tests/test_curate.py). Output: one row per
+    surviving doc with its pack assignment."""
+    from mhray.pipelines.curate import curate
+
+    res = curate(_read(sf_dir, "documents", ["doc_id", "text"]),
+                 min_quality_pm=2500, chunk_words=8, pack_budget=256,
+                 num_parts=_doc_parts(sf_dir))
+    return res["packs"]
+
+
 def q_approx_percentiles(sf_dir: str):
     """Mergeable equi-depth quantile summary over l_extendedprice —
     the sketch-family scale path for percentiles (rows-only: the
@@ -1188,6 +1204,7 @@ QUERIES = {
     "d_quality_buckets": d_quality_buckets,
     "d_ngram_topk": d_ngram_topk,
     "q_approx_percentiles": q_approx_percentiles,
+    "d_curate": d_curate,
 }
 
 ORACLE_SQL = {

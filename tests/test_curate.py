@@ -1,0 +1,75 @@
+"""Curation-pipeline composition invariants on a planted corpus."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from mhray.pipelines.curate import curate
+
+
+def _corpus():
+    rng = np.random.default_rng(5)
+    # a wide vocabulary so unrelated docs are NOT near-duplicates (the
+    # minhash tier is supposed to fire only on the planted pairs)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = ["".join(rng.choice(letters, size=int(rng.integers(4, 9))))
+             for _ in range(400)]
+    docs = {}
+    for did in range(60):
+        docs[did] = " ".join(rng.choice(vocab, size=30))
+    # planted exact duplicates of doc 0
+    docs[60] = docs[0]
+    docs[61] = docs[0]
+    # planted junk: too short -> fails the quality length band
+    docs[62] = "x"
+    # planted PII
+    docs[63] = ("please contact real.person@corp.example.com about the "
+                + " ".join(rng.choice(vocab, size=25)))
+    # planted repeated span across two otherwise-different docs
+    span = " ".join(rng.choice(vocab, size=16))
+    docs[64] = span + " " + " ".join(rng.choice(vocab, size=20))
+    docs[65] = span + " " + " ".join(rng.choice(vocab, size=20))
+    ids = sorted(docs)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([docs[i] for i in ids], pa.string()),
+    })
+
+
+def test_curate_composition(ray_session):
+    tbl = _corpus()
+    # floor 6000: the one-char junk doc scores 5000 pm (only the alpha
+    # and distinct terms contribute); real docs score ~8000+
+    res = curate(ray.data.from_arrow(tbl), min_quality_pm=6000,
+                 chunk_words=8, pack_budget=64, num_parts=4)
+    out = {r["doc_id"]: r["text"] for r in res["documents"].take_all()}
+
+    # junk doc dropped by the quality floor
+    assert 62 not in out
+    # exact duplicates: only the min-id copy survives
+    assert 0 in out and 60 not in out and 61 not in out
+    # PII scrubbed from the surviving text
+    assert 63 in out and "@" not in out[63] and "[EMAIL]" in out[63]
+    # repeated span: the first doc keeps it, the second loses it
+    assert 64 in out and 65 in out
+    span_words = tbl.column("text")[64].as_py().split(" ")[:8]
+    span8 = " ".join(span_words)
+    assert span8 in out[64]
+    assert span8 not in out[65]
+
+    # packs cover every surviving doc exactly once, within budget
+    packs = res["packs"].take_all()
+    assert {p["doc_id"] for p in packs} == set(out)
+    by_seq = {}
+    for p in packs:
+        if not p["truncated"]:
+            by_seq.setdefault(p["seq_id"], 0)
+            by_seq[p["seq_id"]] += p["n_tokens"]
+    assert all(v <= 64 for v in by_seq.values())
+
+    # stats ledger is consistent stage to stage
+    stages = [s["stage"] for s in res["stats"]]
+    assert stages == ["filter+scrub", "chunk_dedup", "tiered_dedup", "pack"]
+    for prev, nxt in zip(res["stats"], res["stats"][1:]):
+        assert nxt["rows_in"] == prev["rows_out"]
