@@ -36,6 +36,19 @@ def main(argv=None) -> int:
                          "new images table against the s1_sketches index "
                          "already stored under --out, without re-sketching "
                          "the index; writes <out>/query_pairs")
+    ap.add_argument("--curate", action="store_true",
+                    help="text-curation mode: --input is a documents "
+                         "parquet (doc_id, text); runs quality floor -> "
+                         "PII scrub -> chunk dedup -> tiered dedup -> "
+                         "packing and writes curated_documents/, packs/ "
+                         "and curate_stats.json under --out")
+    ap.add_argument("--min-quality-pm", type=int, default=0)
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language allowlist (e.g. en,de)")
+    ap.add_argument("--chunk-words", type=int, default=0,
+                    help="chunk-level span-dedup width (0 = off)")
+    ap.add_argument("--pack-budget", type=int, default=0,
+                    help="token budget for sequence packing (0 = off)")
     args = ap.parse_args(argv)
 
     import ray
@@ -55,6 +68,37 @@ def main(argv=None) -> int:
     freq_ref = None
     if args.freq_table:
         freq_ref = ray.put(pq.read_table(args.freq_table))
+
+    if args.curate:
+        import ray.data
+
+        from mhray.pipelines.curate import curate
+
+        t0 = time.time()
+        docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        res = curate(docs, cfg, min_quality_pm=args.min_quality_pm,
+                     langs=tuple(args.langs.split(",")) if args.langs
+                     else None,
+                     chunk_words=args.chunk_words,
+                     pack_budget=args.pack_budget,
+                     num_parts=args.num_parts)
+        os.makedirs(args.out, exist_ok=True)
+        parts = max(1, min(args.num_parts, 16))
+        res["documents"].repartition(parts).write_parquet(
+            os.path.join(args.out, "curated_documents"))
+        if "packs" in res:
+            res["packs"].repartition(parts).write_parquet(
+                os.path.join(args.out, "packs"))
+        with open(os.path.join(args.out, "curate_stats.json"), "w") as f:
+            json.dump(res["stats"], f, indent=2)
+        print(json.dumps({
+            "mode": "curate",
+            "survivors": res["documents"].count(),
+            "sec": round(time.time() - t0, 2),
+            "stats": res["stats"],
+            "out": args.out,
+        }))
+        return 0
 
     if args.query_input:
         import shutil

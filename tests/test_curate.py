@@ -73,3 +73,30 @@ def test_curate_composition(ray_session):
     assert stages == ["filter+scrub", "chunk_dedup", "tiered_dedup", "pack"]
     for prev, nxt in zip(res["stats"], res["stats"][1:]):
         assert nxt["rows_in"] == prev["rows_out"]
+
+
+def test_curate_cli(tmp_path):
+    """`python -m mhray.run --curate` (the ray job submit surface)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(_corpus(), src)
+    env = dict(os.environ, RAY_ADDRESS="local", PYTHONPATH="/root/repo")
+    p = subprocess.run(
+        [sys.executable, "-m", "mhray.run", "--curate", "--input", src,
+         "--out", str(tmp_path / "run"), "--min-quality-pm", "6000",
+         "--chunk-words", "8", "--pack-budget", "64", "--num-parts", "4"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=280)
+    assert p.returncode == 0, p.stderr[-800:]
+    summary = json.loads([l for l in p.stdout.splitlines()
+                          if l.startswith("{")][-1])
+    assert summary["survivors"] > 0
+    assert os.path.exists(str(tmp_path / "run" / "curated_documents"))
+    assert os.path.exists(str(tmp_path / "run" / "packs"))
+    assert os.path.exists(str(tmp_path / "run" / "curate_stats.json"))
