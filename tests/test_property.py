@@ -3,6 +3,7 @@ round-trips, pair-emission completeness, and estimator bounds."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -103,3 +104,49 @@ def test_hash_strings64_matches_scalar_utf16(texts):
     got = np.asarray(hash_strings64(texts)).view(np.uint64)
     for i, t in enumerate(texts):
         assert int(got[i]) == murmur3_x64_128_scalar(t.encode("utf-16-le"), 0)
+
+
+@given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400),
+       st.integers(1, 64))
+@settings(max_examples=60, deadline=None)
+def test_weighted_summary_invariants(vals, s):
+    from mhray.stages.freqjob import _weighted_summary
+
+    v = np.asarray(vals, np.float64)
+    w = np.ones(len(v))
+    sv, sw = _weighted_summary(v, w, s)
+    assert len(sv) <= max(s, len(v) if len(v) <= s else s)
+    assert sw.sum() == pytest.approx(len(v))      # mass conserved
+    assert np.all(np.isin(sv, v))                 # values are real data
+    assert np.all(np.diff(sv) >= 0)               # sorted
+
+
+@given(st.integers(0, 10_000), st.integers(1, 64))
+@settings(max_examples=100, deadline=None)
+def test_ntile_bucket_starts_fill(total, k):
+    from mhray.stages.quantile import _bucket_starts
+
+    starts = _bucket_starts(total, k)
+    sizes = np.diff(np.append(starts, total))
+    assert sizes.sum() == total
+    assert len(starts) == k
+    nonneg = sizes[sizes > 0]
+    if len(nonneg):
+        assert nonneg.max() - nonneg.min() <= 1   # NTILE even fill
+    # bigger buckets come first
+    assert np.all(np.diff(sizes) <= 0) or total % k == 0
+
+
+@given(st.dictionaries(st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+                       st.integers(-10**9, 10**9), max_size=5),
+       st.sampled_from(["k", "key", "zz"]))
+@settings(max_examples=80, deadline=None)
+def test_json_extract_fast_matches_strict_on_flat_objects(obj, key):
+    import json
+
+    from mhray.stages.text import json_extract_int
+
+    batch = pa.table({"props": pa.array([json.dumps(obj)], pa.string())})
+    fast = json_extract_int(batch, "props", key).to_pylist()
+    strict = json_extract_int(batch, "props", key, strict=True).to_pylist()
+    assert fast == strict == [obj.get(key)]
