@@ -1072,6 +1072,19 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ev_funnel(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase) with greedy
+    earliest-match semantics — one hash partition by user, the step
+    loop vectorized over all users per partition
+    (:func:`mhray.stages.events.funnel_counts`)."""
+    from mhray.stages.events import funnel_counts
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_type"])
+    return funnel_counts(ev, "user_id", "ts", "event_type",
+                         steps=("view", "click", "purchase"))
+
+
 def d_curate(sf_dir: str):
     """End-to-end text curation (pipelines/curate.py): quality floor ->
     PII scrub -> chunk-level span dedup -> tiered exact/SimHash/MinHash
@@ -1205,6 +1218,7 @@ QUERIES = {
     "d_ngram_topk": d_ngram_topk,
     "q_approx_percentiles": q_approx_percentiles,
     "d_curate": d_curate,
+    "ev_funnel": ev_funnel,
 }
 
 ORACLE_SQL = {
@@ -1658,6 +1672,29 @@ ORACLE_SQL = {
                string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                           ORDER BY ci) AS kept_text
         FROM r GROUP BY doc_id
+    """,
+    "ev_funnel": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step, 'view' AS step_type,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        ORDER BY step
     """,
     "d_ngram_topk": r"""
         WITH d AS (

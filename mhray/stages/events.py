@@ -280,3 +280,103 @@ def gap_stats(ds, key_col: str, ts_col: str, num_parts: int | None = None):
                           zero_copy_batch=True) \
         .groupby("__part", num_partitions=num_parts) \
         .map_groups(gaps, batch_format="pyarrow")
+
+
+def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
+                  steps: tuple[str, ...], num_parts: int | None = None):
+    """Ordered funnel analysis: how many keys (users) performed
+    steps[0], then steps[1] STRICTLY later, then steps[2] later still,
+    ... (the greedy earliest-match semantics: each step advances to
+    the MIN timestamp of that event type after the previous step's
+    match — greedy-earliest maximizes later-step conversions, so it
+    equals the chained MIN(ts) SQL formulation).
+
+    One hash partition by key; per partition the step loop (|steps|
+    iterations, a constant) runs fully vectorized over all keys at
+    once: matching rows sort once by (dense key, ts) and each step is
+    one chunked composite-key searchsorted — no per-key Python. Only
+    (step, partial count) rows leave the partitions. Returns
+    (step, step_type, n_keys) with step 1..len(steps).
+    """
+    num_parts = auto_parts(num_parts)
+    steps = tuple(steps)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "__key": pa.array(key, pa.int64()),
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+            "__type": batch.column(type_col),
+        })
+
+    def funnel_part(group: pa.Table) -> pa.Table:
+        out_counts = np.zeros(len(steps), np.int64)
+        key = np.asarray(group.column("__key"), dtype=np.int64)
+        if len(key):
+            ts = np.asarray(group.column("__ts"), dtype=np.int64)
+            typ = np.asarray(group.column("__type").to_pylist())
+            ukeys, dense = np.unique(key, return_inverse=True)
+            n_u = len(ukeys)
+            tmin = int(ts.min())
+            tsn = ts - tmin
+            span = int(tsn.max()) + 2  # room for the thr = -1 probe
+            # active users' last-match time (normalized); -1 = "start"
+            thr = np.full(n_u, -1, np.int64)
+            active = np.ones(n_u, dtype=bool)
+            for si, stype in enumerate(steps):
+                m = typ == stype
+                d_s, t_s = dense[m], tsn[m]
+                order = np.lexsort((t_s, d_s))
+                d_s, t_s = d_s[order], t_s[order]
+                # first row of each active user with ts > thr, found by
+                # ONE composite searchsorted per chunk (dense x span
+                # never overflows: chunked like window_self_join)
+                new_thr = np.full(n_u, -1, np.int64)
+                hit = np.zeros(n_u, dtype=bool)
+                users_per_chunk = max(1, (2 ** 62) // span)
+                for base in range(0, n_u, users_per_chunk):
+                    sel = active & (np.arange(n_u) >= base) & \
+                        (np.arange(n_u) < base + users_per_chunk)
+                    uu = np.flatnonzero(sel)
+                    if len(uu) == 0:
+                        continue
+                    in_chunk = (d_s >= base) & (d_s < base + users_per_chunk)
+                    comp = (d_s[in_chunk] - base) * span + t_s[in_chunk]
+                    idx_map = np.flatnonzero(in_chunk)
+                    q = (uu - base) * span + thr[uu]
+                    pos = np.searchsorted(comp, q, "right")
+                    ok = pos < len(comp)
+                    gi = np.where(ok, idx_map[np.minimum(pos, len(comp) - 1)],
+                                  0)
+                    ok &= ok & (d_s[gi] == uu)
+                    hu = uu[ok]
+                    hit[hu] = True
+                    new_thr[hu] = t_s[gi[ok]]
+                active &= hit
+                thr = np.where(active, new_thr, thr)
+                out_counts[si] = int(active.sum())
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "step_type": pa.array(list(steps), pa.string()),
+            "partial": pa.array(out_counts, pa.int64()),
+        })
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(funnel_part, batch_format="pyarrow")
+    agg = parts.groupby(["step", "step_type"]).aggregate(
+        Sum("partial", alias_name="n_keys"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "step": b.column("step"),
+            "step_type": b.column("step_type"),
+            "n_keys": b.column("n_keys").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -147,3 +147,46 @@ def test_range_window_count_vs_brute(seed, n_keys, span, ray_session):
     expect = _brute_range_count(df, window_us)
     for rid, cnt in zip(got["rid"], got["w_cnt"]):
         assert int(cnt) == expect[int(rid)], rid
+
+
+def test_funnel_counts_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.events import funnel_counts
+
+    rng = np.random.default_rng(23)
+    types = np.array(["a", "b", "c", "x"])
+    n = 600
+    users = rng.integers(0, 40, size=n).astype(np.int64)
+    ts = rng.integers(0, 10_000, size=n).astype(np.int64)
+    typ = types[rng.integers(0, 4, size=n)]
+    steps = ("a", "b", "a")  # repeated step type exercises strict >
+
+    def brute():
+        counts = [0] * len(steps)
+        for u in set(users.tolist()):
+            m = users == u
+            evs = sorted(zip(ts[m].tolist(), typ[m].tolist()))
+            thr = -1
+            for si, s in enumerate(steps):
+                nxt = [t for t, e in evs if e == s and t > thr]
+                if not nxt:
+                    break
+                thr = min(nxt)
+                counts[si] += 1
+        return counts
+
+    want = brute()
+    assert want[0] > want[-1] > 0  # the funnel actually narrows
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+        "event_type": pa.array(typ.tolist(), pa.string()),
+    })).repartition(6)
+    got_rows = funnel_counts(ds, "user_id", "ts", "event_type",
+                             steps, num_parts=4).take_all()
+    got = [r["n_keys"] for r in sorted(got_rows, key=lambda r: r["step"])]
+    assert got == want

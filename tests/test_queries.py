@@ -67,7 +67,7 @@ ORACLE_CHECKED = [
     "q_hash_sample", "ev_range_count", "q_stratified_sample",
     "d_decontaminate", "d_repetition", "d_dedup_keep_best",
     "d_top_terms", "ev_json_extract", "d_chunk_dedup", "q_pii_scrub",
-    "d_quality_buckets", "d_ngram_topk",
+    "d_quality_buckets", "d_ngram_topk", "ev_funnel",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate",
              "d_minhash_pairs", "d_simhash_pairs",
