@@ -1072,6 +1072,18 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def e_pca(sf_dir: str):
+    """Distributed PCA projection of the embedding table to 8 dims —
+    per-batch (count, sum, X^T X) moment partials, driver-side d x d
+    eigendecomposition, broadcast projection
+    (:func:`mhray.stages.ann.pca_project`). Rows-only (eigensolver);
+    pytest asserts exact agreement with single-process numpy PCA."""
+    from mhray.stages.ann import pca_project
+
+    return pca_project(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                       out_dim=8)
+
+
 def ev_funnel(sf_dir: str):
     """Ordered funnel (view -> click -> purchase) with greedy
     earliest-match semantics — one hash partition by user, the step
@@ -1219,6 +1231,7 @@ QUERIES = {
     "q_approx_percentiles": q_approx_percentiles,
     "d_curate": d_curate,
     "ev_funnel": ev_funnel,
+    "e_pca": e_pca,
 }
 
 ORACLE_SQL = {

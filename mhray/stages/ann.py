@@ -569,3 +569,62 @@ def embedding_dup_pairs(ds, tau: float = 0.99, n_bits: int = 10,
         .map_groups(rescore_buckets, batch_format="pyarrow") \
         .groupby("pair_part", num_partitions=num_parts) \
         .map_groups(dedupe, batch_format="pyarrow")
+
+
+def pca_project(ds, out_dim: int, id_col: str = "vec_id",
+                emb_col: str = "embedding", center: bool = True):
+    """Distributed PCA projection (embedding compression/whitening
+    front-end): ONE streaming pass emits per-batch moment partials —
+    (count, sum, X^T X), i.e. d + d^2 floats per batch regardless of
+    batch rows — the driver eigendecomposes the d x d covariance
+    (d = embedding dim, corpus-size-independent), and a broadcast
+    projection matrix maps every vector in a second streaming pass.
+    Component signs are fixed (largest-|coefficient| entry positive)
+    so the output is deterministic across block layouts. Returns
+    (id_col, emb_col) with out_dim-length vectors.
+    """
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, emb_col).astype(np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+            "ss": pa.array([(m.T @ m).tobytes()], pa.binary()),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = sum(p["n"] for p in parts)
+    if n == 0:
+        raise ValueError("pca_project: empty input")
+    d = len(np.frombuffer(parts[0]["s"], np.float64))
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for p in parts:
+        s += np.frombuffer(p["s"], np.float64)
+        ss += np.frombuffer(p["ss"], np.float64).reshape(d, d)
+    mu = s / n if center else np.zeros(d)
+    cov = (ss - n * np.outer(mu, mu)) / max(1, n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:out_dim]
+    w = evecs[:, order]  # (d, out_dim)
+    flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    w = w * flip
+    w_ref = ray.put((mu, w))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu_, w_ = ray.get(w_ref)
+        m = _embedding_matrix(batch, emb_col).astype(np.float64)
+        proj = (m - mu_) @ w_
+        flat = pa.array(proj.astype(np.float32).ravel(), pa.float32())
+        offs = pa.array(np.arange(len(proj) + 1, dtype=np.int32)
+                        * w_.shape[1], pa.int32())
+        return pa.table({
+            id_col: batch.column(id_col),
+            emb_col: pa.ListArray.from_arrays(offs, flat),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)

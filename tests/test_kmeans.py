@@ -87,3 +87,39 @@ def test_kmeans_block_invariance(ray_session):
     b = kmeans(ray.data.from_arrow(tbl).repartition(7), n_clusters=3,
                iters=3, seed=5)[1].to_pandas().sort_values("vec_id")
     assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.ann import pca_project
+
+    rng = np.random.default_rng(9)
+    d, n, k = 12, 300, 4
+    # anisotropic data so components are well-separated
+    basis = rng.normal(size=(d, d))
+    x = rng.normal(size=(n, d)) * np.linspace(5, 0.1, d) @ basis
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in x]),
+    })).repartition(5)
+
+    out = {r["vec_id"]: np.array(r["embedding"])
+           for r in pca_project(ds, out_dim=k).take_all()}
+    got = np.stack([out[i] for i in range(n)])
+
+    x32 = x.astype(np.float32).astype(np.float64)  # the stored precision
+    mu = x32.mean(axis=0)
+    cov = np.cov(x32, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    w = evecs[:, np.argsort(evals)[::-1][:k]]
+    flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    want = (x32 - mu) @ (w * flip)
+
+    assert np.allclose(got, want, atol=2e-3)
+    # variance ordering: component 1 explains the most
+    v = got.var(axis=0)
+    assert np.all(np.diff(v) <= 1e-6)

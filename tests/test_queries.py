@@ -69,7 +69,7 @@ ORACLE_CHECKED = [
     "d_top_terms", "ev_json_extract", "d_chunk_dedup", "q_pii_scrub",
     "d_quality_buckets", "d_ngram_topk", "ev_funnel",
 ]
-ROWS_ONLY = ["q_approx_percentiles", "d_curate",
+ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
