@@ -72,10 +72,11 @@ def main(argv=None) -> int:
     if args.curate:
         import ray.data
 
+        from mhray.io import read_documents
         from mhray.pipelines.curate import curate
 
         t0 = time.time()
-        docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+        docs = read_documents(args.input)
         res = curate(docs, cfg, min_quality_pm=args.min_quality_pm,
                      langs=tuple(args.langs.split(",")) if args.langs
                      else None,

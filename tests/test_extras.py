@@ -332,3 +332,40 @@ def test_read_overlaps_roundtrip(tmp_path, ray_session):
     edges = edges_from_overlaps(tbl)
     assert edges[("2", "5")] == (1, 49, 0, 50)
     assert edges[("3", "4")] == (5, 40, 2, 38)
+
+
+def test_read_documents_formats(tmp_path, ray_session):
+    """read_documents canonicalizes parquet / JSONL / CSV sources."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhray.io import read_documents
+
+    rows = [{"doc_id": i, "text": f"doc number {i} body"} for i in range(25)]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "d.parquet"))
+    with open(tmp_path / "d.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    with open(tmp_path / "d.csv", "w") as f:
+        f.write("doc_id,text\n")
+        for r in rows:
+            f.write(f"{r['doc_id']},{r['text']}\n")
+
+    want = {(r["doc_id"], r["text"]) for r in rows}
+    for name in ("d.parquet", "d.jsonl", "d.csv"):
+        ds = read_documents(str(tmp_path / name))
+        got = {(r["doc_id"], r["text"]) for r in ds.take_all()}
+        assert got == want, name
+
+    # no id column -> stable content hash, non-negative, deterministic
+    with open(tmp_path / "noid.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps({"text": r["text"]}) + "\n")
+    a = sorted(r["doc_id"] for r in
+               read_documents(str(tmp_path / "noid.jsonl")).take_all())
+    b = sorted(r["doc_id"] for r in
+               read_documents(str(tmp_path / "noid.jsonl")).take_all())
+    assert a == b and len(set(a)) == len(rows) and min(a) >= 0
