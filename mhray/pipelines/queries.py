@@ -1072,6 +1072,26 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_dup_clusters(sf_dir: str):
+    """Connected-component duplicate clusters over the verified
+    MinHash near-dup pairs: (doc_id, cluster_id) with cluster_id =
+    the component's min doc id (the flagship's clustering operator,
+    stages/cluster.py, surfaced over the documents table). Rows-only;
+    label-propagation parity vs driver union-find is pytest-asserted
+    in the flagship e2e tests."""
+    from mhray.stages.cluster import cluster_edges
+
+    pairs = d_minhash_pairs(sf_dir)
+    out = cluster_edges(pairs, num_partitions=_doc_parts(sf_dir))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("iid"),
+                         "cluster_id": b.column("cluster_id")})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def e_pca(sf_dir: str):
     """Distributed PCA projection of the embedding table to 8 dims —
     per-batch (count, sum, X^T X) moment partials, driver-side d x d
@@ -1232,6 +1252,7 @@ QUERIES = {
     "d_curate": d_curate,
     "ev_funnel": ev_funnel,
     "e_pca": e_pca,
+    "d_dup_clusters": d_dup_clusters,
 }
 
 ORACLE_SQL = {
