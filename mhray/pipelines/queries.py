@@ -1072,6 +1072,21 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ev_motif(sf_dir: str):
+    """Time-series subsequence similarity search: the 10 windows of
+    any user's event-value series whose z-normalized shape best
+    matches a peak pattern (:func:`mhray.stages.events.ts_motif_search`
+    — per-partition sliding-view matmul scan, local top-k, global
+    sort over k x parts rows). Rows-only (float distances); exactness
+    vs a brute-force scan is pytest-asserted."""
+    from mhray.stages.events import ts_motif_search
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "value"])
+    peak = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0]
+    return ts_motif_search(ev, "user_id", "ts", "value", peak, top_k=10)
+
+
 def d_dup_clusters(sf_dir: str):
     """Connected-component duplicate clusters over the verified
     MinHash near-dup pairs: (doc_id, cluster_id) with cluster_id =
@@ -1253,6 +1268,7 @@ QUERIES = {
     "ev_funnel": ev_funnel,
     "e_pca": e_pca,
     "d_dup_clusters": d_dup_clusters,
+    "ev_motif": ev_motif,
 }
 
 ORACLE_SQL = {

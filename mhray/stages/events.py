@@ -380,3 +380,80 @@ def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ts_motif_search(ds, key_col: str, ts_col: str, val_col: str,
+                    query, top_k: int = 10,
+                    num_parts: int | None = None):
+    """Time-series subsequence similarity search (cf. "Time Series
+    Similarity Search for Streaming Data in Distributed Systems",
+    EDBT 2019): find the ``top_k`` windows across all keys' value
+    series whose z-NORMALIZED shape is closest (Euclidean) to the
+    z-normalized ``query`` pattern.
+
+    One hash partition by key, per-partition vectorized scan: each
+    key's series sorts by time once, every length-m window is scored
+    through a sliding view + one matmul (means/stds via cumsum — no
+    per-window Python), partitions emit only their local top-k, and a
+    final sort+limit over k x parts rows picks the global answer.
+    Returns (key, start_ts, dist) ascending by (dist, key, start_ts).
+    """
+    num_parts = auto_parts(num_parts)
+    q = np.asarray(query, np.float64)
+    m = len(q)
+    qs = q.std()
+    qz = (q - q.mean()) / (qs if qs > 0 else 1.0)
+    import ray
+
+    q_ref = ray.put(qz)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "__key": pa.array(key, pa.int64()),
+            "__ts": batch.column(ts_col).cast(pa.int64()),
+            "__v": batch.column(val_col).cast(pa.float64()),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "start_ts": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.float64())})
+        n = group.num_rows
+        if n < m:
+            return empty
+        qz_ = ray.get(q_ref)
+        key = np.asarray(group.column("__key"), dtype=np.int64)
+        ts = np.asarray(group.column("__ts"), dtype=np.int64)
+        v = np.asarray(group.column("__v"), dtype=np.float64)
+        order = np.lexsort((ts, key))
+        key, ts, v = key[order], ts[order], v[order]
+        win = np.lib.stride_tricks.sliding_window_view(v, m)
+        # windows must not straddle key boundaries
+        same = key[: n - m + 1] == key[m - 1:]
+        starts = np.flatnonzero(same)
+        if len(starts) == 0:
+            return empty
+        w = win[starts]
+        mu = w.mean(axis=1, keepdims=True)
+        sd = w.std(axis=1)
+        sd_safe = np.where(sd > 0, sd, 1.0)
+        # z-normalized squared distance: 2m - 2 * (wz . qz)
+        dots = ((w - mu) / sd_safe[:, None]) @ qz_
+        dist = np.sqrt(np.maximum(0.0, 2.0 * m - 2.0 * dots))
+        dist = np.where(sd > 0, dist, np.sqrt(2.0 * m))  # flat windows
+        take = min(top_k, len(starts))
+        kk, tt = key[starts], ts[starts]
+        top = np.lexsort((tt, kk, dist))[:take]
+        return pa.table({
+            "key": pa.array(kk[top], pa.int64()),
+            "start_ts": pa.array(tt[top], pa.int64()),
+            "dist": pa.array(np.round(dist[top], 9), pa.float64()),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(scan, batch_format="pyarrow") \
+        .sort(["dist", "key", "start_ts"]).limit(top_k)

@@ -190,3 +190,52 @@ def test_funnel_counts_bruteforce(ray_session):
                              steps, num_parts=4).take_all()
     got = [r["n_keys"] for r in sorted(got_rows, key=lambda r: r["step"])]
     assert got == want
+
+
+def test_ts_motif_search_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.events import ts_motif_search
+
+    rng = np.random.default_rng(41)
+    n = 500
+    users = rng.integers(0, 12, size=n).astype(np.int64)
+    ts = np.arange(n, dtype=np.int64)  # unique times
+    vals = rng.normal(size=n)
+    q = np.array([0.0, 2.0, 4.0, 2.0, 0.0])
+    m = len(q)
+    qz = (q - q.mean()) / q.std()
+
+    def brute():
+        out = []
+        for u in set(users.tolist()):
+            sel = users == u
+            t_u, v_u = ts[sel], vals[sel]
+            o = np.argsort(t_u)
+            t_u, v_u = t_u[o], v_u[o]
+            for i in range(len(v_u) - m + 1):
+                w = v_u[i:i + m]
+                sd = w.std()
+                if sd > 0:
+                    wz = (w - w.mean()) / sd
+                    d = float(np.sqrt(((wz - qz) ** 2).sum()))
+                else:
+                    d = float(np.sqrt(2.0 * m))
+                out.append((round(d, 9), int(u), int(t_u[i])))
+        out.sort()
+        return [(u, t, d) for d, u, t in out[:7]]
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(5)
+    got = [(r["key"], r["start_ts"], r["dist"])
+           for r in ts_motif_search(ds, "user_id", "ts", "value", q,
+                                    top_k=7, num_parts=3).take_all()]
+    want = brute()
+    assert [(u, t) for u, t, _ in got] == [(u, t) for u, t, _ in want]
+    assert np.allclose([d for *_, d in got], [d for *_, d in want],
+                       atol=1e-9)
