@@ -1072,6 +1072,37 @@ def q_pii_scrub(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def d_bloom_new(sf_dir: str):
+    """Ingestion-time exact-dedup pre-filter: build a Bloom seen-set
+    over the existing corpus' content hashes (docs with doc_id % 97
+    != 0), then keep only the incoming batch rows (doc_id % 97 == 0)
+    whose content the corpus has NOT seen — no corpus shuffle, the
+    filter broadcasts once (:mod:`mhray.stages.freqjob` BloomFilter).
+    Rows-only (membership is probabilistic by design; the
+    no-false-negative and FPR bounds are pytest-asserted)."""
+    from mhray.kernels import hash_strings64
+    from mhray.stages.freqjob import bloom_build, bloom_filter_new
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings64(batch.column("text"))
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array(h, pa.int64()),
+            "is_new": pa.array(ids % 97 == 0, pa.bool_()),
+        })
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    corpus = hashed.filter(expr="is_new == False")
+    batch_ds = hashed.filter(expr="is_new == True")
+    bloom = bloom_build(corpus, "text_hash")
+    return bloom_filter_new(batch_ds, bloom, "text_hash") \
+        .select_columns(["doc_id"])
+
+
 def ev_motif(sf_dir: str):
     """Time-series subsequence similarity search: the 10 windows of
     any user's event-value series whose z-normalized shape best
@@ -1269,6 +1300,7 @@ QUERIES = {
     "e_pca": e_pca,
     "d_dup_clusters": d_dup_clusters,
     "ev_motif": ev_motif,
+    "d_bloom_new": d_bloom_new,
 }
 
 ORACLE_SQL = {

@@ -300,3 +300,95 @@ def approx_percentiles(ds, col: str, qs=(0.25, 0.5, 0.75),
         i = int(np.clip(np.searchsorted(cum, q * total), 0, len(v) - 1))
         out[float(q)] = float(v[i])
     return out
+
+
+# ---------------------------------------------------------------------------
+# mergeable Bloom filter (seen-set membership: the ingestion-time
+# exact-dedup pre-filter — "drop records whose key the corpus already
+# holds" without shuffling the corpus)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Standard k-hash Bloom filter over int64 keys, bit array backed
+    by numpy. Mergeable by OR (same size/k), so per-block filters
+    stream into one corpus filter — the membership analog of the HLL
+    register merge. False-positive rate ~ (1 - e^(-k n / m))^k."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 5,
+                 bits: np.ndarray | None = None):
+        assert n_bits % 8 == 0
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = bits if bits is not None \
+            else np.zeros(n_bits // 8, np.uint8)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit positions via double hashing
+        (h1 + i*h2 — Kirsch-Mitzenmacher)."""
+        x = keys.astype(np.uint64)
+        x1 = x * np.uint64(0x9E3779B97F4A7C15)
+        x1 ^= x1 >> np.uint64(32)
+        x2 = x * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1)
+        x2 ^= x2 >> np.uint64(29)
+        i = np.arange(self.k, dtype=np.uint64)
+        return ((x1[:, None] + i * (x2[:, None] | np.uint64(1)))
+                % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(np.asarray(keys, np.int64)).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(keys, np.int64))
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+
+def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 5):
+    """One streaming pass: per-block Bloom filters merged by OR into a
+    corpus seen-set (driver holds only n_bits/8 bytes x blocks peak,
+    one filter at a time after the take)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = BloomFilter(n_bits, k)
+        keys = np.asarray(batch.column(col), np.int64)
+        b.add(keys)
+        return pa.table({"bits": pa.array([b.bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    out = BloomFilter(n_bits, k)
+    for p in parts:
+        out.bits |= np.frombuffer(p["bits"], np.uint8)
+    return out
+
+
+def bloom_filter_new(ds, bloom: "BloomFilter", col: str):
+    """Drop rows whose ``col`` the Bloom seen-set (probably) contains —
+    the ingestion-time pre-filter: no false negatives, so every truly
+    new key survives; a tunable sliver of new keys is lost to false
+    positives (bound it with n_bits). The filter broadcasts once via
+    ray.put; batches test membership vectorized."""
+    import ray
+
+    ref = ray.put((bloom.n_bits, bloom.k, bloom.bits))
+
+    def drop_seen(batch: pa.Table) -> pa.Table:
+        n_bits, k, bits = ray.get(ref)
+        b = BloomFilter(n_bits, k, bits=bits)
+        keys = np.asarray(batch.column(col), np.int64)
+        return batch.filter(pa.array(~b.contains(keys)))
+
+    return ds.map_batches(drop_seen, batch_format="pyarrow",
+                          zero_copy_batch=True)

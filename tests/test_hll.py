@@ -93,3 +93,32 @@ def test_approx_percentiles_empty_and_exact_small(ray_session):
         "x": pa.array(np.arange(100, dtype=np.float64))}))
     out = approx_percentiles(small, "x", qs=(0.5,), samples_per_block=256)
     assert abs(out[0.5] - 50.0) <= 1.0
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.freqjob import bloom_build, bloom_filter_new
+
+    rng = np.random.default_rng(31)
+    seen_keys = rng.choice(10**9, size=20_000, replace=False)
+    corpus = ray.data.from_arrow(pa.table({
+        "k": pa.array(seen_keys, pa.int64())})).repartition(8)
+    bloom = bloom_build(corpus, "k", n_bits=1 << 20, k=5)
+
+    # no false negatives: every seen key hits
+    assert bloom.contains(seen_keys).all()
+
+    # new batch: half seen, half new
+    new_keys = rng.choice(10**9, size=10_000, replace=False) + 10**9
+    batch = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.concatenate([seen_keys[:5000], new_keys]),
+                      pa.int64())}))
+    out = np.array([r["k"] for r in
+                    bloom_filter_new(batch, bloom, "k").take_all()])
+    # every surviving key is genuinely new
+    assert np.isin(out, new_keys).all()
+    # false-positive loss is small: m/n = 52 bits/key -> fpr << 1%
+    assert len(out) >= 0.99 * len(new_keys)

@@ -70,7 +70,7 @@ ORACLE_CHECKED = [
     "d_quality_buckets", "d_ngram_topk", "ev_funnel",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
-             "d_dup_clusters", "ev_motif",
+             "d_dup_clusters", "ev_motif", "d_bloom_new",
              "d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
