@@ -593,8 +593,12 @@ def pca_project(ds, out_dim: int, id_col: str = "vec_id",
             "ss": pa.array([(m.T @ m).tobytes()], pa.binary()),
         })
 
+    # large batch_size: each partial costs d^2 + d floats on the driver
+    # regardless of rows, so fewer/bigger batches keep the take_all
+    # bounded (64k rows/partial -> a 1B-row corpus is ~15k partials)
     parts = ds.map_batches(moments, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all()
+                           zero_copy_batch=True,
+                           batch_size=65536).take_all()
     n = sum(p["n"] for p in parts)
     if n == 0:
         raise ValueError("pca_project: empty input")
