@@ -39,7 +39,12 @@ def read_documents(path: str, fmt: str | None = None,
     operator consumes. Format is sniffed from the extension unless
     ``fmt`` forces it. JSONL/CSV rows without an id column get a
     stable one assigned from a hash of the text (order-independent —
-    Ray Data block order is not a stable id source at scale).
+    Ray Data block order is not a stable id source at scale), and the
+    table is then deduplicated to one row per id in a single hash
+    shuffle: identical texts from an id-less source ARE the same
+    document (content identity), and every downstream operator
+    (tiered dedup's anti-joins, ntile, chunk reassembly) requires
+    unique ids.
     """
     import pyarrow as pa
 
@@ -65,8 +70,10 @@ def read_documents(path: str, fmt: str | None = None,
     schema = ds.schema()
     names = getattr(schema, "names", schema)
 
+    has_id = id_col in names
+
     def canon(batch: pa.Table) -> pa.Table:
-        if id_col in batch.column_names:
+        if has_id:
             ids = batch.column(id_col).cast(pa.int64())
         else:
             from mhray.kernels import hash_strings64
@@ -80,5 +87,36 @@ def read_documents(path: str, fmt: str | None = None,
     if text_col not in names:
         raise ValueError(f"read_documents: no '{text_col}' column in {path} "
                          f"(found {list(names)})")
-    return ds.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    out = ds.map_batches(canon, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    if has_id:
+        return out
+
+    # content-derived ids: identical texts share an id, so collapse to
+    # one row per id (one narrow hash shuffle) — duplicate ids would
+    # silently break exact dedup's min-id keeper rule downstream
+    import numpy as np
+
+    from mhray.stages.candidates import _part_of, auto_parts
+
+    parts = auto_parts(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), np.int64)
+        return batch.append_column(
+            "__part", pa.array(_part_of(ids, parts), pa.int32()))
+
+    def first_per_id(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part.column(id_col), np.int64)
+        order = np.argsort(ids, kind="stable")
+        first = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            first[1:] = np.diff(ids[order]) != 0
+        keep = pa.array(order[first], pa.int64())
+        return pa.table({id_col: part.column(id_col).take(keep),
+                         text_col: part.column(text_col).take(keep)})
+
+    return out.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("__part", num_partitions=parts) \
+        .map_groups(first_per_id, batch_format="pyarrow")

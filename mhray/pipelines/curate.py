@@ -54,7 +54,7 @@ def curate(ds, cfg: MhapConfig | None = None, *,
         if langs is not None:
             lg = lang_id(batch, text_col=text_col, id_col=id_col)
             keep = pc.and_(keep, pc.is_in(
-                lg.column("lang"), value_set=pa.array(list(langs))))
+                lg.column("lang_pred"), value_set=pa.array(list(langs))))
         return batch.filter(keep)
 
     filtered = docs.map_batches(annotate, batch_format="pyarrow",
@@ -105,7 +105,8 @@ def curate(ds, cfg: MhapConfig | None = None, *,
         from mhray.stages.pack import pack_sequences
 
         packs = pack_sequences(survivors.select_columns([id_col, text_col]),
-                               budget=pack_budget, num_parts=num_parts)
+                               budget=pack_budget, id_col=id_col,
+                               text_col=text_col, num_parts=num_parts)
         out["packs"] = packs
         stats.append({"stage": "pack", "rows_in": n_s,
                       "rows_out": _count(packs)})

@@ -314,8 +314,10 @@ def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
         out_counts = np.zeros(len(steps), np.int64)
         key = np.asarray(group.column("__key"), dtype=np.int64)
         if len(key):
+            import pyarrow.compute as pc
+
             ts = np.asarray(group.column("__ts"), dtype=np.int64)
-            typ = np.asarray(group.column("__type").to_pylist())
+            typ_col = group.column("__type")
             ukeys, dense = np.unique(key, return_inverse=True)
             n_u = len(ukeys)
             tmin = int(ts.min())
@@ -325,7 +327,9 @@ def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
             thr = np.full(n_u, -1, np.int64)
             active = np.ones(n_u, dtype=bool)
             for si, stype in enumerate(steps):
-                m = typ == stype
+                # Arrow equality: no per-row Python over the type column
+                m = np.asarray(pc.equal(typ_col, stype).combine_chunks()
+                               .fill_null(False))
                 d_s, t_s = dense[m], tsn[m]
                 order = np.lexsort((t_s, d_s))
                 d_s, t_s = d_s[order], t_s[order]
@@ -343,13 +347,14 @@ def funnel_counts(ds, key_col: str, ts_col: str, type_col: str,
                         continue
                     in_chunk = (d_s >= base) & (d_s < base + users_per_chunk)
                     comp = (d_s[in_chunk] - base) * span + t_s[in_chunk]
+                    if len(comp) == 0:
+                        continue  # no rows of this step type here
                     idx_map = np.flatnonzero(in_chunk)
                     q = (uu - base) * span + thr[uu]
                     pos = np.searchsorted(comp, q, "right")
                     ok = pos < len(comp)
-                    gi = np.where(ok, idx_map[np.minimum(pos, len(comp) - 1)],
-                                  0)
-                    ok &= ok & (d_s[gi] == uu)
+                    gi = idx_map[np.minimum(pos, len(comp) - 1)]
+                    ok &= d_s[gi] == uu
                     hu = uu[ok]
                     hit[hu] = True
                     new_thr[hu] = t_s[gi[ok]]

@@ -373,8 +373,17 @@ def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
         gid = np.cumsum(first) - 1
         tot = np.bincount(gid, weights=p[order]).astype(np.int64)
         uniq = part.column("ngram").take(pa.array(order[starts], pa.int64()))
-        grams = np.asarray(uniq.to_pylist())  # '<U' dtype: lexsort-able
-        top = np.lexsort((grams, -tot))[:k]
+        # shrink to a candidate set BEFORE materializing any strings:
+        # only n-grams with count >= the k-th largest count can make
+        # the top-k (ties keep the set slightly larger than k)
+        if len(tot) > k:
+            kth = np.partition(tot, len(tot) - k)[len(tot) - k]
+            cand = np.flatnonzero(tot >= kth)
+        else:
+            cand = np.arange(len(tot))
+        grams = np.asarray(uniq.take(pa.array(cand, pa.int64()))
+                           .to_pylist())  # '<U' dtype: lexsort-able
+        top = cand[np.lexsort((grams, -tot[cand]))[:k]]
         return pa.table({
             "ngram": uniq.take(pa.array(top, pa.int64())),
             "n": pa.array(tot[top], pa.int64()),

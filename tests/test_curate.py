@@ -100,3 +100,19 @@ def test_curate_cli(tmp_path):
     assert os.path.exists(str(tmp_path / "run" / "curated_documents"))
     assert os.path.exists(str(tmp_path / "run" / "packs"))
     assert os.path.exists(str(tmp_path / "run" / "curate_stats.json"))
+
+
+def test_curate_language_allowlist(ray_session):
+    """The langs gate reads lang_id's lang_pred column and drops
+    out-of-allowlist docs."""
+    en = ("the quick brown fox and the lazy dog went to the market "
+          "for a basket of fresh apples and pears it is a fine day")
+    de = ("der hund und die katze sind ein gutes team mit der maus "
+          "und die sonne ist zu warm fuer ein langes spiel")
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([en, de], pa.string()),
+    })
+    res = curate(ray.data.from_arrow(tbl), langs=("en",), num_parts=2)
+    ids = {r["doc_id"] for r in res["documents"].take_all()}
+    assert ids == {1}

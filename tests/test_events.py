@@ -239,3 +239,23 @@ def test_ts_motif_search_bruteforce(ray_session):
     assert [(u, t) for u, t, _ in got] == [(u, t) for u, t, _ in want]
     assert np.allclose([d for *_, d in got], [d for *_, d in want],
                        atol=1e-9)
+
+
+def test_funnel_missing_step_type_partition(ray_session):
+    """A step type absent from a partition (or the whole corpus) must
+    count zero conversions, not crash the composite searchsorted."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.events import funnel_counts
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b"], pa.string()),
+    }))
+    rows = funnel_counts(ds, "user_id", "ts", "event_type",
+                         ("a", "zzz", "b"), num_parts=2).take_all()
+    got = {r["step"]: r["n_keys"] for r in rows}
+    assert got == {1: 2, 2: 0, 3: 0}

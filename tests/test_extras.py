@@ -369,3 +369,21 @@ def test_read_documents_formats(tmp_path, ray_session):
     b = sorted(r["doc_id"] for r in
                read_documents(str(tmp_path / "noid.jsonl")).take_all())
     assert a == b and len(set(a)) == len(rows) and min(a) >= 0
+
+
+def test_read_documents_idless_duplicates_collapse(tmp_path, ray_session):
+    """Identical texts in an id-less source share a content id and must
+    collapse to ONE row (unique ids are a downstream precondition)."""
+    import json as _json
+
+    from mhray.io import read_documents
+
+    texts = [f"unique doc {i}" for i in range(30)] + ["same body"] * 5
+    with open(tmp_path / "dup.jsonl", "w") as f:
+        for t in texts:
+            f.write(_json.dumps({"text": t}) + "\n")
+    rows = read_documents(str(tmp_path / "dup.jsonl")).take_all()
+    ids = [r["doc_id"] for r in rows]
+    assert len(rows) == 31                      # 30 unique + 1 collapsed
+    assert len(set(ids)) == len(ids)            # ids unique
+    assert sum(r["text"] == "same body" for r in rows) == 1
