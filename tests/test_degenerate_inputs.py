@@ -116,3 +116,39 @@ def test_range_window_count_single_row_keys(ray_session):
     df = range_window_count(ray.data.from_arrow(tbl), "k", "ts", "rid",
                             window_us=5, num_parts=2).to_pandas()
     assert len(df) == 3 and (df["w_cnt"] == 1).all()
+
+
+def test_new_operators_degenerate_inputs(ray_session):
+    """Null/empty text and full ties through the session-3 operators."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.dedup import chunk_dedup
+    from mhray.stages.quantile import ntile
+    from mhray.stages.text import ngram_topk, scrub_pii
+
+    # empty strings chunk to one empty chunk; null text drops out,
+    # exactly like the SQL oracle (unnest of NULL emits no rows)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["", None, "a b"], pa.string())})
+    rows = chunk_dedup(ray.data.from_arrow(t), chunk_words=4,
+                       num_parts=2).take_all()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
+
+    # ngram_topk: null + too-short docs contribute nothing
+    got = ngram_topk(ray.data.from_arrow(t), k=5, n=2,
+                     num_parts=2).take_all()
+    assert [(r["ngram"], r["n"]) for r in got] == [("a b", 1)]
+
+    # scrub passes nulls through untouched
+    out = ray.data.from_arrow(t).map_batches(
+        scrub_pii, batch_format="pyarrow").take_all()
+    assert any(r["text_scrubbed"] is None for r in out)
+
+    # ntile on all-equal values: ties fully resolved by id, even fill
+    te = pa.table({"id": pa.array(range(10), pa.int64()),
+                   "v": pa.array([5] * 10, pa.int64())})
+    r = {x["id"]: x["bucket"]
+         for x in ntile(ray.data.from_arrow(te), 4, "v", "id").take_all()}
+    assert [r[i] for i in range(10)] == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
