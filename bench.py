@@ -178,6 +178,24 @@ def main() -> None:
         print(json.dumps({"headline": stats, "num_cpus": NUM_CPUS}))
         return
 
+    if "--stages" in sys.argv:
+        # per-stage wall times from the run's lineage manifests —
+        # stage-level numbers are far more variance-robust for
+        # round-over-round comparison than one end-to-end figure
+        rows = int(os.environ.get("MHRAY_HEADLINE_ROWS", BENCH_ROWS))
+        stats = run_headline(NUM_CPUS, rows)
+        from mhray.checkpoint import read_manifests
+
+        out_dirs = sorted(
+            (d for d in os.listdir("/tmp")
+             if d.startswith(f"mhray_bench_out_{NUM_CPUS}_")),
+            key=lambda d: os.path.getmtime(os.path.join("/tmp", d)))
+        stages = {m["stage"]: m["duration_s"]
+                  for m in read_manifests(os.path.join("/tmp", out_dirs[-1]))}
+        print(json.dumps({"headline": stats, "stages": stages,
+                          "num_cpus": NUM_CPUS}))
+        return
+
     if "--scaling" in sys.argv:
         ensure_corpus(SCALING_ROWS)  # generate once; both runs read it
         results = {}
