@@ -240,7 +240,11 @@ def main() -> None:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR", log_to_driver=False)
-    headline = run_headline(NUM_CPUS)
+    # median-of-N flagship reps: this host shows +-50% run-to-run wall
+    # variance (external VM load); a single draw is not a measurement.
+    reps = max(1, int(os.environ.get("MHRAY_HEADLINE_REPS", "3")))
+    runs = [run_headline(NUM_CPUS) for _ in range(reps)]
+    headline = sorted(runs, key=lambda r: r["sec"])[len(runs) // 2]
     queries = run_catalog_queries(SF_DIR)
     queries["flagship_dedup"] = headline["sec"]
     total = round(sum(queries.values()), 2)
@@ -254,6 +258,7 @@ def main() -> None:
         "images_per_sec": headline["images_per_sec"],
         "bench_rows": headline["rows"],
         "pairs": headline["pairs"],
+        "flagship_reps_sec": [r["sec"] for r in runs],
     }))
     ray.shutdown()
 

@@ -359,7 +359,8 @@ def tiered_dedup(ds, cfg: MhapConfig | None = None, text_col: str = "text",
 
     # tier 3: minhash LSH + positional verify -----------------------------
     mh_pairs = minhash_text_pairs(remaining, cfg, text_col=text_col,
-                                  id_col=id_col, num_parts=num_parts)
+                                  id_col=id_col, num_parts=num_parts,
+                                  n_rows_hint=n_in)
     _run_tier("minhash", _removed_from_pairs(mh_pairs, id_col))
 
     removed = removed_parts[0]
@@ -676,6 +677,9 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
         cpus = int(ray.cluster_resources().get("CPU", 4))
         hi = max(2, min(cpus - 2, n_rows_hint // 600))
         concurrency = (hi, hi)
+        # a small materialized table often arrives in fewer blocks than
+        # the pool has actors; spread it so every actor gets work
+        ds = ds.repartition(max(hi, num_parts))
     as_images = docs_as_images(ds, text_col, id_col)
     sketches = sketch_dataset(as_images, cfg, decode_pixels=False,
                               concurrency=concurrency)
