@@ -1232,6 +1232,86 @@ def d_chunk_dedup(sf_dir: str):
                        chunk_words=8, num_parts=_doc_parts(sf_dir))
 
 
+def d_containment_pairs(sf_dir: str):
+    """Shingle-containment near-dup pairs (|S(A)∩S(B)| / min >= 0.8
+    over 4-word shingles) — catches a short doc embedded in a long one,
+    which Jaccard misses. Exact full-inverted-index join
+    (:func:`mhray.stages.dedup.shingle_containment_pairs`); the gate is
+    integer arithmetic on both sides, so the oracle compare is exact."""
+    from mhray.stages.dedup import shingle_containment_pairs
+
+    return shingle_containment_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        tau_bp=8000, shingle_words=4, num_parts=_doc_parts(sf_dir))
+
+
+def ev_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by first-active day,
+    distinct-user counts per (cohort_day, day_offset) — integer-exact
+    day arithmetic (:func:`mhray.stages.events.cohort_retention`)."""
+    from mhray.stages.events import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def ev_anomaly(sf_dir: str):
+    """Per-user z-score outliers (|z| >= 3 population-std events) —
+    the anomaly-flagging / data-cleaning shape
+    (:func:`mhray.stages.events.zscore_outliers`). z is reported in
+    basis points; mean/std carry ulp-scale summation-order divergence
+    vs the SQL window oracle, absorbed by the 1e-4 rounding."""
+    from mhray.stages.events import zscore_outliers
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = zscore_outliers(ev, "user_id", "value", "event_id", z=3.0)
+
+    def to_bp(batch: pa.Table) -> pa.Table:
+        zv = np.asarray(batch.column("z"), dtype=np.float64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "z_bp": pa.array(_round_half_away(zv * 10000), pa.int64()),
+        })
+
+    return out.map_batches(to_bp, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): key = ln(u)/w with u a mixed integer-hash uniform,
+    top-50 keys win — price-weighted, reproducible, and engine-
+    independent (the same integer hash is expressible in ANSI SQL, so
+    the oracle matches bit-for-bit). Per-batch partial top-50 combiner;
+    only 50 x blocks rows ever reach the final sort."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n_take = 50
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        w = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
+        m = w > 0
+        k, w = k[m], w[m]
+        x = (k * 2654435761) % 4294967296
+        x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
+        x = x ^ (x >> 13)
+        wkey = np.log((x + 0.5) / 4294967296.0) / w
+        if len(k) > n_take:
+            top = np.argpartition(-wkey, n_take - 1)[:n_take]
+            k, wkey = k[top], wkey[top]
+        return pa.table({
+            "o_orderkey": pa.array(k, pa.int64()),
+            "wkey": pa.array(wkey, pa.float64()),
+        })
+
+    top = o.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .sort(["wkey", "o_orderkey"], descending=[True, False]) \
+        .limit(n_take)
+    return top.select_columns(["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1301,6 +1381,10 @@ QUERIES = {
     "d_dup_clusters": d_dup_clusters,
     "ev_motif": ev_motif,
     "d_bloom_new": d_bloom_new,
+    "d_containment_pairs": d_containment_pairs,
+    "ev_retention": ev_retention,
+    "ev_anomaly": ev_anomaly,
+    "q_weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -1806,6 +1890,73 @@ ORACLE_SQL = {
                regexp_replace(c_name, '\d{6,}', '[ID]', 'g')
                    AS c_name_scrubbed
         FROM customer
+    """,
+    "d_containment_pairs": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 2),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 3),
+                           ' '))) AS sh
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 4
+        )
+        SELECT a.doc_id AS lo_id, b.doc_id AS hi_id,
+               CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / LEAST(len(a.sh), len(b.sh)) * 10000, 0) AS BIGINT)
+                   AS cont_bp
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 10000
+              >= 8000 * LEAST(len(a.sh), len(b.sh))
+    """,
+    "ev_retention": """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events
+        ),
+        c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud
+              GROUP BY user_id)
+        SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+               COUNT(*) AS n_users
+        FROM ud JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "ev_anomaly": """
+        WITH s AS (
+            SELECT event_id, user_id, value,
+                   AVG(value) OVER (PARTITION BY user_id) AS mu,
+                   STDDEV_POP(value) OVER (PARTITION BY user_id) AS sd
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(ROUND((value - mu) / sd * 10000, 0) AS BIGINT) AS z_bp
+        FROM s
+        WHERE sd > 0 AND ABS((value - mu) / sd) >= 3.0
+    """,
+    "q_weighted_sample": """
+        WITH h1 AS (
+            SELECT o_orderkey, o_totalprice,
+                   (o_orderkey * 2654435761) % 4294967296 AS x1
+            FROM orders WHERE o_totalprice > 0
+        ),
+        h2 AS (
+            SELECT o_orderkey, o_totalprice,
+                   (xor(x1, x1 // 65536) % 2147483648) * 2654435761
+                       % 4294967296 AS x2
+            FROM h1
+        ),
+        k AS (
+            SELECT o_orderkey,
+                   ln((xor(x2, x2 // 8192) + 0.5) / 4294967296.0)
+                       / o_totalprice AS wkey
+            FROM h2
+        )
+        SELECT o_orderkey FROM (
+            SELECT o_orderkey FROM k
+            ORDER BY wkey DESC, o_orderkey LIMIT 50
+        )
     """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
     # e_knn_ivf / d_substring_pairs / d_incremental_pairs /

@@ -340,9 +340,12 @@ def make_emit_pairs(cap: int, with_payload: bool = False,
                 cols[f"{c}_lo"] = pa.array(plo[:, ci], pa.int64())
                 cols[f"{c}_hi"] = pa.array(phi[:, ci], pa.int64())
                 names += [f"{c}_lo", f"{c}_hi"]
+            cols["n"] = pa.array(np.ones(len(lo), np.int64))
             tbl = pa.table(cols)
-            agg = tbl.group_by(["lo", "hi", *names]).aggregate([("capped", "max")])
-            agg = agg.rename_columns(["lo", "hi", *names, "capped"])
+            agg = tbl.group_by(["lo", "hi", *names]).aggregate(
+                [("capped", "max"), ("n", "sum")])
+            agg = agg.rename_columns(["lo", "hi", *names, "capped",
+                                      "partial_count"])
             if num_parts is not None:
                 agg = agg.append_column("pair_part", pa.array(_pair_part(
                     np.asarray(agg.column("lo"), np.int64),

@@ -583,6 +583,128 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# exact shingle-containment self-join (near-containment dedup)
+# ---------------------------------------------------------------------------
+
+def shingle_containment_pairs(ds, tau_bp: int = 8000, shingle_words: int = 4,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_parts: int | None = None,
+                              group_cap: int = 100_000):
+    """(lo_id, hi_id, cont_bp) pairs whose word-shingle containment
+    ``|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` is >= ``tau_bp`` basis
+    points — the Broder containment measure, which (unlike Jaccard)
+    flags a short document substantially embedded in a long one.
+
+    Exact via a FULL shingle inverted index: each doc posts every
+    distinct ``shingle_words``-gram (prefix filtering is unsound here —
+    the required overlap depends on the pair's SMALLER set, which
+    neither side knows alone); the per-pair sum of partition-local
+    co-occurrence counts IS the intersection size, so no second
+    verification pass touches the text. Feasible precisely because
+    multi-word shingles are rare (unigram df² blows up on stopwords;
+    shingle df is ~1 outside true duplicate mass). Hot shingles (shared
+    boilerplate) are capped at ``group_cap`` ids per partition group
+    with logged drops — pair completeness at scale relies on boilerplate
+    going through :func:`chunk_dedup` first, same contract as the
+    jaccard/minhash group caps. The gate is integer-exact
+    (``inter * 10000 >= tau_bp * min``): no float threshold boundary.
+
+    Shingles are hashed by a 64-bit polynomial combine over murmur
+    token hashes (collision ~2^-64); docs with fewer than
+    ``shingle_words`` tokens post nothing and cannot pair.
+    """
+    from mhray.kernels import hash_strings64
+
+    num_parts = auto_parts(num_parts)
+    k = int(shingle_words)
+    P = np.uint64(1099511628211)  # FNV-64 prime
+
+    def shingle_postings(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        split = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten()
+        doc_idx = np.repeat(np.arange(len(ids)), counts) \
+            if counts.sum() else np.empty(0, np.int64)
+        th = hash_strings64(flat).view(np.uint64) if len(flat) \
+            else np.empty(0, np.uint64)
+        m = len(th) - k + 1
+        empty = pa.table({
+            "part": pa.array([], pa.int32()),
+            "key": pa.array([], pa.int64()),
+            "iid": pa.array([], pa.int64()),
+            "n_sh": pa.array([], pa.int64()),
+        })
+        if m <= 0:
+            return empty
+        # polynomial hash of every k-token window of the flat run;
+        # windows crossing a doc boundary are masked out
+        acc = np.zeros(m, np.uint64)
+        for j in range(k):
+            acc = acc * P + th[j:j + m]
+        valid = doc_idx[:m] == doc_idx[k - 1:]
+        sh, sd = acc[valid], doc_idx[:m][valid]
+        if not len(sh):
+            return empty
+        order = np.lexsort((sh, sd))
+        sh_s, sd_s = sh[order], sd[order]
+        keep = np.ones(len(sh_s), dtype=bool)
+        keep[1:] = (sh_s[1:] != sh_s[:-1]) | (sd_s[1:] != sd_s[:-1])
+        sh_u, sd_u = sh_s[keep], sd_s[keep]
+        n_sh = np.bincount(sd_u, minlength=len(ids)).astype(np.int64)
+        key = sh_u.view(np.int64)
+        return pa.table({
+            "part": pa.array(_part_of(key, num_parts), pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "iid": pa.array(ids[sd_u], pa.int64()),
+            "n_sh": pa.array(n_sh[sd_u], pa.int64()),
+        })
+
+    pairs = ds.map_batches(shingle_postings, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("part", num_partitions=num_parts) \
+        .map_groups(make_emit_pairs(group_cap, with_payload=True,
+                                    payload_cols=("n_sh",),
+                                    num_parts=num_parts),
+                    batch_format="pyarrow")
+
+    def containment_gate(part: pa.Table) -> pa.Table:
+        lo = np.asarray(part.column("lo"), dtype=np.int64)
+        hi = np.asarray(part.column("hi"), dtype=np.int64)
+        na = np.asarray(part.column("n_sh_lo"), dtype=np.int64)
+        nb = np.asarray(part.column("n_sh_hi"), dtype=np.int64)
+        n = np.asarray(part.column("partial_count"), dtype=np.int64)
+        # sum partition-local co-occurrence counts per pair = |A ∩ B|
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s, na_s, nb_s, n_s = (lo[order], hi[order], na[order],
+                                       nb[order], n[order])
+        first = np.ones(len(lo_s), dtype=bool)
+        if len(lo_s) > 1:
+            first[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
+        gid = np.cumsum(first) - 1
+        inter = np.bincount(gid, weights=n_s).astype(np.int64)
+        starts = np.flatnonzero(first)
+        lo_u, hi_u = lo_s[starts], hi_s[starts]
+        mn = np.minimum(na_s[starts], nb_s[starts])
+        keep = inter * 10000 >= tau_bp * mn
+        scaled = inter[keep] * 10000.0 / mn[keep]
+        cont_bp = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+            .astype(np.int64)  # DuckDB ROUND: half away from zero
+        return pa.table({
+            "lo_id": pa.array(lo_u[keep], pa.int64()),
+            "hi_id": pa.array(hi_u[keep], pa.int64()),
+            "cont_bp": pa.array(cont_bp, pa.int64()),
+        })
+
+    return pairs.groupby("pair_part", num_partitions=num_parts) \
+        .map_groups(containment_gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs
 # ---------------------------------------------------------------------------
 

