@@ -1312,6 +1312,99 @@ def q_weighted_sample(sf_dir: str):
     return top.select_columns(["o_orderkey"])
 
 
+def ev_user_mode(sf_dir: str):
+    """Most frequent event_type per user (grouped mode, ties to the
+    lexically-smallest type — deterministic). Per-batch pre-counted
+    (user, type) partials below ONE user-hash shuffle; the mode argmax
+    is partition-local and vectorized."""
+    from mhray.stages.candidates import _part_of, auto_parts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    num_parts = max(2, min(auto_parts(), 8))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        t = t.rename_columns(["user_id", "event_type", "n"])
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(uid, num_parts), pa.int32()),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": t.column("event_type"),
+            "n": t.column("n").cast(pa.int64()),
+        })
+
+    def mode(group: pa.Table) -> pa.Table:
+        t = group.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")])
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        typ = np.asarray(t.column("event_type").to_pylist())
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        # lexsort: per user, highest count first, then lexical type
+        order = np.lexsort((typ, -n, uid))
+        u_s = uid[order]
+        first = np.ones(len(u_s), dtype=bool)
+        if len(u_s) > 1:
+            first[1:] = u_s[1:] != u_s[:-1]
+        sel = order[first]
+        return pa.table({
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "mode_type": pa.array(typ[sel]),
+            "n_events": pa.array(n[sel], pa.int64()),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(mode, batch_format="pyarrow")
+
+
+def ev_mad(sf_dir: str):
+    """Per-type robust stats: exact median and median-absolute-
+    deviation of value (selection statistics — no summation, so the
+    only cross-engine float divergence is the even-n midpoint
+    interpolation, absorbed by 1e-4 rounding). Exact-median groups must
+    co-locate: right for moderate-cardinality group keys like
+    event_type; the corpus-scale path for high-cardinality or giant
+    groups is the mergeable summary (``q_approx_percentiles``)."""
+    from mhray.stages.candidates import _part_of
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from mhray.kernels import hash_strings64
+
+        typ = batch.column("event_type")
+        h = hash_strings64(typ.combine_chunks()
+                           if isinstance(typ, pa.ChunkedArray) else typ)
+        return pa.table({
+            "__part": pa.array(_part_of(h, 8), pa.int32()),
+            "event_type": typ,
+            "value": batch.column("value").cast(pa.float64()),
+        })
+
+    def mad(group: pa.Table) -> pa.Table:
+        typ = np.asarray(group.column("event_type").to_pylist())
+        val = np.asarray(group.column("value"), dtype=np.float64)
+        keys, idx = np.unique(typ, return_inverse=True)
+        med = np.empty(len(keys))
+        madv = np.empty(len(keys))
+        for g in range(len(keys)):
+            v = val[idx == g]
+            med[g] = np.median(v)
+            madv[g] = np.median(np.abs(v - med[g]))
+        return pa.table({
+            "event_type": pa.array(keys),
+            "median_sc": pa.array(_round_half_away(med * 10000), pa.int64()),
+            "mad_sc": pa.array(_round_half_away(madv * 10000), pa.int64()),
+        })
+
+    return ev.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=8) \
+        .map_groups(mad, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1385,6 +1478,8 @@ QUERIES = {
     "ev_retention": ev_retention,
     "ev_anomaly": ev_anomaly,
     "q_weighted_sample": q_weighted_sample,
+    "ev_user_mode": ev_user_mode,
+    "ev_mad": ev_mad,
 }
 
 ORACLE_SQL = {
@@ -1957,6 +2052,31 @@ ORACLE_SQL = {
             SELECT o_orderkey FROM k
             ORDER BY wkey DESC, o_orderkey LIMIT 50
         )
+    """,
+    "ev_user_mode": """
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type AS mode_type, n AS n_events FROM (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type) AS rn
+            FROM c
+        ) WHERE rn = 1
+    """,
+    "ev_mad": """
+        WITH m AS (
+            SELECT event_type, MEDIAN(value) AS med
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(ROUND(ANY_VALUE(m.med) * 10000, 0) AS BIGINT)
+                   AS median_sc,
+               CAST(ROUND(MEDIAN(ABS(e.value - m.med)) * 10000, 0)
+                    AS BIGINT) AS mad_sc
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type
     """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
     # e_knn_ivf / d_substring_pairs / d_incremental_pairs /
