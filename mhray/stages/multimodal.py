@@ -288,3 +288,74 @@ def image_features(images_ds, concurrency=None, batch_size: int = 64):
         batch_size=batch_size, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def image_quality_metrics(img: np.ndarray) -> dict[str, float]:
+    """Standard no-reference quality metrics of one decoded HxWx3
+    uint8 image: brightness (mean luma), contrast (luma std), sharpness
+    (variance of the 4-neighbor Laplacian — blur collapses it), and
+    colorfulness (Hasler & Süsstrunk 2003, the rg/yb opponent-space
+    statistic). All pure-numpy; the curation signal set for filtering
+    blank / blurry / monochrome images."""
+    f = img.astype(np.float64)
+    luma = f @ np.array([0.299, 0.587, 0.114])
+    out = {"brightness": float(luma.mean()),
+           "contrast": float(luma.std())}
+    if luma.shape[0] >= 3 and luma.shape[1] >= 3:
+        lap = (4.0 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
+               - luma[1:-1, :-2] - luma[1:-1, 2:])
+        out["sharpness"] = float(lap.var())
+    else:
+        out["sharpness"] = 0.0
+    rg = f[:, :, 0] - f[:, :, 1]
+    yb = 0.5 * (f[:, :, 0] + f[:, :, 1]) - f[:, :, 2]
+    out["colorfulness"] = float(
+        np.hypot(rg.std(), yb.std())
+        + 0.3 * np.hypot(rg.mean(), yb.mean()))
+    return out
+
+
+class ImageQualityStage:
+    """Actor-pool stage: decode -> no-reference quality metrics
+    (brightness, contrast, sharpness, colorfulness) per image — the
+    image-side analog of the text quality_score operator, feeding the
+    same NTILE / threshold curation steps. Undecodable rows emit
+    decode_ok=false with zeroed metrics (never dropped here: filtering
+    is a policy decision downstream)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+        cols = {k: np.zeros(n) for k in
+                ("brightness", "contrast", "sharpness", "colorfulness")}
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                m = image_quality_metrics(decode_image(raw[i], fmts[i]))
+                ok[i] = True
+                for k, v in m.items():
+                    cols[k][i] = v
+            except (UnsupportedFormatError, ValueError):
+                pass
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            **{k: pa.array(np.round(v, 4), pa.float64())
+               for k, v in cols.items()},
+            "decode_ok": pa.array(ok),
+        })
+
+
+def image_quality(images_ds, concurrency=None, batch_size: int = 64):
+    """Dataset wiring for ImageQualityStage (actor pool, small batches
+    because rows carry encoded pixels)."""
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, cpus - 2))
+    return images_ds.map_batches(
+        ImageQualityStage, fn_constructor_kwargs={},
+        batch_size=batch_size, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -60,3 +60,49 @@ def test_psnr():
 
 def test_psnr_shape_mismatch():
     assert I.psnr(_img(1, 32), _img(1, 16)) == 0.0
+
+
+def test_image_quality_metrics_ordering():
+    from mhray.stages.multimodal import image_quality_metrics
+
+    rng = np.random.default_rng(11)
+    # sharp checkerboard vs its 3x3-box-blurred copy vs a flat gray
+    n = 32
+    cb = (np.indices((n, n)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    sharp = np.stack([cb] * 3, axis=2)
+    f = cb.astype(np.float64)
+    blur = (f + np.roll(f, 1, 0) + np.roll(f, -1, 0) + np.roll(f, 1, 1)
+            + np.roll(f, -1, 1)) / 5.0
+    blurred = np.stack([blur.astype(np.uint8)] * 3, axis=2)
+    flat = np.full((n, n, 3), 128, np.uint8)
+
+    ms = image_quality_metrics(sharp)
+    mb = image_quality_metrics(blurred)
+    mf = image_quality_metrics(flat)
+    assert ms["sharpness"] > mb["sharpness"] > mf["sharpness"] == 0.0
+    assert ms["contrast"] > mf["contrast"] == 0.0
+    # grayscale images carry no color; a random color image does
+    color = rng.integers(0, 256, (n, n, 3)).astype(np.uint8)
+    assert image_quality_metrics(color)["colorfulness"] > \
+        ms["colorfulness"]
+
+
+def test_image_quality_stage(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.stages.multimodal import image_quality
+
+    imgs = [_img(s) for s in range(4)]
+    tbl = pa.table({
+        "image_id": pa.array([f"img_{i}" for i in range(5)]),
+        "bytes": pa.array([I.encode_ppm(im) for im in imgs]
+                          + [b"\xff\xd8\xff"], pa.binary()),
+        "fmt": pa.array(["ppm"] * 4 + ["jpeg"]),
+    })
+    out = image_quality(ray.data.from_arrow(tbl),
+                        concurrency=2).to_pandas()
+    assert len(out) == 5
+    ok = out.set_index("image_id")["decode_ok"]
+    assert ok[[f"img_{i}" for i in range(4)]].all() and not ok["img_4"]
+    assert (out[out.decode_ok].sharpness > 0).all()
