@@ -106,3 +106,31 @@ def test_image_quality_stage(ray_session):
     ok = out.set_index("image_id")["decode_ok"]
     assert ok[[f"img_{i}" for i in range(4)]].all() and not ok["img_4"]
     assert (out[out.decode_ok].sharpness > 0).all()
+
+
+def test_phash_knn_finds_noisy_copy(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.stages.multimodal import phash_knn
+
+    rng = np.random.default_rng(21)
+    base = [_img(s) for s in range(12)]
+    noisy = np.clip(base[0].astype(np.int16)
+                    + rng.integers(-2, 3, base[0].shape), 0, 255) \
+        .astype(np.uint8)
+    imgs = base + [noisy]
+    ids = [f"img_{i}" for i in range(12)] + ["img_0_noisy"]
+    tbl = pa.table({
+        "image_id": pa.array(ids),
+        "phash": pa.array([I.phash64(im) for im in imgs], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = phash_knn(ds, ["img_0"], k=3).to_pandas()
+    assert list(out["rank"]) == [1, 2, 3]
+    assert out.iloc[0]["neighbor_id"] == "img_0_noisy"
+    assert out.iloc[0]["hamming"] <= 6
+
+    # unknown query id -> empty result, not a crash
+    empty = phash_knn(ds, ["nope"], k=3).to_pandas()
+    assert len(empty) == 0
