@@ -131,3 +131,49 @@ def test_weighted_sample_favors_heavy_weights(ray_session):
 
     out = q_weighted_sample(sf).to_pandas()
     assert len(out) == 50 and out["o_orderkey"].is_unique
+
+
+def test_shingle_containment_vs_bruteforce_random_corpus(ray_session):
+    """Exactness on a seeded random corpus with planted containments:
+    the distributed full-inverted-index pipeline must equal the
+    Python set-arithmetic brute force pair-for-pair, including cont_bp."""
+    import ray.data
+
+    from mhray.stages.dedup import shingle_containment_pairs
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 40)))
+             for _ in range(50)]
+    # planted: slices of existing docs (pure containment), with and
+    # without extra tails
+    texts.append(" ".join(texts[0].split(" ")[2:12]))
+    texts.append(texts[3] + " " + " ".join(rng.choice(vocab, size=6)))
+    ids = list(range(len(texts)))
+    k, tau_bp = 4, 7000
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = [shingles(t) for t in texts]
+    expect = {}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            mn = min(len(sets[a]), len(sets[b]))
+            if inter * 10000 >= tau_bp * mn:
+                expect[(a, b)] = int(np.sign(inter * 10000.0 / mn)
+                                     * np.floor(abs(inter * 10000.0 / mn)
+                                                + 0.5))
+
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    out = shingle_containment_pairs(
+        ray.data.from_arrow(tbl).repartition(4), tau_bp=tau_bp,
+        shingle_words=k).to_pandas()
+    got = {(int(r.lo_id), int(r.hi_id)): int(r.cont_bp)
+           for r in out.itertuples()}
+    assert got == expect and expect  # non-vacuous: planted pairs exist
