@@ -1405,6 +1405,18 @@ def ev_mad(sf_dir: str):
         .map_groups(mad, batch_format="pyarrow")
 
 
+def d_novelty(sf_dir: str):
+    """Per-doc corpus novelty: share of a doc's distinct 4-word
+    shingles whose first (min doc id) corpus occurrence is this doc —
+    the "how much of this document is new text" curation signal
+    (:func:`mhray.stages.dedup.ngram_novelty`); verbatim re-posts
+    score 0. Integer-exact ratio in basis points."""
+    from mhray.stages.dedup import ngram_novelty
+
+    return ngram_novelty(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         shingle_words=4, num_parts=_doc_parts(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1480,6 +1492,7 @@ QUERIES = {
     "q_weighted_sample": q_weighted_sample,
     "ev_user_mode": ev_user_mode,
     "ev_mad": ev_mad,
+    "d_novelty": d_novelty,
 }
 
 ORACLE_SQL = {
@@ -2077,6 +2090,29 @@ ORACLE_SQL = {
                     AS BIGINT) AS mad_sc
         FROM events e JOIN m USING (event_type)
         GROUP BY e.event_type
+    """,
+    "d_novelty": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 2),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 3),
+                           ' '))) AS sh
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 4
+        ),
+        u AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        f AS (SELECT g, MIN(doc_id) AS fd FROM u GROUP BY g),
+        nv AS (
+            SELECT u.doc_id,
+                   COUNT(*) FILTER (WHERE f.fd = u.doc_id) AS novel,
+                   COUNT(*) AS tot
+            FROM u JOIN f USING (g) GROUP BY u.doc_id
+        )
+        SELECT doc_id, tot AS n_shingles,
+               CAST(ROUND(novel * 10000.0 / tot, 0) AS BIGINT) AS novel_bp
+        FROM nv
     """,
     # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
     # e_knn_ivf / d_substring_pairs / d_incremental_pairs /

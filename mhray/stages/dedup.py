@@ -586,36 +586,16 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
 # exact shingle-containment self-join (near-containment dedup)
 # ---------------------------------------------------------------------------
 
-def shingle_containment_pairs(ds, tau_bp: int = 8000, shingle_words: int = 4,
-                              text_col: str = "text", id_col: str = "doc_id",
-                              num_parts: int | None = None,
-                              group_cap: int = 100_000):
-    """(lo_id, hi_id, cont_bp) pairs whose word-shingle containment
-    ``|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` is >= ``tau_bp`` basis
-    points — the Broder containment measure, which (unlike Jaccard)
-    flags a short document substantially embedded in a long one.
-
-    Exact via a FULL shingle inverted index: each doc posts every
-    distinct ``shingle_words``-gram (prefix filtering is unsound here —
-    the required overlap depends on the pair's SMALLER set, which
-    neither side knows alone); the per-pair sum of partition-local
-    co-occurrence counts IS the intersection size, so no second
-    verification pass touches the text. Feasible precisely because
-    multi-word shingles are rare (unigram df² blows up on stopwords;
-    shingle df is ~1 outside true duplicate mass). Hot shingles (shared
-    boilerplate) are capped at ``group_cap`` ids per partition group
-    with logged drops — pair completeness at scale relies on boilerplate
-    going through :func:`chunk_dedup` first, same contract as the
-    jaccard/minhash group caps. The gate is integer-exact
-    (``inter * 10000 >= tau_bp * min``): no float threshold boundary.
-
-    Shingles are hashed by a 64-bit polynomial combine over murmur
-    token hashes (collision ~2^-64); docs with fewer than
-    ``shingle_words`` tokens post nothing and cannot pair.
-    """
+def make_shingle_postings(shingle_words: int, text_col: str, id_col: str,
+                          num_parts: int):
+    """map_batches fn: every DISTINCT ``shingle_words``-gram of every
+    doc as an inverted-index posting (part, key, iid, n_sh) — key is a
+    64-bit polynomial combine over murmur token hashes (collision
+    ~2^-64), n_sh the doc's distinct-shingle count, part the key hash
+    partition. Docs with fewer than ``shingle_words`` tokens post
+    nothing. Shared by the containment join and the novelty scorer."""
     from mhray.kernels import hash_strings64
 
-    num_parts = auto_parts(num_parts)
     k = int(shingle_words)
     P = np.uint64(1099511628211)  # FNV-64 prime
 
@@ -664,7 +644,117 @@ def shingle_containment_pairs(ds, tau_bp: int = 8000, shingle_words: int = 4,
             "n_sh": pa.array(n_sh[sd_u], pa.int64()),
         })
 
-    pairs = ds.map_batches(shingle_postings, batch_format="pyarrow",
+    return shingle_postings
+
+
+def ngram_novelty(ds, shingle_words: int = 4, text_col: str = "text",
+                  id_col: str = "doc_id", num_parts: int | None = None):
+    """Per-doc corpus novelty: the share of a document's distinct
+    ``shingle_words``-grams whose FIRST corpus occurrence (min doc id)
+    is this document — the Gopher/FineWeb-style "how much of this doc
+    is new text" curation signal, and the ingestion-order view of
+    duplicate mass (a verbatim re-post scores 0).
+
+    ONE shingle-hash partition: each shingle group is co-located, so
+    its global min owner is partition-local; per-doc novel counts are
+    pre-summed inside the partition and meet the doc's total count in
+    a tiny (doc, sums) aggregate — no joins, no driver state. Output
+    (doc_id, n_shingles, novel_bp); sub-shingle-length docs are
+    excluded (no shingles, novelty undefined), matching the oracle.
+    """
+    num_parts = auto_parts(num_parts)
+
+    postings = ds.map_batches(
+        make_shingle_postings(shingle_words, text_col, id_col, num_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def novel_partials(part: pa.Table) -> pa.Table:
+        key = np.asarray(part.column("key"), dtype=np.int64)
+        iid = np.asarray(part.column("iid"), dtype=np.int64)
+        n_sh = np.asarray(part.column("n_sh"), dtype=np.int64)
+        order = np.lexsort((iid, key))
+        k_s, i_s = key[order], iid[order]
+        first = np.ones(len(k_s), dtype=bool)
+        if len(k_s) > 1:
+            first[1:] = k_s[1:] != k_s[:-1]
+        winners = i_s[first]  # min iid per shingle (lexsort order)
+        # per-doc partial: novel count (shingles won in this part);
+        # n_sh rides along once per (doc, part) — it is constant per
+        # doc, the finalizer reads one copy rather than summing
+        w_ids, w_cnt = np.unique(winners, return_counts=True)
+        d_ids, d_pos = np.unique(iid, return_index=True)
+        novel = np.zeros(len(d_ids), np.int64)
+        novel[np.searchsorted(d_ids, w_ids)] = w_cnt
+        return pa.table({
+            id_col: pa.array(d_ids, pa.int64()),
+            "novel": pa.array(novel, pa.int64()),
+            "n_sh": pa.array(n_sh[d_pos], pa.int64()),
+        })
+
+    def doc_part(batch: pa.Table) -> pa.Table:
+        iid = np.asarray(batch.column(id_col), dtype=np.int64)
+        return batch.append_column(
+            "dpart", pa.array(_part_of(iid, num_parts), pa.int32()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        iid = np.asarray(group.column(id_col), dtype=np.int64)
+        novel = np.asarray(group.column("novel"), dtype=np.int64)
+        n_sh = np.asarray(group.column("n_sh"), dtype=np.int64)
+        order = np.argsort(iid, kind="stable")
+        iid, novel, n_sh = iid[order], novel[order], n_sh[order]
+        first = np.ones(len(iid), dtype=bool)
+        if len(iid) > 1:
+            first[1:] = iid[1:] != iid[:-1]
+        gid = np.cumsum(first) - 1
+        tot_novel = np.bincount(gid, weights=novel).astype(np.int64)
+        tot_sh = n_sh[np.flatnonzero(first)]  # constant per doc
+        scaled = tot_novel * 10000.0 / tot_sh
+        bp = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(iid[first], pa.int64()),
+            "n_shingles": pa.array(tot_sh, pa.int64()),
+            "novel_bp": pa.array(bp, pa.int64()),
+        })
+
+    parts2 = postings.groupby("part", num_partitions=num_parts) \
+        .map_groups(novel_partials, batch_format="pyarrow") \
+        .map_batches(doc_part, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return parts2.groupby("dpart", num_partitions=num_parts) \
+        .map_groups(finalize, batch_format="pyarrow")
+
+def shingle_containment_pairs(ds, tau_bp: int = 8000, shingle_words: int = 4,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_parts: int | None = None,
+                              group_cap: int = 100_000):
+    """(lo_id, hi_id, cont_bp) pairs whose word-shingle containment
+    ``|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)`` is >= ``tau_bp`` basis
+    points — the Broder containment measure, which (unlike Jaccard)
+    flags a short document substantially embedded in a long one.
+
+    Exact via a FULL shingle inverted index: each doc posts every
+    distinct ``shingle_words``-gram (prefix filtering is unsound here —
+    the required overlap depends on the pair's SMALLER set, which
+    neither side knows alone); the per-pair sum of partition-local
+    co-occurrence counts IS the intersection size, so no second
+    verification pass touches the text. Feasible precisely because
+    multi-word shingles are rare (unigram df² blows up on stopwords;
+    shingle df is ~1 outside true duplicate mass). Hot shingles (shared
+    boilerplate) are capped at ``group_cap`` ids per partition group
+    with logged drops — pair completeness at scale relies on boilerplate
+    going through :func:`chunk_dedup` first, same contract as the
+    jaccard/minhash group caps. The gate is integer-exact
+    (``inter * 10000 >= tau_bp * min``): no float threshold boundary.
+
+    Shingles are hashed by a 64-bit polynomial combine over murmur
+    token hashes (collision ~2^-64); docs with fewer than
+    ``shingle_words`` tokens post nothing and cannot pair.
+    """
+    num_parts = auto_parts(num_parts)
+    pairs = ds.map_batches(make_shingle_postings(shingle_words, text_col,
+                                                 id_col, num_parts),
+                           batch_format="pyarrow",
                            zero_copy_batch=True) \
         .groupby("part", num_partitions=num_parts) \
         .map_groups(make_emit_pairs(group_cap, with_payload=True,

@@ -177,3 +177,28 @@ def test_shingle_containment_vs_bruteforce_random_corpus(ray_session):
     got = {(int(r.lo_id), int(r.hi_id)): int(r.cont_bp)
            for r in out.itertuples()}
     assert got == expect and expect  # non-vacuous: planted pairs exist
+
+
+def test_ngram_novelty_semantics(ray_session):
+    """A verbatim re-post scores 0; the original keeps 10000; a doc
+    splicing half-old half-new text lands in between, exactly."""
+    import ray.data
+
+    from mhray.stages.dedup import ngram_novelty
+
+    orig = "a b c d e f g h"          # 5 distinct 4-shingles
+    new_tail = "p q r s t u v w"
+    spliced = "a b c d " + new_tail    # shares shingle 'a b c d' only
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([orig, orig, spliced, "x y"]),  # 4: too short
+    })
+    out = ngram_novelty(ray.data.from_arrow(tbl).repartition(2),
+                        shingle_words=4).to_pandas()
+    got = {int(r.doc_id): (int(r.n_shingles), int(r.novel_bp))
+           for r in out.itertuples()}
+    assert got[1] == (5, 10000)
+    assert got[2] == (5, 0)
+    # spliced: 9 shingles, 'a b c d' owned by doc 1 -> 8/9 novel
+    assert got[3] == (9, 8889)
+    assert 4 not in got
