@@ -457,48 +457,37 @@ def e_dup_lsh(sf_dir: str):
 
 
 def q_semi_join(sf_dir: str):
-    """Semi-join via broadcast key set (the 'broadcast small side'
-    pattern): order-priority counts for BUILDING-segment customers."""
-    import ray
+    """Semi-join: order-priority counts for BUILDING-segment customers.
+    The key set broadcasts below rayutil's row threshold (one ray.put,
+    searchsorted per batch — no shuffle) and falls back to the
+    tagged-union hash-partition merge above it, so the path holds when
+    the 'small' side is corpus-proportional."""
+    from mhray.rayutil import semi_join_ids
 
     o = _read(sf_dir, "orders").select_columns(["o_custkey", "o_orderpriority"])
     keys = _read(sf_dir, "customer").filter(
-        expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"]).to_pandas()
-    key_arr = np.sort(keys["c_custkey"].to_numpy(dtype=np.int64))
-    ref = ray.put(key_arr)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        k = ray.get(ref)
-        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
-        pos = np.minimum(np.searchsorted(k, ck), max(0, len(k) - 1))
-        mask = pa.array(k[pos] == ck if len(k) else np.zeros(len(ck), bool))
-        return batch.filter(mask)
-
-    agg = o.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True) \
+        expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+    agg = semi_join_ids(o, keys, "o_custkey", "c_custkey",
+                        ds_schema=pa.schema([
+                            ("o_custkey", pa.int64()),
+                            ("o_orderpriority", pa.string())])) \
         .groupby("o_orderpriority").aggregate(Count(alias_name="cnt"))
     return agg.map_batches(lambda b: _cast_round(b, ("cnt",)),
                            batch_format="pyarrow")
 
 
 def q_anti_join(sf_dir: str):
-    """Anti-join via broadcast key set: customers with no high-value
-    (> 400k) order."""
-    import ray
+    """Anti-join: customers with no high-value (> 400k) order —
+    broadcast below rayutil's row threshold, tagged-union
+    hash-partition merge above it (no unguarded driver
+    materialization of the key side)."""
+    from mhray.rayutil import anti_join_ids
 
     c = _read(sf_dir, "customer").select_columns(["c_custkey"])
     ok = _read(sf_dir, "orders").filter(expr="o_totalprice > 400000") \
-        .select_columns(["o_custkey"]).to_pandas()
-    key_arr = np.unique(ok["o_custkey"].to_numpy(dtype=np.int64))
-    ref = ray.put(key_arr)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        k = ray.get(ref)
-        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
-        pos = np.minimum(np.searchsorted(k, ck), max(0, len(k) - 1))
-        mask = pa.array(~(k[pos] == ck) if len(k) else np.ones(len(ck), bool))
-        return batch.filter(mask)
-
-    return c.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["o_custkey"])
+    return anti_join_ids(c, ok, "c_custkey", "o_custkey",
+                         ds_schema=pa.schema([("c_custkey", pa.int64())]))
 
 
 def q_distinct_parts(sf_dir: str):

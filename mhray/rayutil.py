@@ -148,10 +148,12 @@ def _nonempty_blocks(ds, schema: pa.Schema | None, num_blocks: int):
 def anti_join_ids(ds, ids_ds, key_col: str, ids_key: str | None = None,
                   num_parts: int = 16,
                   broadcast_threshold_rows: int = 2_000_000,
-                  ds_schema: pa.Schema | None = None):
+                  ds_schema: pa.Schema | None = None,
+                  keep_matches: bool = False):
     """Drop rows of ``ds`` whose ``key_col`` appears in ``ids_ds`` —
-    the distributed anti-semi-join. Small id sets broadcast (one
-    ``ray.put``, searchsorted per batch, NO shuffle); above the
+    the distributed anti-semi-join (``keep_matches=True`` flips it to
+    the SEMI-join: keep only matching rows). Small id sets broadcast
+    (one ``ray.put``, searchsorted per batch, NO shuffle); above the
     threshold the standard tagged-union + hash-partition merge runs
     (one shuffle, no driver materialization)."""
     import numpy as np
@@ -176,9 +178,10 @@ def anti_join_ids(ds, ids_ds, key_col: str, ids_key: str | None = None,
             k = ray.get(ref)
             v = np.asarray(batch.column(key_col), dtype=np.int64)
             if len(k) == 0:
-                return batch
+                return batch.slice(0, 0) if keep_matches else batch
             pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
-            return batch.filter(pa.array(k[pos] != v))
+            hit = k[pos] == v
+            return batch.filter(pa.array(hit if keep_matches else ~hit))
 
         return ds.map_batches(drop, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -224,14 +227,27 @@ def anti_join_ids(ds, ids_ds, key_col: str, ids_key: str | None = None,
         lk = keys[left]
         if len(block):
             pos = np.minimum(np.searchsorted(block, lk), len(block) - 1)
-            keep = left[block[pos] != lk]
+            hit = block[pos] == lk
+            keep = left[hit if keep_matches else ~hit]
         else:
-            keep = left
+            keep = left[:0] if keep_matches else left
         idx = pa.array(keep, pa.int64())
         return pa.table({n: part.column(n).take(idx) for n in names})
 
     return tagged.groupby("__part", num_partitions=num_parts).map_groups(
         merge, batch_format="pyarrow")
+
+
+def semi_join_ids(ds, ids_ds, key_col: str, ids_key: str | None = None,
+                  num_parts: int = 16,
+                  broadcast_threshold_rows: int = 2_000_000,
+                  ds_schema: pa.Schema | None = None):
+    """Keep only rows of ``ds`` whose ``key_col`` appears in ``ids_ds``
+    — the distributed semi-join (broadcast below the threshold,
+    tagged-union hash-partition merge above; see anti_join_ids)."""
+    return anti_join_ids(ds, ids_ds, key_col, ids_key, num_parts,
+                         broadcast_threshold_rows, ds_schema,
+                         keep_matches=True)
 
 
 def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,

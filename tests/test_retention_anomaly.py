@@ -202,3 +202,34 @@ def test_ngram_novelty_semantics(ray_session):
     # spliced: 9 shingles, 'a b c d' owned by doc 1 -> 8/9 novel
     assert got[3] == (9, 8889)
     assert 4 not in got
+
+
+def test_semi_anti_join_ids_shuffle_fallback(ray_session):
+    """broadcast_threshold_rows=0 forces the tagged-union hash-
+    partition merge; results must equal the broadcast path."""
+    import ray.data
+
+    from mhray.rayutil import anti_join_ids, semi_join_ids
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                     "v": pa.array(list("abcde"))})
+    ids = pa.table({"i": pa.array([2, 4, 9], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(3)
+    ids_ds = ray.data.from_arrow(ids).repartition(2)
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+
+    for thresh in (0, 1000):
+        semi = semi_join_ids(lds, ids_ds, "k", "i", ds_schema=schema,
+                             broadcast_threshold_rows=thresh).to_pandas()
+        anti = anti_join_ids(lds, ids_ds, "k", "i", ds_schema=schema,
+                             broadcast_threshold_rows=thresh).to_pandas()
+        assert sorted(semi["k"]) == [2, 4], thresh
+        assert sorted(anti["k"]) == [1, 3, 5], thresh
+        assert sorted(semi["v"]) == ["b", "d"], thresh
+
+    # empty id side: semi keeps nothing, anti keeps everything
+    empty = ray.data.from_arrow(pa.table({"i": pa.array([], pa.int64())}))
+    assert semi_join_ids(lds, empty, "k", "i",
+                         ds_schema=schema).count() == 0
+    assert anti_join_ids(lds, empty, "k", "i",
+                         ds_schema=schema).count() == 5
