@@ -120,3 +120,36 @@ def read_documents(path: str, fmt: str | None = None,
                            zero_copy_batch=True) \
         .groupby("__part", num_partitions=parts) \
         .map_groups(first_per_id, batch_format="pyarrow")
+
+
+def write_documents(ds: "ray.data.Dataset", path: str,
+                    fmt: str | None = None, **writer_kwargs) -> None:
+    """Write a documents table as partitioned parquet / JSONL / CSV —
+    the sink-side companion of :func:`read_documents`. Format sniffs
+    from the path suffix unless ``fmt`` forces it; every format writes
+    ONE FILE PER BLOCK under ``path`` (never a single giant file), so
+    a failed run resumes by skipping finished partitions and a
+    downstream reader parallelizes the scan. Lance is write-supported
+    only when the optional dependency is importable (same gate as the
+    reader)."""
+    if fmt is None:
+        low = path.lower()
+        if low.endswith((".jsonl", ".json", ".ndjson")):
+            fmt = "jsonl"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        elif low.endswith(".lance"):
+            fmt = "lance"
+        else:
+            fmt = "parquet"
+    if fmt == "jsonl":
+        ds.write_json(path, **writer_kwargs)
+    elif fmt == "csv":
+        ds.write_csv(path, **writer_kwargs)
+    elif fmt == "lance":
+        if not HAVE_LANCE:
+            raise NotImplementedError(
+                "lance writes need the optional 'lance' dependency")
+        ds.write_lance(path, **writer_kwargs)
+    else:
+        ds.write_parquet(path, **writer_kwargs)

@@ -233,3 +233,29 @@ def test_semi_anti_join_ids_shuffle_fallback(ray_session):
                          ds_schema=schema).count() == 0
     assert anti_join_ids(lds, empty, "k", "i",
                          ds_schema=schema).count() == 5
+
+
+def test_write_documents_roundtrip(ray_session, tmp_path):
+    """write_documents -> read_documents round-trips each format and
+    writes one file per block (resumable layout, never a giant file)."""
+    import os
+
+    import ray.data
+
+    from mhray.io import read_documents, write_documents
+
+    tbl = pa.table({
+        "doc_id": pa.array([3, 1, 2], pa.int64()),
+        "text": pa.array(["gamma text here", "alpha", "beta beta"]),
+    })
+    src = ray.data.from_arrow(tbl).repartition(2)
+    for fmt, name in (("parquet", "p"), ("jsonl", "j.jsonl"),
+                      ("csv", "c.csv")):
+        out = str(tmp_path / name)
+        write_documents(src, out, fmt=fmt)
+        assert len(os.listdir(out)) >= 2  # one file per block
+        back = read_documents(out, fmt=fmt).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(back["doc_id"]) == [1, 2, 3]
+        assert list(back["text"]) == ["alpha", "beta beta",
+                                      "gamma text here"]
