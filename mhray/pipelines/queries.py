@@ -1406,6 +1406,83 @@ def d_novelty(sf_dir: str):
                          shingle_words=4, num_parts=_doc_parts(sf_dir))
 
 
+def ev_bursts(sf_dir: str):
+    """Peak burst per user: the max count of the user's events in any
+    trailing 10-minute window — composition of the RANGE window count
+    and a tiny grouped max (the rate-limit / bot-detection signal)."""
+    from mhray.stages.events import range_window_count
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id"])
+    w = range_window_count(ev, "user_id", "ts", "event_id",
+                           window_us=10 * 60 * 1_000_000)
+    agg = w.groupby("user_id").aggregate(Max("w_cnt", alias_name="peak"))
+    return agg.map_batches(lambda b: _cast_round(b, ("peak",)),
+                           batch_format="pyarrow")
+
+
+def d_dup_by_source(sf_dir: str):
+    """Per-source exact-duplicate rates: for each source, total docs,
+    docs whose text also appears elsewhere (excluding each group's
+    min-id keeper), and the dup share in basis points — the curation
+    dashboard's "which feed is polluting the corpus" metric. One
+    text-hash partition marks dups, one tiny source aggregate."""
+    from mhray.kernels import hash_strings64
+    from mhray.stages.candidates import _part_of
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    n_parts = _doc_parts(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings64(batch.column("text"))
+        return pa.table({
+            "part": pa.array(_part_of(h, n_parts), pa.int32()),
+            "h": pa.array(h, pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+        })
+
+    def mark(part: pa.Table) -> pa.Table:
+        h = np.asarray(part.column("h"), dtype=np.int64)
+        d = np.asarray(part.column("doc_id"), dtype=np.int64)
+        src = np.asarray(part.column("source").to_pylist())
+        order = np.lexsort((d, h))
+        h_s, d_s, s_s = h[order], d[order], src[order]
+        first = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            first[1:] = np.diff(h_s) != 0
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(h_s)))
+        keeper = np.repeat(d_s[starts], sizes)
+        grp_n = np.repeat(sizes, sizes)
+        dup = (grp_n > 1) & (d_s != keeper)
+        return pa.table({
+            "source": pa.array(s_s),
+            "is_dup": pa.array(dup.astype(np.int64), pa.int64()),
+        })
+
+    agg = docs.map_batches(add_hash, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("part", num_partitions=n_parts) \
+        .map_groups(mark, batch_format="pyarrow") \
+        .groupby("source").aggregate(Count(alias_name="n_docs"),
+                                     Sum("is_dup", alias_name="n_dups"))
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_docs"), dtype=np.int64)
+        d = np.asarray(batch.column("n_dups"), dtype=np.int64)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_dups": pa.array(d, pa.int64()),
+            "dup_bp": pa.array(_round_half_away(d * 10000.0 / n),
+                               pa.int64()),
+        })
+
+    return agg.map_batches(ratio, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1482,6 +1559,8 @@ QUERIES = {
     "ev_user_mode": ev_user_mode,
     "ev_mad": ev_mad,
     "d_novelty": d_novelty,
+    "ev_bursts": ev_bursts,
+    "d_dup_by_source": d_dup_by_source,
 }
 
 ORACLE_SQL = {
@@ -2079,6 +2158,33 @@ ORACLE_SQL = {
                     AS BIGINT) AS mad_sc
         FROM events e JOIN m USING (event_type)
         GROUP BY e.event_type
+    """,
+    "ev_bursts": """
+        WITH w AS (
+            SELECT user_id,
+                   COUNT(*) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                              AND CURRENT ROW) AS w_cnt
+            FROM events
+        )
+        SELECT user_id, CAST(MAX(w_cnt) AS BIGINT) AS peak
+        FROM w GROUP BY user_id
+    """,
+    "d_dup_by_source": """
+        WITH h AS (
+            SELECT doc_id, source,
+                   COUNT(*) OVER (PARTITION BY text) AS c,
+                   MIN(doc_id) OVER (PARTITION BY text) AS keeper
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE c > 1 AND doc_id <> keeper)
+                   AS n_dups,
+               CAST(ROUND(COUNT(*) FILTER (WHERE c > 1 AND
+                                           doc_id <> keeper)
+                          * 10000.0 / COUNT(*), 0) AS BIGINT) AS dup_bp
+        FROM h GROUP BY source
     """,
     "d_novelty": """
         WITH t AS (
