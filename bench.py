@@ -158,7 +158,8 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
              "d_simhash_pairs", "e_knn_brute", "d_fingerprints",
              "ev_range_count", "e_semdedup", "d_decontaminate",
              "d_repetition", "d_chunk_dedup", "d_quality_buckets",
-             "ev_json_extract"]
+             "ev_json_extract", "d_containment_pairs", "d_novelty",
+             "ev_retention", "ev_anomaly"]
     out = {}
     for name in names:
         t0 = time.time()
