@@ -1426,61 +1426,13 @@ def d_dup_by_source(sf_dir: str):
     docs whose text also appears elsewhere (excluding each group's
     min-id keeper), and the dup share in basis points — the curation
     dashboard's "which feed is polluting the corpus" metric. One
-    text-hash partition marks dups, one tiny source aggregate."""
-    from mhray.kernels import hash_strings64
-    from mhray.stages.candidates import _part_of
+    text-hash partition marks dups, one tiny source aggregate
+    (:func:`mhray.stages.dedup.dup_rate_by_source`)."""
+    from mhray.stages.dedup import dup_rate_by_source
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    n_parts = _doc_parts(sf_dir)
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash_strings64(batch.column("text"))
-        return pa.table({
-            "part": pa.array(_part_of(h, n_parts), pa.int32()),
-            "h": pa.array(h, pa.int64()),
-            "doc_id": batch.column("doc_id"),
-            "source": batch.column("source"),
-        })
-
-    def mark(part: pa.Table) -> pa.Table:
-        h = np.asarray(part.column("h"), dtype=np.int64)
-        d = np.asarray(part.column("doc_id"), dtype=np.int64)
-        src = np.asarray(part.column("source").to_pylist())
-        order = np.lexsort((d, h))
-        h_s, d_s, s_s = h[order], d[order], src[order]
-        first = np.ones(len(h_s), dtype=bool)
-        if len(h_s) > 1:
-            first[1:] = np.diff(h_s) != 0
-        starts = np.flatnonzero(first)
-        sizes = np.diff(np.append(starts, len(h_s)))
-        keeper = np.repeat(d_s[starts], sizes)
-        grp_n = np.repeat(sizes, sizes)
-        dup = (grp_n > 1) & (d_s != keeper)
-        return pa.table({
-            "source": pa.array(s_s),
-            "is_dup": pa.array(dup.astype(np.int64), pa.int64()),
-        })
-
-    agg = docs.map_batches(add_hash, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .groupby("part", num_partitions=n_parts) \
-        .map_groups(mark, batch_format="pyarrow") \
-        .groupby("source").aggregate(Count(alias_name="n_docs"),
-                                     Sum("is_dup", alias_name="n_dups"))
-
-    def ratio(batch: pa.Table) -> pa.Table:
-        n = np.asarray(batch.column("n_docs"), dtype=np.int64)
-        d = np.asarray(batch.column("n_dups"), dtype=np.int64)
-        return pa.table({
-            "source": batch.column("source"),
-            "n_docs": pa.array(n, pa.int64()),
-            "n_dups": pa.array(d, pa.int64()),
-            "dup_bp": pa.array(_round_half_away(d * 10000.0 / n),
-                               pa.int64()),
-        })
-
-    return agg.map_batches(ratio, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return dup_rate_by_source(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        num_parts=_doc_parts(sf_dir))
 
 
 # ---------------------------------------------------------------------------

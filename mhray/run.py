@@ -42,6 +42,11 @@ def main(argv=None) -> int:
                          "PII scrub -> chunk dedup -> tiered dedup -> "
                          "packing and writes curated_documents/, packs/ "
                          "and curate_stats.json under --out")
+    ap.add_argument("--report", action="store_true",
+                    help="corpus analytics mode: --input is a documents "
+                         "source (parquet/jsonl/csv); writes doc_scores/, "
+                         "novelty/, dup_by_source/ and report.json under "
+                         "--out — the pre-curation dashboard")
     ap.add_argument("--min-quality-pm", type=int, default=0)
     ap.add_argument("--langs", default=None,
                     help="comma-separated language allowlist (e.g. en,de)")
@@ -68,6 +73,31 @@ def main(argv=None) -> int:
     freq_ref = None
     if args.freq_table:
         freq_ref = ray.put(pq.read_table(args.freq_table))
+
+    if args.report:
+        import ray.data  # noqa: F401
+
+        from mhray.io import read_documents
+        from mhray.pipelines.report import corpus_report
+
+        t0 = time.time()
+        # keep every column: the report wants `source` when present
+        docs = ray.data.read_parquet(args.input) \
+            if args.input.endswith((".parquet", "/")) or \
+            os.path.isdir(args.input) else read_documents(args.input)
+        res = corpus_report(docs, num_parts=args.num_parts)
+        os.makedirs(args.out, exist_ok=True)
+        parts = max(1, min(args.num_parts, 16))
+        for key in ("doc_scores", "novelty", "dup_by_source"):
+            if key in res:
+                res[key].repartition(parts).write_parquet(
+                    os.path.join(args.out, key))
+        with open(os.path.join(args.out, "report.json"), "w") as f:
+            json.dump(res["summary"], f, indent=2)
+        print(json.dumps({"mode": "report",
+                          "sec": round(time.time() - t0, 2),
+                          "out": args.out, **res["summary"]}))
+        return 0
 
     if args.curate:
         import ray.data

@@ -898,3 +898,71 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
     valid = sketches.filter(expr="valid == True").materialize()
     cands = minhash_candidates(valid, cfg, num_parts)
     return verify_candidates(cands, valid, cfg, num_parts)
+
+
+def dup_rate_by_source(ds, text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source",
+                       num_parts: int | None = None):
+    """Per-source exact-duplicate rates: (source, n_docs, n_dups,
+    dup_bp) where a dup is any row whose text appears elsewhere in the
+    corpus and is not its group's min-id keeper. ONE text-hash
+    partition marks dups (cross-source groups handled exactly —
+    the partition key is the text, not the source), then a tiny
+    source aggregate. The curation dashboard's "which feed is
+    polluting the corpus" metric."""
+    from ray.data.aggregate import Count, Sum
+
+    from mhray.kernels import hash_strings64
+
+    num_parts = auto_parts(num_parts)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_strings64(batch.column(text_col))
+        return pa.table({
+            "part": pa.array(_part_of(h, num_parts), pa.int32()),
+            "h": pa.array(h, pa.int64()),
+            id_col: batch.column(id_col),
+            source_col: batch.column(source_col),
+        })
+
+    def mark(part: pa.Table) -> pa.Table:
+        h = np.asarray(part.column("h"), dtype=np.int64)
+        d = np.asarray(part.column(id_col), dtype=np.int64)
+        src = np.asarray(part.column(source_col).to_pylist())
+        order = np.lexsort((d, h))
+        h_s, d_s, s_s = h[order], d[order], src[order]
+        first = np.ones(len(h_s), dtype=bool)
+        if len(h_s) > 1:
+            first[1:] = np.diff(h_s) != 0
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(h_s)))
+        keeper = np.repeat(d_s[starts], sizes)
+        grp_n = np.repeat(sizes, sizes)
+        dup = (grp_n > 1) & (d_s != keeper)
+        return pa.table({
+            source_col: pa.array(s_s),
+            "is_dup": pa.array(dup.astype(np.int64), pa.int64()),
+        })
+
+    agg = ds.map_batches(add_hash, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("part", num_partitions=num_parts) \
+        .map_groups(mark, batch_format="pyarrow") \
+        .groupby(source_col).aggregate(Count(alias_name="n_docs"),
+                                       Sum("is_dup", alias_name="n_dups"))
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_docs"), dtype=np.int64)
+        d = np.asarray(batch.column("n_dups"), dtype=np.int64)
+        scaled = d * 10000.0 / n
+        bp = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            source_col: batch.column(source_col),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_dups": pa.array(d, pa.int64()),
+            "dup_bp": pa.array(bp, pa.int64()),
+        })
+
+    return agg.map_batches(ratio, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -116,3 +116,39 @@ def test_curate_language_allowlist(ray_session):
     res = curate(ray.data.from_arrow(tbl), langs=("en",), num_parts=2)
     ids = {r["doc_id"] for r in res["documents"].take_all()}
     assert ids == {1}
+
+
+def test_corpus_report(ray_session, tmp_path):
+    """corpus_report rollup on a planted corpus: dup accounting per
+    source, lang split, novelty of a verbatim re-post = 0."""
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.pipelines.report import corpus_report
+
+    uniq = [f"unique document number {i} with plenty of english the and "
+            f"is to of words here padding {i} more filler tokens {i}"
+            for i in range(6)]
+    texts = uniq + [uniq[0], uniq[1]]          # two verbatim re-posts
+    srcs = ["feedA"] * 6 + ["feedB"] * 2       # both dups from feedB
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(srcs),
+    })
+    res = corpus_report(ray.data.from_arrow(tbl).repartition(2),
+                        num_parts=4)
+    s = res["summary"]
+    assert s["n_docs"] == 8 and s["novelty"]["n_scored"] == 8
+    dup = {r["source"]: r for r in s["dup_by_source"]}
+    assert dup["feedB"]["n_dups"] == 2 and dup["feedB"]["dup_bp"] == 10000
+    assert dup["feedA"]["n_dups"] == 0
+    assert s["exact_dup_bp"] == 2500  # 2 of 8
+    # re-posts score 0 novelty; their originals keep full novelty
+    nov = {int(r["doc_id"]): int(r["novel_bp"])
+           for r in res["novelty"].take_all()}
+    assert nov[6] == 0 and nov[7] == 0 and nov[0] == 10000
+    scores = res["doc_scores"].to_pandas()
+    assert set(scores.columns) == {"doc_id", "lang_pred", "quality_pm",
+                                   "n_tokens"}
+    assert len(scores) == 8
