@@ -31,6 +31,19 @@ def write_table(ds: "ray.data.Dataset", path: str) -> None:
         ds.write_parquet(path)
 
 
+def _sniff_fmt(path: str) -> str:
+    """Shared extension sniff for read_documents / write_documents —
+    one suffix list, no reader/writer drift."""
+    low = path.lower()
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return "jsonl"
+    if low.endswith(".csv"):
+        return "csv"
+    if low.endswith(".lance"):
+        return "lance"
+    return "parquet"
+
+
 def read_documents(path: str, fmt: str | None = None,
                    id_col: str = "doc_id", text_col: str = "text",
                    **reader_kwargs) -> "ray.data.Dataset":
@@ -49,15 +62,7 @@ def read_documents(path: str, fmt: str | None = None,
     import pyarrow as pa
 
     if fmt is None:
-        low = path.lower()
-        if low.endswith((".jsonl", ".json", ".ndjson")):
-            fmt = "jsonl"
-        elif low.endswith(".csv"):
-            fmt = "csv"
-        elif low.endswith(".lance"):
-            fmt = "lance"
-        else:
-            fmt = "parquet"
+        fmt = _sniff_fmt(path)
     if fmt == "jsonl":
         ds = ray.data.read_json(path, **reader_kwargs)
     elif fmt == "csv":
@@ -126,22 +131,14 @@ def write_documents(ds: "ray.data.Dataset", path: str,
                     fmt: str | None = None, **writer_kwargs) -> None:
     """Write a documents table as partitioned parquet / JSONL / CSV —
     the sink-side companion of :func:`read_documents`. Format sniffs
-    from the path suffix unless ``fmt`` forces it; every format writes
-    ONE FILE PER BLOCK under ``path`` (never a single giant file), so
-    a failed run resumes by skipping finished partitions and a
-    downstream reader parallelizes the scan. Lance is write-supported
-    only when the optional dependency is importable (same gate as the
-    reader)."""
+    from the path suffix unless ``fmt`` forces it; the parquet / JSONL
+    / CSV writers emit ONE FILE PER BLOCK under ``path`` (never a
+    single giant file), so a failed run resumes by skipping finished
+    partitions and a downstream reader parallelizes the scan. Lance
+    (optional dependency, same gate as the reader) writes a lance
+    dataset — fragmented internally, not per-block files."""
     if fmt is None:
-        low = path.lower()
-        if low.endswith((".jsonl", ".json", ".ndjson")):
-            fmt = "jsonl"
-        elif low.endswith(".csv"):
-            fmt = "csv"
-        elif low.endswith(".lance"):
-            fmt = "lance"
-        else:
-            fmt = "parquet"
+        fmt = _sniff_fmt(path)
     if fmt == "jsonl":
         ds.write_json(path, **writer_kwargs)
     elif fmt == "csv":

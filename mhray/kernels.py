@@ -939,3 +939,17 @@ def phash_band_keys(phash: np.ndarray, n_bands: int, band_bits: int) -> np.ndarr
         sl = (u >> np.uint64(b * band_bits)) & mask
         out[:, b] = (np.uint64(b) << np.uint64(48)) | sl
     return out.view(np.int64)
+
+
+def weighted_sample_keys(k: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Efraimidis–Spirakis A-ES sort keys: ln(u)/w with u a mixed
+    integer-hash uniform of the row key — the TOP values win a
+    weighted-without-replacement sample. Deterministic, and every step
+    is expressible in ANSI SQL (the second multiplicand is masked to
+    31 bits so BIGINT engines don't overflow), so a DuckDB oracle
+    reproduces the selection bit-for-bit."""
+    k = np.asarray(k, dtype=np.int64)
+    x = (k * 2654435761) % 4294967296
+    x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
+    x = x ^ (x >> 13)
+    return np.log((x + 0.5) / 4294967296.0) / np.asarray(w, np.float64)

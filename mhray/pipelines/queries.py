@@ -1278,14 +1278,13 @@ def q_weighted_sample(sf_dir: str):
     n_take = 50
 
     def partial(batch: pa.Table) -> pa.Table:
+        from mhray.kernels import weighted_sample_keys
+
         k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
         w = np.asarray(batch.column("o_totalprice"), dtype=np.float64)
         m = w > 0
         k, w = k[m], w[m]
-        x = (k * 2654435761) % 4294967296
-        x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
-        x = x ^ (x >> 13)
-        wkey = np.log((x + 0.5) / 4294967296.0) / w
+        wkey = weighted_sample_keys(k, w)
         if len(k) > n_take:
             top = np.argpartition(-wkey, n_take - 1)[:n_take]
             k, wkey = k[top], wkey[top]

@@ -45,8 +45,12 @@ def corpus_report(ds, *, shingle_words: int = 4, text_col: str = "text",
             "n_tokens": tk.column("n_tokens"),
         })
 
+    # materialize the pruned selection ONCE: three consumers (scores,
+    # novelty, dup-by-source) would otherwise each re-run the source
+    # read
     docs = ds.select_columns(
-        [id_col, text_col] + ([source_col] if has_source else []))
+        [id_col, text_col] + ([source_col] if has_source else [])) \
+        .materialize()
     scores = docs.map_batches(annotate, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
     novelty = ngram_novelty(docs, shingle_words=shingle_words,
@@ -55,25 +59,35 @@ def corpus_report(ds, *, shingle_words: int = 4, text_col: str = "text",
 
     out = {"doc_scores": scores, "novelty": novelty}
 
-    # corpus-level rollup: tiny aggregates only
+    # corpus-level rollup: tiny aggregates only. Degenerate corpora
+    # (empty input; every doc shorter than a shingle) make the Mean/
+    # Min/Max aggregates return None — the report must still come out
     roll = scores.aggregate(Count(alias_name="n_docs"),
                             Mean("quality_pm", alias_name="quality_mean"),
                             Min("quality_pm", alias_name="quality_min"),
                             Max("quality_pm", alias_name="quality_max"),
-                            Sum("n_tokens", alias_name="total_tokens"))
+                            Sum("n_tokens", alias_name="total_tokens")) \
+        or {}
     langs = {r["lang_pred"]: int(r["count()"]) for r in
              scores.groupby("lang_pred").count().take_all()}
     nov = novelty.aggregate(Mean("novel_bp", alias_name="novel_mean_bp"),
-                            Count(alias_name="n_scored"))
+                            Count(alias_name="n_scored")) or {}
+
+    def _num(d, key, cast, default=0):
+        v = d.get(key)
+        return cast(v) if v is not None else default
+
     summary = {
-        "n_docs": int(roll["n_docs"]),
-        "total_tokens": int(roll["total_tokens"]),
-        "quality_pm": {"mean": round(float(roll["quality_mean"]), 1),
-                       "min": int(roll["quality_min"]),
-                       "max": int(roll["quality_max"])},
+        "n_docs": _num(roll, "n_docs", int),
+        "total_tokens": _num(roll, "total_tokens", int),
+        "quality_pm": {"mean": round(_num(roll, "quality_mean", float,
+                                          0.0), 1),
+                       "min": _num(roll, "quality_min", int),
+                       "max": _num(roll, "quality_max", int)},
         "lang_counts": dict(sorted(langs.items())),
-        "novelty": {"mean_bp": round(float(nov["novel_mean_bp"]), 1),
-                    "n_scored": int(nov["n_scored"])},
+        "novelty": {"mean_bp": round(_num(nov, "novel_mean_bp", float,
+                                          0.0), 1),
+                    "n_scored": _num(nov, "n_scored", int)},
     }
 
     if has_source:

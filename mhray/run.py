@@ -81,10 +81,27 @@ def main(argv=None) -> int:
         from mhray.pipelines.report import corpus_report
 
         t0 = time.time()
-        # keep every column: the report wants `source` when present
-        docs = ray.data.read_parquet(args.input) \
-            if args.input.endswith((".parquet", "/")) or \
-            os.path.isdir(args.input) else read_documents(args.input)
+        # read the raw table first (any format), keeping every column —
+        # the report wants `source` when present. Only fall back to the
+        # canonicalizing read_documents path (which assigns content-hash
+        # ids but keeps ONLY doc_id+text) when the source has no usable
+        # id column, and say so.
+        low = args.input.lower()
+        if low.endswith((".jsonl", ".json", ".ndjson")):
+            docs = ray.data.read_json(args.input)
+        elif low.endswith(".csv"):
+            docs = ray.data.read_csv(args.input)
+        else:
+            docs = ray.data.read_parquet(args.input)
+        schema = docs.schema()
+        names = getattr(schema, "names", schema)
+        if "doc_id" not in names or "text" not in names:
+            print(json.dumps({
+                "mode": "report",
+                "note": "input has no doc_id column - assigning "
+                        "content-hash ids via read_documents; per-source "
+                        "dup rates unavailable in this mode"}))
+            docs = read_documents(args.input)
         res = corpus_report(docs, num_parts=args.num_parts)
         os.makedirs(args.out, exist_ok=True)
         parts = max(1, min(args.num_parts, 16))

@@ -890,8 +890,17 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
         hi = max(2, min(cpus - 2, n_rows_hint // 600))
         concurrency = (hi, hi)
         # a small materialized table often arrives in fewer blocks than
-        # the pool has actors; spread it so every actor gets work
-        ds = ds.repartition(max(hi, num_parts))
+        # the pool has actors; spread it so every actor gets work — but
+        # ONLY when the block count is known (materialized/read inputs)
+        # and actually short: a large corpus already has plenty of
+        # blocks and an unconditional repartition would be a pure
+        # extra shuffle of the full text
+        try:
+            blocks = ds.num_blocks()
+        except Exception:
+            blocks = None
+        if blocks is not None and blocks < hi:
+            ds = ds.repartition(max(hi, num_parts))
     as_images = docs_as_images(ds, text_col, id_col)
     sketches = sketch_dataset(as_images, cfg, decode_pixels=False,
                               concurrency=concurrency)

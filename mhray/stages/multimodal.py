@@ -21,6 +21,16 @@ import pyarrow as pa
 
 from mhray.imageops import UnsupportedFormatError, decode_image, phash64
 
+# everything a malformed payload can raise out of the pure-python
+# codecs: struct.error on truncated chunk headers, zlib.error on
+# corrupt IDAT, TypeError/IndexError on missing IHDR fields. Decode
+# stages must emit decode_ok=false for bad rows, never crash the task.
+import struct as _struct
+import zlib as _zlib
+
+DECODE_ERRORS = (UnsupportedFormatError, ValueError, TypeError,
+                 IndexError, EOFError, _struct.error, _zlib.error)
+
 
 class ImageFeatureStage:
     """Actor-pool stage: decode -> (phash, mean_luma, w, h, decode_ok).
@@ -48,7 +58,7 @@ class ImageFeatureStage:
                      @ np.array([0.299, 0.587, 0.114])).mean())
                 if self.recompute_phash:
                     ph[i] = phash64(img)
-            except (UnsupportedFormatError, ValueError):
+            except DECODE_ERRORS:
                 pass
         return pa.table({
             "image_id": batch.column("image_id"),
@@ -82,7 +92,7 @@ class ImageResizeStage:
                 out_bytes.append(encode_image(small, self.out_fmt))
                 out_fmt.append(self.out_fmt)
                 resized[i] = True
-            except (UnsupportedFormatError, ValueError):
+            except DECODE_ERRORS:
                 out_bytes.append(raw[i])
                 out_fmt.append(fmts[i])
         return pa.table({
@@ -336,7 +346,7 @@ class ImageQualityStage:
                 ok[i] = True
                 for k, v in m.items():
                     cols[k][i] = v
-            except (UnsupportedFormatError, ValueError):
+            except DECODE_ERRORS:
                 pass
         return pa.table({
             "image_id": batch.column("image_id"),
@@ -409,7 +419,12 @@ def phash_knn(images_ds, query_ids: list[str], k: int = 5,
             if not len(cand):
                 continue
             take = min(k, len(cand))
-            top = cand[np.argpartition(d[cand], take - 1)[:take]]
+            # (distance, neighbor_id) order INSIDE the partial too —
+            # argpartition on distance alone keeps an arbitrary subset
+            # of boundary ties (Hamming is a small integer; ties are
+            # the common case) and the result would depend on block
+            # layout
+            top = cand[np.lexsort((ids[cand], d[cand]))[:take]]
             out_q += [qids[qi]] * take
             out_n.append(ids[top])
             out_d.append(d[top])

@@ -134,3 +134,44 @@ def test_phash_knn_finds_noisy_copy(ray_session):
     # unknown query id -> empty result, not a crash
     empty = phash_knn(ds, ["nope"], k=3).to_pandas()
     assert len(empty) == 0
+
+
+def test_image_quality_stage_corrupt_png_row(ray_session):
+    """A truncated PNG (raises struct.error, not ValueError, in the
+    codec) must come back decode_ok=false — never crash the task."""
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.stages.multimodal import image_quality
+
+    good = I.encode_png(_img(0))
+    bad = good[:10]  # signature + 2 bytes: struct.error territory
+    tbl = pa.table({
+        "image_id": pa.array(["ok", "trunc", "zlib"]),
+        "bytes": pa.array([good, bad, good[:-8] + b"\x00" * 8],
+                          pa.binary()),
+        "fmt": pa.array(["png", "png", "png"]),
+    })
+    out = image_quality(ray.data.from_arrow(tbl), concurrency=1) \
+        .to_pandas().set_index("image_id")
+    assert bool(out.loc["ok", "decode_ok"])
+    assert not bool(out.loc["trunc", "decode_ok"])
+
+
+def test_phash_knn_tie_break_deterministic(ray_session):
+    """Boundary ties keep the lexically-smallest neighbor ids — the
+    partial must honor (distance, id) order, not argpartition whim."""
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.stages.multimodal import phash_knn
+
+    # 6 corpus rows, ALL at hamming 1 from the query's phash 0
+    ids = ["q"] + [f"n{c}" for c in "fedcba"]
+    ph = [0] + [1 << b for b in range(6)]
+    tbl = pa.table({"image_id": pa.array(ids),
+                    "phash": pa.array(ph, pa.int64())})
+    for parts in (1, 3):
+        out = phash_knn(ray.data.from_arrow(tbl).repartition(parts),
+                        ["q"], k=3).to_pandas()
+        assert list(out["neighbor_id"]) == ["na", "nb", "nc"], parts

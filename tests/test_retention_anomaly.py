@@ -124,8 +124,22 @@ def test_shingle_containment_degenerate(ray_session):
 
 
 def test_weighted_sample_favors_heavy_weights(ray_session):
-    """Statistical sanity on the A-ES keys: sampling 50 of 1000 rows
-    where 100 rows carry 100x weight must select mostly heavy rows."""
+    """Statistical property of the A-ES keys themselves: among 1000
+    rows where 100 carry 50x weight, the top-50 keys must be mostly
+    heavy rows (an unweighted sample would pick ~5). Then the catalog
+    query sanity: 50 unique selections."""
+    from mhray.kernels import weighted_sample_keys
+
+    keys = np.arange(1000, dtype=np.int64)
+    w = np.ones(1000)
+    heavy = keys % 10 == 0  # 100 heavy rows
+    w[heavy] = 50.0
+    top = np.argsort(-weighted_sample_keys(keys, w))[:50]
+    assert heavy[top].sum() >= 35  # overwhelmingly heavy, not ~5
+    # and inverting the weights must flip the preference
+    top_inv = np.argsort(-weighted_sample_keys(keys, 1.0 / w))[:50]
+    assert heavy[top_inv].sum() <= 5
+
     sf = "/root/testdata/sf0.001"
     from mhray.pipelines.queries import q_weighted_sample
 
