@@ -889,17 +889,20 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
         cpus = int(ray.cluster_resources().get("CPU", 4))
         hi = max(2, min(cpus - 2, n_rows_hint // 600))
         concurrency = (hi, hi)
-        # a small materialized table often arrives in fewer blocks than
-        # the pool has actors; spread it so every actor gets work — but
-        # ONLY when the block count is known (materialized/read inputs)
-        # and actually short: a large corpus already has plenty of
-        # blocks and an unconditional repartition would be a pure
-        # extra shuffle of the full text
+        # a small table often arrives in fewer blocks than the pool
+        # has actors; spread it so every actor gets work. num_blocks()
+        # is only known for materialized inputs (lazy Datasets raise) —
+        # when unknown, repartition iff the ROW hint is small: at that
+        # size the extra shuffle is trivial and the pool-feeding win is
+        # real, while a large corpus already has plenty of read blocks
+        # and an unconditional repartition would re-shuffle the full
+        # text for nothing
         try:
             blocks = ds.num_blocks()
         except Exception:
             blocks = None
-        if blocks is not None and blocks < hi:
+        if (blocks is not None and blocks < hi) or \
+                (blocks is None and n_rows_hint <= 100_000):
             ds = ds.repartition(max(hi, num_parts))
     as_images = docs_as_images(ds, text_col, id_col)
     sketches = sketch_dataset(as_images, cfg, decode_pixels=False,
