@@ -1434,6 +1434,100 @@ def d_dup_by_source(sf_dir: str):
         num_parts=_doc_parts(sf_dir))
 
 
+def ev_dau(sf_dir: str):
+    """Daily active users: distinct users per UTC day — batch-local
+    (day, user) dedup shrinks the stream, one partition-wise re-dedup,
+    tiny grouped count. Integer-exact day math."""
+    from mhray.stages.candidates import _part_of, auto_parts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    num_parts = max(2, min(auto_parts(), 8))
+    US_DAY = 86_400_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        d = np.asarray(batch.column("ts").cast(pa.int64())) // US_DAY
+        order = np.lexsort((u, d))
+        d_s, u_s = d[order], u[order]
+        keep = np.ones(len(d_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])
+        return pa.table({
+            "__part": pa.array(_part_of(d_s[keep], num_parts), pa.int32()),
+            "day": pa.array(d_s[keep], pa.int64()),
+            "user_id": pa.array(u_s[keep], pa.int64()),
+        })
+
+    def count_day(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("day"), dtype=np.int64)
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        order = np.lexsort((u, d))
+        d_s, u_s = d[order], u[order]
+        keep = np.ones(len(d_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])
+        days, cnt = np.unique(d_s[keep], return_counts=True)
+        return pa.table({
+            "day": pa.array(days, pa.int64()),
+            "dau": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return ev.map_batches(pairs, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(count_day, batch_format="pyarrow")
+
+
+def ev_running_total(sf_dir: str):
+    """Per-user running total of value over time (the cumulative-sum
+    window): values are scaled to integer cents BEFORE the prefix sum,
+    so the accumulation is integer-exact and engine-independent —
+    no float summation-order caveat at all. One user-hash partition,
+    vectorized segmented cumsum."""
+    from mhray.stages.candidates import _part_of, auto_parts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    num_parts = max(2, min(auto_parts(), 8))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        return pa.table({
+            "__part": pa.array(_part_of(u, num_parts), pa.int32()),
+            "user_id": pa.array(u, pa.int64()),
+            "__ts": batch.column("ts").cast(pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "cents": pa.array(_round_half_away(v * 100), pa.int64()),
+        })
+
+    def running(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("__ts"), dtype=np.int64)
+        ev_id = np.asarray(group.column("event_id"), dtype=np.int64)
+        c = np.asarray(group.column("cents"), dtype=np.int64)
+        order = np.lexsort((ev_id, ts, u))
+        u_s, c_s, id_s = u[order], c[order], ev_id[order]
+        run = np.cumsum(c_s)
+        # segmented: subtract the global prefix at each user's start
+        # (sign-safe — no monotonicity assumption on the values)
+        first = np.ones(len(u_s), dtype=bool)
+        if len(u_s) > 1:
+            first[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        offs = np.zeros(len(starts), np.int64)
+        offs[1:] = run[starts[1:] - 1]
+        run = run - offs[seg]
+        return pa.table({
+            "event_id": pa.array(id_s, pa.int64()),
+            "user_id": pa.array(u_s, pa.int64()),
+            "running_cents": pa.array(run, pa.int64()),
+        })
+
+    return ev.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(running, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1512,6 +1606,8 @@ QUERIES = {
     "d_novelty": d_novelty,
     "ev_bursts": ev_bursts,
     "d_dup_by_source": d_dup_by_source,
+    "ev_dau": ev_dau,
+    "ev_running_total": ev_running_total,
 }
 
 ORACLE_SQL = {
@@ -2109,6 +2205,18 @@ ORACLE_SQL = {
                     AS BIGINT) AS mad_sc
         FROM events e JOIN m USING (event_type)
         GROUP BY e.event_type
+    """,
+    "ev_dau": """
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    """,
+    "ev_running_total": """
+        SELECT event_id, user_id,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS running_cents
+        FROM events
     """,
     "ev_bursts": """
         WITH w AS (
