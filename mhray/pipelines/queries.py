@@ -1528,6 +1528,31 @@ def ev_running_total(sf_dir: str):
         .map_groups(running, batch_format="pyarrow")
 
 
+def d_mixture_sample(sf_dir: str):
+    """Deterministic source-mixture sampling (the domain-mixing step
+    of training-data prep): each source keeps a configured fraction of
+    its docs via hash thresholding — u(doc_id) < rate — so the sample
+    is reproducible, order-independent, join-free, and exactly
+    reproducible in SQL. Even sources keep 80%, odd keep 20%."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        src = np.asarray(batch.column("source").to_pylist())
+        x = (k * 2654435761) % 4294967296
+        x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
+        x = x ^ (x >> 13)
+        u = (x + 0.5) / 4294967296.0
+        src_num = np.char.lstrip(src, "src")  # "src12" -> "12"
+        rate = np.where(src_num.astype(np.int64) % 2 == 0, 0.8, 0.2)
+        m = pa.array(u < rate)
+        return pa.table({"doc_id": batch.column("doc_id").filter(m),
+                         "source": batch.column("source").filter(m)})
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1608,6 +1633,7 @@ QUERIES = {
     "d_dup_by_source": d_dup_by_source,
     "ev_dau": ev_dau,
     "ev_running_total": ev_running_total,
+    "d_mixture_sample": d_mixture_sample,
 }
 
 ORACLE_SQL = {
@@ -2205,6 +2231,23 @@ ORACLE_SQL = {
                     AS BIGINT) AS mad_sc
         FROM events e JOIN m USING (event_type)
         GROUP BY e.event_type
+    """,
+    "d_mixture_sample": """
+        WITH h1 AS (
+            SELECT doc_id, source,
+                   (doc_id * 2654435761) % 4294967296 AS x1
+            FROM documents
+        ),
+        h2 AS (
+            SELECT doc_id, source,
+                   (xor(x1, x1 // 65536) % 2147483648) * 2654435761
+                       % 4294967296 AS x2
+            FROM h1
+        )
+        SELECT doc_id, source FROM h2
+        WHERE (xor(x2, x2 // 8192) + 0.5) / 4294967296.0 <
+              CASE WHEN CAST(regexp_extract(source, '\\d+') AS BIGINT)
+                        % 2 = 0 THEN 0.8 ELSE 0.2 END
     """,
     "ev_dau": """
         SELECT epoch_us(ts) // 86400000000 AS day,

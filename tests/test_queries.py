@@ -71,6 +71,7 @@ ORACLE_CHECKED = [
     "d_containment_pairs", "ev_retention", "ev_anomaly",
     "q_weighted_sample", "ev_user_mode", "ev_mad", "d_novelty",
     "ev_bursts", "d_dup_by_source", "ev_dau", "ev_running_total",
+    "d_mixture_sample",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_dup_clusters", "ev_motif", "d_bloom_new",
