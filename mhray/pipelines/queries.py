@@ -1528,6 +1528,17 @@ def ev_running_total(sf_dir: str):
         .map_groups(running, batch_format="pyarrow")
 
 
+def e_knn_graph(sf_dir: str):
+    """Exact cosine kNN graph over the embedding table (top-5 per row)
+    — rows-only (float-sim ranking has no stable SQL hash); brute-
+    force parity is pytest-asserted row-for-row
+    (:func:`mhray.stages.ann.knn_graph`)."""
+    from mhray.stages.ann import knn_graph
+
+    return knn_graph(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     k=5)
+
+
 def d_mixture_sample(sf_dir: str):
     """Deterministic source-mixture sampling (the domain-mixing step
     of training-data prep): each source keeps a configured fraction of
@@ -1634,6 +1645,7 @@ QUERIES = {
     "ev_dau": ev_dau,
     "ev_running_total": ev_running_total,
     "d_mixture_sample": d_mixture_sample,
+    "e_knn_graph": e_knn_graph,
 }
 
 ORACLE_SQL = {

@@ -632,3 +632,72 @@ def pca_project(ds, out_dim: int, id_col: str = "vec_id",
 
     return ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
+              emb_col: str = "embedding", corpus_cap: int = 2_000_000):
+    """Exact cosine kNN GRAPH: top-k neighbors for EVERY row — the
+    building block of graph-based dedup/cluster methods. Each streamed
+    batch matmuls against the broadcast normalized corpus (one
+    ``ray.put``), so compute is O(n²/p) per worker but nothing beyond
+    the (n × d) matrix is ever resident; ties break (−sim,
+    neighbor_id). The broadcast is guarded at ``corpus_cap`` rows —
+    past it, build the graph per IVF cell (``ivf_knn``'s partition
+    shape) instead of the exact baseline.
+
+    Returns (query_id, neighbor_id, rank, sim_sc) with sim scaled to
+    integer 1e-4 (engine-independent reporting; ranks use the full
+    float)."""
+    n = ds.count()
+    if n > corpus_cap:
+        raise ValueError(
+            f"knn_graph is the exact baseline ({n} rows > {corpus_cap}): "
+            "partition by IVF cell (stages.ann.ivf_knn shape) at scale")
+    side = ds.select_columns([id_col, emb_col])
+    tbl = pa.concat_tables([ray.get(r) for r in side.to_arrow_refs()],
+                           promote_options="default")
+    ids_all = np.asarray(tbl.column(id_col), dtype=np.int64)
+    m_all = _normalize(_embedding_matrix(tbl, emb_col))
+    order = np.argsort(ids_all)
+    ref = ray.put((ids_all[order], np.ascontiguousarray(m_all[order])))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        corpus_ids, corpus = ray.get(ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        sims = m @ corpus.T                       # (B, N)
+        self_pos = np.searchsorted(corpus_ids, ids)
+        rows = np.arange(len(ids))
+        hit = corpus_ids[np.minimum(self_pos, len(corpus_ids) - 1)] == ids
+        sims[rows[hit], self_pos[hit]] = -np.inf  # exclude self
+        take = min(k, sims.shape[1] - 1)
+        if take <= 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "sim_sc": pa.array([], pa.int64())})
+        # per-row top-k: argpartition isolates each row's top `take`
+        # by sim, then ONE flat lexsort orders every row's candidates
+        # by (row, -sim, neighbor_id) — no per-row Python. Float-sim
+        # boundary ties share knn_brute's (rare, continuous-sim)
+        # caveat.
+        cand = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        row_idx = np.repeat(rows, take)
+        c_flat = cand.ravel()
+        s_flat = sims[row_idx, c_flat]
+        n_flat = corpus_ids[c_flat]
+        order = np.lexsort((n_flat, -s_flat, row_idx))
+        sim = s_flat[order]
+        sim_sc = (np.sign(sim) * np.floor(np.abs(sim) * 10000 + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            "query_id": pa.array(ids[row_idx[order]], pa.int64()),
+            "neighbor_id": pa.array(n_flat[order], pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, take + 1), len(ids)),
+                             pa.int64()),
+            "sim_sc": pa.array(sim_sc, pa.int64()),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -44,3 +44,50 @@ def test_ivf_recall_on_clustered_sorted_corpus(ray_session):
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, recall
     assert len({q for q, _ in ivf}) == len(qs)
+
+
+def test_knn_graph_vs_bruteforce(ray_session):
+    """knn_graph equals the numpy brute force for every row (rank
+    order by -sim with id tie-break on a seeded corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.stages.ann import knn_graph
+
+    rng = np.random.default_rng(5)
+    n, d, k = 60, 8, 4
+    m = rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m]),
+    })
+    out = knn_graph(ray.data.from_arrow(tbl).repartition(3), k=k) \
+        .to_pandas().sort_values(["query_id", "rank"])
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    for qi in range(n):
+        o = np.lexsort((ids, -sims[qi]))[:k]
+        got = out[out.query_id == ids[qi]]
+        assert list(got["neighbor_id"]) == list(ids[o]), ids[qi]
+        np.testing.assert_array_equal(
+            got["sim_sc"].to_numpy(),
+            (np.sign(sims[qi][o]) *
+             np.floor(np.abs(sims[qi][o]) * 10000 + 0.5)).astype(np.int64))
+
+
+def test_knn_graph_cap_raises(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    import pytest
+    from mhray.stages.ann import knn_graph
+
+    tbl = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]] * 3)})
+    with pytest.raises(ValueError, match="exact baseline"):
+        knn_graph(ray.data.from_arrow(tbl), k=2, corpus_cap=2)

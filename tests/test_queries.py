@@ -73,7 +73,7 @@ ORACLE_CHECKED = [
     "ev_bursts", "d_dup_by_source", "ev_dau", "ev_running_total",
     "d_mixture_sample",
 ]
-ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
+ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca", "e_knn_graph",
              "d_dup_clusters", "ev_motif", "d_bloom_new",
              "d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
