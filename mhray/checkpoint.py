@@ -61,7 +61,7 @@ def input_fingerprint(path: str) -> str:
         if os.path.isdir(path) else [path]
     parts = [
         f"{os.path.basename(f)}:{pq.ParquetFile(f).metadata.num_rows}"
-        f":{os.path.getsize(f)}"
+        f":{os.path.getsize(f)}:{int(os.path.getmtime(f))}"
         for f in files
     ]
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
@@ -69,7 +69,8 @@ def input_fingerprint(path: str) -> str:
 
 def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
                      resume: bool = True, persist: bool = True,
-                     parents: tuple = ()) -> "ray.data.Dataset":
+                     parents: tuple = (),
+                     empty_schema=None) -> "ray.data.Dataset":
     """Run ``compute() -> Dataset`` with checkpoint/resume semantics.
 
     On success the stage directory holds partitioned parquet, a
@@ -131,6 +132,21 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
     if os.path.exists(marker):
         os.remove(marker)
     ds.write_parquet(data_dir)
+    if not any(f.endswith(".parquet") for f in os.listdir(data_dir)):
+        # an all-empty stage writes ZERO files; reading that back later
+        # yields a schema-less dataset and the first select_columns
+        # downstream dies. Persist one typed empty file instead.
+        import pyarrow as pa
+
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", schema)
+        if not isinstance(base, pa.Schema):
+            # an all-empty computed Dataset can lose its schema
+            # entirely; callers with a fixed stage schema pass it
+            base = empty_schema
+        if isinstance(base, pa.Schema):
+            pq.write_table(base.empty_table(),
+                           os.path.join(data_dir, "empty.parquet"))
     lineage = _lineage(data_dir)
     manifest = {
         "stage": name,

@@ -949,7 +949,12 @@ def weighted_sample_keys(k: np.ndarray, w: np.ndarray) -> np.ndarray:
     31 bits so BIGINT engines don't overflow), so a DuckDB oracle
     reproduces the selection bit-for-bit."""
     k = np.asarray(k, dtype=np.int64)
-    x = (k * 2654435761) % 4294967296
+    # mask to 32 bits BEFORE the multiply: int64 wraps silently past
+    # k ~= 3.5e9 (a BIGINT SQL engine errors instead), and distinct
+    # ids congruent mod 2^32 must not share a key — fold the high
+    # half in first
+    k32 = (k % 4294967296) ^ (k >> 32)
+    x = ((k32 % 4294967296) * 2654435761) % 4294967296
     x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
     x = x ^ (x >> 13)
     return np.log((x + 0.5) / 4294967296.0) / np.asarray(w, np.float64)

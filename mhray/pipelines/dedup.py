@@ -23,14 +23,13 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
 from mhray.checkpoint import input_fingerprint, stage_checkpoint, stage_digest
 from mhray.config import MhapConfig
 from mhray.stages.candidates import (_part_of, explode_phash_bands,
-                                     make_emit_pairs, minhash_candidates)
+                                     minhash_candidates)
 from mhray.stages.cluster import assign_clusters, cluster_edges
 from mhray.stages.sketch import sketch_dataset
 from mhray.stages.verify import verify_candidates
@@ -149,9 +148,14 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         cands = minhash_candidates(rep_rows, cfg, num_parts)
         return verify_candidates(cands, rep_rows, cfg, num_parts)
 
+    s2_schema = pa.schema([
+        ("lo", pa.int64()), ("hi", pa.int64()),
+        ("shared_slots", pa.int64()), ("score", pa.float64()),
+        ("raw_score", pa.float64()), ("a1", pa.int32()),
+        ("a2", pa.int32()), ("b1", pa.int32()), ("b2", pa.int32())])
     rep_pairs = stage_checkpoint("s2_rep_pairs", out_dir, compute_rep_pairs,
                                  cfg, resume=resume, persist=persist,
-                                 parents=(d1,))
+                                 parents=(d1,), empty_schema=s2_schema)
     d2 = stage_digest(out_dir, "s2_rep_pairs")
 
     # s3: image axis (pHash banding) + final caption gate, fused ---------
@@ -161,11 +165,10 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
     # expansion — random 16-bit band collisions (the quadratic cost at
     # scale) die without ever materializing row pairs.
     def compute_final_pairs():
-        from mhray.kernels import hamming64
         from mhray.rayutil import attach_payload
         from mhray.stages.candidates import (_pair_part, _part_of,
                                              _upper_triangle_cols,
-                                             make_emit_pairs, make_pair_min)
+                                             make_pair_min)
 
         # --- pHash groups: (phash, members=packed (iid, rep_iid)) ----
         def add_ppart(batch: pa.Table) -> pa.Table:
@@ -355,14 +358,21 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             # broadcast the verified rep-pair scores (small side)
             import ray as _ray
 
-            rows = rep_pairs.select_columns(["lo", "hi", "score"]).to_pandas()
             pair_dt = np.dtype([("lo", "<i8"), ("hi", "<i8")])
-            side = np.empty(len(rows), dtype=pair_dt)
-            side["lo"] = rows["lo"].to_numpy(np.int64)
-            side["hi"] = rows["hi"].to_numpy(np.int64)
+            if n_rep_pairs == 0:
+                # a 0-row dataset comes back COLUMN-LESS from
+                # to_pandas (Ray 2.49) — build the empty side directly
+                side = np.empty(0, dtype=pair_dt)
+                scores_arr = np.empty(0, np.float64)
+            else:
+                rows = rep_pairs.select_columns(
+                    ["lo", "hi", "score"]).to_pandas()
+                side = np.empty(len(rows), dtype=pair_dt)
+                side["lo"] = rows["lo"].to_numpy(np.int64)
+                side["hi"] = rows["hi"].to_numpy(np.int64)
+                scores_arr = rows["score"].to_numpy(np.float64)
             order = np.argsort(side)
-            ref = _ray.put((side[order],
-                            rows["score"].to_numpy(np.float64)[order]))
+            ref = _ray.put((side[order], scores_arr[order]))
 
             def attach_score(batch: pa.Table) -> pa.Table:
                 side_s, sc = _ray.get(ref)
@@ -487,9 +497,12 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             batch_format="pyarrow")
         return deduped.drop_columns(["neg_score"])
 
+    s3_schema = pa.schema([
+        ("lo", pa.int64()), ("hi", pa.int64()),
+        ("hamming", pa.int32()), ("score", pa.float64())])
     final_pairs = stage_checkpoint("s3_pairs", out_dir, compute_final_pairs,
                                    cfg, resume=resume, persist=persist,
-                                   parents=(d1, d2))
+                                   parents=(d1, d2), empty_schema=s3_schema)
     d3 = stage_digest(out_dir, "s3_pairs")
 
     # s5: clusters ---------------------------------------------------------

@@ -508,7 +508,8 @@ def q_hash_sample(sf_dir: str):
 
     def keep(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
-        h = (k * 2654435761) % 4294967296
+        k32 = (k % 4294967296) ^ (k >> 32)  # 64-bit-id safe, no overflow
+        h = (k32 * 2654435761) % 4294967296
         return batch.filter(pa.array(h < int(0.05 * 4294967296)))
 
     return o.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -968,7 +969,8 @@ def q_stratified_sample(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         st = batch.column("o_orderstatus").to_pylist()
         k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
-        h = (k * 2654435761) % 4294967296
+        k32 = (k % 4294967296) ^ (k >> 32)  # 64-bit-id safe, no overflow
+        h = (k32 * 2654435761) % 4294967296
         codes, inv = np.unique(np.asarray(st), return_inverse=True)
         keep = np.zeros(len(k), dtype=bool)
         for g in range(len(codes)):
@@ -1550,7 +1552,8 @@ def d_mixture_sample(sf_dir: str):
     def keep(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column("doc_id"), dtype=np.int64)
         src = np.asarray(batch.column("source").to_pylist())
-        x = (k * 2654435761) % 4294967296
+        k32 = (k % 4294967296) ^ (k >> 32)  # 64-bit-id safe, no overflow
+        x = (k32 * 2654435761) % 4294967296
         x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
         x = x ^ (x >> 13)
         u = (x + 0.5) / 4294967296.0
@@ -2044,7 +2047,8 @@ ORACLE_SQL = {
     """,
     "q_hash_sample": """
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE (o_orderkey * 2654435761) % 4294967296
+        WHERE (xor(o_orderkey % 4294967296, o_orderkey // 4294967296)
+               * 2654435761) % 4294967296
               < CAST(0.05 * 4294967296 AS BIGINT)
     """,
     "ev_range_count": """
@@ -2060,7 +2064,9 @@ ORACLE_SQL = {
             SELECT o_orderstatus, o_orderkey,
                    ROW_NUMBER() OVER (
                        PARTITION BY o_orderstatus
-                       ORDER BY (o_orderkey * 2654435761) % 4294967296,
+                       ORDER BY (xor(o_orderkey % 4294967296,
+                                  o_orderkey // 4294967296)
+                             * 2654435761) % 4294967296,
                                 o_orderkey) AS rn
             FROM orders)
         WHERE rn <= 20
@@ -2199,7 +2205,9 @@ ORACLE_SQL = {
     "q_weighted_sample": """
         WITH h1 AS (
             SELECT o_orderkey, o_totalprice,
-                   (o_orderkey * 2654435761) % 4294967296 AS x1
+                   (xor(o_orderkey % 4294967296,
+                        o_orderkey // 4294967296)
+                       * 2654435761) % 4294967296 AS x1
             FROM orders WHERE o_totalprice > 0
         ),
         h2 AS (
@@ -2247,7 +2255,8 @@ ORACLE_SQL = {
     "d_mixture_sample": """
         WITH h1 AS (
             SELECT doc_id, source,
-                   (doc_id * 2654435761) % 4294967296 AS x1
+                   (xor(doc_id % 4294967296, doc_id // 4294967296)
+                       * 2654435761) % 4294967296 AS x1
             FROM documents
         ),
         h2 AS (

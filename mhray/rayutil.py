@@ -75,11 +75,12 @@ def _attach_broadcast(pairs_ds, key_col, side_ds, side_key, payload_cols,
 
 def scrub_blocks(ds, schema: pa.Schema | None = None, num_blocks: int = 8):
     """Remove schema-less empty blocks; optionally guarantee a typed
-    schema even for an all-empty dataset. The typed empty block leads
-    the union so a downstream join resolves its key schema from a
-    TYPED bundle even when every data block is schema-less (an
+    schema even for an all-empty dataset: a typed empty block is
+    unioned in AFTER the repartition (repartition of an ALL-empty
+    dataset strips every block's schema, so it must come first) so a
+    downstream join always sees at least one TYPED bundle — an
     all-empty candidate set otherwise fails the acero join with
-    'no match for key field')."""
+    'no match for key field'."""
     # repartition FIRST (absorbs schema-less empties into typed
     # neighbors when any data exists), then union the typed empty so
     # it survives — repartition of an ALL-empty dataset strips the
@@ -280,12 +281,29 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
     payload_types = {c: side_schema.field(c).type for c in payload_cols}
 
     # small side -> broadcast once via ray.put and look up per batch
-    # (no shuffle at all); large side -> union + partition merge below
+    # (no shuffle at all); large side -> union + partition merge below.
+    # The cutoff weighs BYTES as well as rows: a wide binary payload
+    # (sketches at ~KBs/row) hits driver memory long before the row
+    # threshold does
     try:
         n_side = side_ds.count()
     except Exception:
         n_side = None
-    if n_side is not None and n_side <= broadcast_threshold_rows:
+    side_bytes = None
+    if n_side is not None:
+        try:
+            from ray.data.dataset import MaterializedDataset
+
+            if isinstance(side_ds, MaterializedDataset):
+                # O(1) from block metadata; on a lazy dataset
+                # size_bytes() could execute the plan — skip there and
+                # let the row threshold govern
+                side_bytes = side_ds.size_bytes()
+        except Exception:
+            side_bytes = None
+    fits = (n_side is not None and n_side <= broadcast_threshold_rows
+            and (side_bytes is None or side_bytes <= 512 * 1024 * 1024))
+    if fits:
         return _attach_broadcast(pairs_ds, key_col, side_ds, side_key,
                                  payload_cols, out_suffix, how,
                                  pair_names, payload_types)

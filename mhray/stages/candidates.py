@@ -38,19 +38,6 @@ from mhray.config import MhapConfig
 INT32_MIN = np.iinfo(np.int32).min
 
 
-def coerce_schema(ds, schema: pa.Schema):
-    """Normalize empty schema-less blocks (emitted by sort-based
-    groupby on empty partitions) to a typed empty table — joins on the
-    result would otherwise fail with 'no match for key field'."""
-
-    def fix(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return schema.empty_table()
-        return batch.cast(schema) if batch.schema != schema else batch
-
-    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def auto_parts(requested=None, lo: int = 2, hi: int = 32):
     """Shuffle/join partition count clamped to the cluster CPU count —
     more join partitions than CPUs stalls the local hash-shuffle
@@ -255,6 +242,8 @@ def _pairs_within_groups(keys: np.ndarray, iids: np.ndarray, cap: int,
     smallest iids and mark their pairs capped. Returns
     (lo, hi, capped, n_dropped_ids[, payload_lo, payload_hi]).
     """
+    from mhray.kernels import _concat_aranges
+
     order = np.lexsort((iids, keys))
     k = keys[order]
     v = iids[order]
@@ -262,38 +251,23 @@ def _pairs_within_groups(keys: np.ndarray, iids: np.ndarray, cap: int,
     starts = np.flatnonzero(np.diff(k, prepend=k[0] - 1)) if len(k) else np.empty(0, np.int64)
     sizes = np.diff(np.append(starts, len(k)))
 
-    lo_parts, hi_parts, cap_parts = [], [], []
-    plo_parts, phi_parts = [], []
-    dropped = 0
-    multi = np.flatnonzero(sizes >= 2)
-    for gi in multi:
-        s = int(starts[gi])
-        g = int(sizes[gi])
-        if g > cap:
-            dropped += g - cap
-            g = cap
-        ids = v[s : s + g]
-        a_idx = np.repeat(np.arange(g), np.arange(g - 1, -1, -1))
-        b_idx = _upper_triangle_cols(g)
-        lo_parts.append(ids[a_idx])
-        hi_parts.append(ids[b_idx])
-        cap_parts.append(np.full(len(a_idx), sizes[gi] > cap, dtype=bool))
-        if p is not None:
-            plo_parts.append(p[s : s + g][a_idx])
-            phi_parts.append(p[s : s + g][b_idx])
-
-    if not lo_parts:
-        empty = np.empty(0, np.int64)
-        if payload is not None:
-            pempty = np.empty((0, payload.shape[1]) if payload.ndim == 2 else 0,
-                              np.int64)
-            return empty, empty, np.empty(0, bool), dropped, pempty, pempty
-        return empty, empty, np.empty(0, bool), dropped
-    lo = np.concatenate(lo_parts)
-    hi = np.concatenate(hi_parts)
-    capped = np.concatenate(cap_parts)
+    # fully vectorized ragged upper-triangle emission (no per-group
+    # Python — the LSH regime is hundreds of thousands of 2-member
+    # groups per partition): capped groups keep their first (smallest-
+    # iid) ``cap`` members; each kept row r of a g-member group pairs
+    # with the g-1-r rows after it.
+    gsz = np.minimum(sizes, cap)
+    dropped = int((sizes - gsz).sum())
+    row_local = _concat_aranges(gsz)                    # 0..g-1 per group
+    row_global = np.repeat(starts, gsz) + row_local     # into v/p
+    pairs_per_row = np.repeat(gsz, gsz) - 1 - row_local
+    a_pair = np.repeat(row_global, pairs_per_row)
+    b_pair = np.repeat(row_global + 1, pairs_per_row) \
+        + _concat_aranges(pairs_per_row)
+    lo, hi = v[a_pair], v[b_pair]
+    capped = np.repeat(sizes > cap, gsz * (gsz - 1) // 2)
     if payload is not None:
-        return lo, hi, capped, dropped, np.concatenate(plo_parts), np.concatenate(phi_parts)
+        return lo, hi, capped, dropped, p[a_pair], p[b_pair]
     return lo, hi, capped, dropped
 
 
@@ -435,6 +409,15 @@ def make_count_gate(min_matches: int):
         starts = np.flatnonzero(new_grp)
         sums = np.add.reduceat(cnt_s, starts) if len(starts) else np.empty(0, np.int64)
         keep = sums >= min_matches
+        if "capped" in part.column_names:
+            # a truncated LSH group undercounts shared slots — surface
+            # it per partition instead of dropping the flag silently
+            capped = np.asarray(part.column("capped"))[order]
+            n_capped = int(np.logical_or.reduceat(capped, starts)[keep]
+                           .sum()) if len(starts) else 0
+            if n_capped:
+                print(f"[mhray] count gate: {n_capped} surviving pairs "
+                      "have capped (undercounted) candidate groups")
         return pa.table({
             "lo": pa.array(lo_s[starts][keep], pa.int64()),
             "hi": pa.array(hi_s[starts][keep], pa.int64()),

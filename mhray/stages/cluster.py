@@ -154,9 +154,15 @@ def assign_clusters(sketches_ds, pair_clusters, num_partitions: int = 16,
     base = sketches_ds.select_columns(["image_id", "iid"])
     n = pair_clusters.count()
     if n <= broadcast_threshold:
-        rows = pair_clusters.to_pandas()
-        keys = rows["iid"].to_numpy(dtype=np.int64)
-        vals = rows["cluster_id"].to_numpy(dtype=np.int64)
+        if n == 0:
+            # a 0-row dataset comes back column-less from to_pandas
+            # (Ray 2.49): every node is then its own singleton
+            keys = np.empty(0, np.int64)
+            vals = np.empty(0, np.int64)
+        else:
+            rows = pair_clusters.to_pandas()
+            keys = rows["iid"].to_numpy(dtype=np.int64)
+            vals = rows["cluster_id"].to_numpy(dtype=np.int64)
         order = np.argsort(keys)
         ref = ray.put((keys[order], vals[order]))
 

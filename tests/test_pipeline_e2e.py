@@ -147,3 +147,33 @@ def test_partial_stage_attempt_is_discarded(small_corpus, ray_session,
     with open(os.path.join(out, "s1_sketches", "manifest.json")) as f:
         m = json.load(f)
     assert m["rows"] == 1000 and m["partitions"]
+
+
+def test_flagship_zero_pair_corpus_persist_and_resume(ray_session, tmp_path):
+    """A corpus with NO duplicates must run the persisted flagship end
+    to end (empty s2/s3 checkpoints round-trip with schema) and resume
+    from those empty checkpoints (regression: empty write_parquet
+    produced zero files -> schema-less read -> KeyError in s3)."""
+    import os
+
+    from mhray.config import PRESETS
+    from mhray.pipelines.dedup import run_dedup
+    from mhray.synth import SynthSpec, write_corpus
+
+    d = str(tmp_path / "corpus")
+    write_corpus(d, SynthSpec(n_rows=120, dup_fraction=0.0,
+                              near_miss_fraction=0.0,
+                              boilerplate_fraction=0.0,
+                              substring_fraction=0.0,
+                              short_caption_fraction=0.0, seed=17))
+    out = str(tmp_path / "run")
+    res = run_dedup(os.path.join(d, "images"), out, PRESETS["captions"],
+                    decode_pixels=True, num_parts=4, resume=True)
+    assert res["pairs"].count() == 0
+    cl = res["clusters"].to_pandas()
+    assert len(cl) == 120 and cl["cluster_id"].nunique() == 120
+    # resume path reads the typed empty checkpoints
+    res2 = run_dedup(os.path.join(d, "images"), out, PRESETS["captions"],
+                     decode_pixels=True, num_parts=4, resume=True)
+    assert res2["pairs"].count() == 0
+    assert res2["clusters"].count() == 120
