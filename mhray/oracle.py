@@ -62,8 +62,6 @@ def sketch_rows(captions: list[str], cfg: MhapConfig,
     """Shared sketch computation: stage-1 signature + stage-2 sketch."""
     h64, off64 = K.shingle_hashes64(captions, cfg.kmer_size)
     keys, counts, uoff = K.unique_in_first_occurrence_order(h64, off64)
-    if freq is not None and cfg.remove_unique == 1:
-        pass  # keep-filtering applied to weights below via keep_kmer
     weights = tfidf_weights(keys, counts, freq, cfg.repeat_weight)
     if freq is not None and cfg.remove_unique == 1:
         weights = np.where(freq.keep_kmer(keys), weights, 0)
@@ -133,9 +131,21 @@ def find_pairs(
                 continue
             if short_r and not short_q:
                 continue  # never short(match) to long(query)
+            if iids[r] == iids[q]:
+                # distinct rows sharing an iid violate the unique-id
+                # precondition every pair path assumes (the pipeline's
+                # strict lo<hi canonicalization silently drops them;
+                # processing here would emit the pair TWICE)
+                continue
+            lo, hi = (r, q) if iids[r] < iids[q] else (q, r)
+            # verify in canonical (lo, hi) orientation — the kernel is
+            # orientation-asymmetric near threshold (median tie-break,
+            # window clamping), and the distributed VerifyPairs always
+            # runs (lo, hi); the oracle must match it bit-for-bit, and
+            # a1..b2 must be lo-oriented like the pipeline's
             res = K.verify_pair(
-                bs[q][0], bs[q][1], bs[q][2],
-                bs[r][0], bs[r][1], bs[r][2],
+                bs[lo][0], bs[lo][1], bs[lo][2],
+                bs[hi][0], bs[hi][1], bs[hi][2],
                 cfg.ordered_kmer_size, cfg.max_shift,
             )
             if res is None or res.score < cfg.threshold:
@@ -146,7 +156,6 @@ def find_pairs(
                 or not (bands[q] == bands[r]).any()
             ):
                 continue
-            lo, hi = (r, q) if iids[r] < iids[q] else (q, r)
             out["lo_id"].append(image_ids[lo])
             out["hi_id"].append(image_ids[hi])
             out["score"].append(res.score)

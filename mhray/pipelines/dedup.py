@@ -78,7 +78,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             # spinning actors than sketching (measured: 16 actors beat
             # 30 by 20% at 50k rows; 30 wins at 500k)
             cpus = int(_ray.cluster_resources().get("CPU", 4))
-            hi = max(2, min(cpus - 2, n_rows // 3000))
+            hi = max(1, min(cpus - 2, n_rows // 3000))
             conc = (hi, hi)
         images = ray.data.read_parquet(images_path)
         sk = sketch_dataset(images, cfg, freq_ref=freq_ref,

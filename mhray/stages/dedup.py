@@ -705,9 +705,11 @@ def ngram_novelty(ds, shingle_words: int = 4, text_col: str = "text",
         first = np.ones(len(iid), dtype=bool)
         if len(iid) > 1:
             first[1:] = iid[1:] != iid[:-1]
-        gid = np.cumsum(first) - 1
-        tot_novel = np.bincount(gid, weights=novel).astype(np.int64)
-        tot_sh = n_sh[np.flatnonzero(first)]  # constant per doc
+        starts = np.flatnonzero(first)
+        # iid is sorted: reduceat keeps the per-doc sums integer-exact
+        tot_novel = np.add.reduceat(novel, starts) \
+            if len(starts) else np.empty(0, np.int64)
+        tot_sh = n_sh[starts]  # constant per doc
         scaled = tot_novel * 10000.0 / tot_sh
         bp = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
             .astype(np.int64)
@@ -775,9 +777,10 @@ def shingle_containment_pairs(ds, tau_bp: int = 8000, shingle_words: int = 4,
         first = np.ones(len(lo_s), dtype=bool)
         if len(lo_s) > 1:
             first[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
-        gid = np.cumsum(first) - 1
-        inter = np.bincount(gid, weights=n_s).astype(np.int64)
         starts = np.flatnonzero(first)
+        # pairs are sorted: reduceat keeps the sums integer-exact
+        inter = np.add.reduceat(n_s, starts) \
+            if len(starts) else np.empty(0, np.int64)
         lo_u, hi_u = lo_s[starts], hi_s[starts]
         mn = np.minimum(na_s[starts], nb_s[starts])
         keep = inter * 10000 >= tau_bp * mn
@@ -887,7 +890,7 @@ def minhash_text_pairs(ds, cfg: MhapConfig, text_col: str = "text",
     concurrency = None
     if n_rows_hint is not None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        hi = max(2, min(cpus - 2, n_rows_hint // 600))
+        hi = max(1, min(cpus - 2, n_rows_hint // 600))
         concurrency = (hi, hi)
         # a small table often arrives in fewer blocks than the pool
         # has actors; spread it so every actor gets work. num_blocks()

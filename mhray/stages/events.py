@@ -267,9 +267,14 @@ def gap_stats(ds, key_col: str, ts_col: str, num_parts: int | None = None):
         same[1:] = np.diff(key) == 0
         d = np.zeros(len(ts), dtype=np.int64)
         d[1:] = np.diff(ts)
-        keys, idx = np.unique(key, return_inverse=True)
-        n_gaps = np.bincount(idx, weights=same).astype(np.int64)
-        total = np.bincount(idx, weights=np.where(same, d, 0)).astype(np.int64)
+        keys = np.unique(key)
+        # key is sorted here: reduceat keeps the totals integer-exact
+        # (bincount accumulates float64 weights — off past 2^53 us)
+        starts = np.searchsorted(key, keys)
+        n_gaps = np.add.reduceat(same.astype(np.int64), starts) \
+            if len(starts) else np.empty(0, np.int64)
+        total = np.add.reduceat(np.where(same, d, 0), starts) \
+            if len(starts) else np.empty(0, np.int64)
         return pa.table({
             key_col: pa.array(keys, pa.int64()),
             "n_gaps": pa.array(n_gaps, pa.int64()),

@@ -14,8 +14,10 @@ impl/SequenceSketch.java:123-148 — because Arrow joins cannot carry
 nested list payload columns):
     image_id: string, iid: int64, minhash: binary (H x int32),
     bs_blob: binary ([seq_len][k][hashes][positions] int32),
-    caption_len: int32, caption_hash: int64, simhash: int64,
-    phash: int64, valid: bool
+    caption_len: int32, caption_hash: int64, phash: int64, valid: bool
+    (+ simhash: int64 when SketchStage(with_simhash=True) — opt-in,
+    not produced by the sketch_dataset default; + bitsig: binary when
+    cfg.bit_prefilter)
 
 Rows that yield zero shingles (the ZeroNGramsFoundException path,
 sketch/MinHashSketch.java:84-85) or fail the min-length filter
@@ -172,7 +174,10 @@ def sketch_dataset(images_ds, cfg: MhapConfig, freq_ref=None,
         # faster on a 500k-row corpus — the ramp from the min never
         # reaches the cap before the stage drains
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        hi = max(2, cpus - 2)
+        # floor 1, never the full CPU count: on a 2-CPU box max(2, ...)
+        # would equal the cluster size — the deadlock this cap exists
+        # to prevent
+        hi = max(1, cpus - 2)
         concurrency = (hi, hi)
     return images_ds.map_batches(
         SketchStage,

@@ -252,6 +252,9 @@ def top_terms(ds, k: int = 3, text_col: str = "text",
             id_col: pa.array(ids, pa.int64()),
             "token": tok,
             "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            # carry the already-computed token hash through the shuffle
+            # so attach_df doesn't re-encode + re-murmur every string
+            "th": pa.array(uniq[:, 1], pa.int64()),
             "tpart": pa.array(_part_of(uniq[:, 1], num_parts), pa.int32()),
         })
 
@@ -262,7 +265,7 @@ def top_terms(ds, k: int = 3, text_col: str = "text",
                              "tf": pa.array([], pa.int64()),
                              "df": pa.array([], pa.int64()),
                              "dpart": pa.array([], pa.int32())})
-        h = hash_strings64(part.column("token"))
+        h = np.asarray(part.column("th"), dtype=np.int64)
         order = np.argsort(h, kind="stable")
         h_s = h[order]
         new = np.ones(len(h_s), dtype=bool)
@@ -370,19 +373,31 @@ def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
         if len(h_s) > 1:
             first[1:] = np.diff(h_s) != 0
         starts = np.flatnonzero(first)
-        gid = np.cumsum(first) - 1
-        tot = np.bincount(gid, weights=p[order]).astype(np.int64)
+        tot = np.add.reduceat(p[order], starts) \
+            if len(starts) else np.empty(0, np.int64)
         uniq = part.column("ngram").take(pa.array(order[starts], pa.int64()))
         # shrink to a candidate set BEFORE materializing any strings:
-        # only n-grams with count >= the k-th largest count can make
-        # the top-k (ties keep the set slightly larger than k)
+        # counts strictly above the k-th largest are in for sure; the
+        # BOUNDARY count group is resolved lexically with an Arrow
+        # sort over just that slice — never a fixed-width numpy
+        # unicode matrix (on diverse text most grams tie at count 1,
+        # so the boundary group can be the whole vocabulary)
         if len(tot) > k:
+            import pyarrow.compute as pc
+
             kth = np.partition(tot, len(tot) - k)[len(tot) - k]
-            cand = np.flatnonzero(tot >= kth)
+            above = np.flatnonzero(tot > kth)
+            need = k - len(above)
+            bound = np.flatnonzero(tot == kth)
+            if len(bound) > need:
+                b_arr = uniq.take(pa.array(bound, pa.int64()))
+                sel = np.asarray(pc.sort_indices(b_arr))[:need]
+                bound = bound[sel]
+            cand = np.concatenate([above, bound])
         else:
             cand = np.arange(len(tot))
         grams = np.asarray(uniq.take(pa.array(cand, pa.int64()))
-                           .to_pylist())  # '<U' dtype: lexsort-able
+                           .to_pylist())  # <=k strings
         top = cand[np.lexsort((grams, -tot[cand]))[:k]]
         return pa.table({
             "ngram": uniq.take(pa.array(top, pa.int64())),
@@ -591,7 +606,7 @@ def winnow_fingerprints(batch: pa.Table, k: int = 8, window: int = 4,
     texts = batch.column(text_col).to_pylist()
     ids = np.asarray(batch.column(id_col))
     hashes, offs = shingle_hashes64(texts, k)
-    out_ids, out_fps, out_pos = [], [], []
+    out_ids, out_fps = [], []
     for i in range(len(texts)):
         seg = hashes[offs[i]: offs[i + 1]]
         if len(seg) == 0:
@@ -604,7 +619,6 @@ def winnow_fingerprints(batch: pa.Table, k: int = 8, window: int = 4,
         sel = np.unique(seg[mins])
         out_ids.append(np.full(len(sel), ids[i]))
         out_fps.append(sel)
-        out_pos.append(mins[:len(sel)])
     if not out_ids:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "fingerprint": pa.array([], pa.int64())})
