@@ -47,6 +47,11 @@ def knn_brute(ds, query_ids: list[int], k: int = 5,
     q_rows = ds.filter(
         expr=f"{id_col} in {[int(q) for q in query_ids]}"
     ).take_all()
+    if not q_rows:  # absent query ids -> empty result, not an AxisError
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
     qid = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qm = _normalize(np.array([r[emb_col] for r in q_rows], dtype=np.float64))
     order = np.argsort(qid)
@@ -82,6 +87,13 @@ def knn_brute(ds, query_ids: list[int], k: int = 5,
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               zero_copy_batch=True)
+    return partials.groupby("query_id").map_groups(_make_final_topk(k),
+                                                   batch_format="pyarrow")
+
+
+def _make_final_topk(k: int):
+    """Per-query rank reducer shared by knn_brute and ivf_knn: order
+    partial candidates by (-sim, neighbor_id), emit rank 1..k."""
 
     def final_topk(group: pa.Table) -> pa.Table:
         sims = np.asarray(group.column("sim"))
@@ -93,8 +105,7 @@ def knn_brute(ds, query_ids: list[int], k: int = 5,
             "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
         })
 
-    return partials.groupby("query_id").map_groups(final_topk,
-                                                   batch_format="pyarrow")
+    return final_topk
 
 
 def _pack_rows(m: np.ndarray) -> pa.Array:
@@ -126,10 +137,12 @@ def _hash_bottom_sample(ds, n_sample: int, seed: int, id_col: str,
     small before the tiny global sort. Shared by the IVF coarse
     quantizer and k-means init."""
 
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15)
+                         & 0xFFFFFFFFFFFFFFFF)  # wrapped once, silently
+
     def partial_sample(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        x = ids.view(np.uint64) ^ (np.uint64(seed)
-                                   * np.uint64(0x9E3779B97F4A7C15))
+        x = ids.view(np.uint64) ^ seed_mix
         x ^= x >> np.uint64(33)
         x *= np.uint64(0xFF51AFD7ED558CCD)
         x ^= x >> np.uint64(33)
@@ -142,10 +155,12 @@ def _hash_bottom_sample(ds, n_sample: int, seed: int, id_col: str,
             "vec": _pack_rows(_embedding_matrix(batch, emb_col)[idx]),
         })
 
-    sample_tbl = ds.map_batches(partial_sample, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-        .sort("h").limit(n_sample).take_batch(n_sample,
-                                              batch_format="pyarrow")
+    cand = ds.map_batches(partial_sample, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort("h").limit(n_sample).materialize()
+    if cand.count() == 0:
+        return np.empty((0, 0))  # empty corpus -> empty sample
+    sample_tbl = cand.take_batch(n_sample, batch_format="pyarrow")
     dim = sample_tbl.column("vec").type.byte_width // 8
     return _unpack_rows(sample_tbl.column("vec"), dim)
 
@@ -368,10 +383,8 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
 def lsh_buckets(ds, n_bits: int = 12, seed: int = 7,
                 id_col: str = "vec_id", emb_col: str = "embedding"):
     """(iid, bucket) via random-hyperplane sign LSH."""
-    planes_ref = None
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        nonlocal planes_ref
         m = _embedding_matrix(batch, emb_col)
         planes = _hyperplanes(m.shape[1], n_bits, seed)
         signs = (m @ planes.T) > 0  # (B, n_bits)
@@ -400,10 +413,19 @@ def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
 
     # coarse centroids from the shared deterministic hash-bottom
     # uniform sample (also the k-means init), cosine-normalized
-    sm = _normalize(_hash_bottom_sample(ds, max(512, n_cells * 16), seed,
-                                        id_col, emb_col))
+    _EMPTY = pa.table({"query_id": pa.array([], pa.int64()),
+                       "neighbor_id": pa.array([], pa.int64()),
+                       "rank": pa.array([], pa.int64())})
+    sm = _hash_bottom_sample(ds, max(512, n_cells * 16), seed,
+                             id_col, emb_col)
+    if len(sm) == 0:  # empty corpus -> empty result, not a crash
+        return ray.data.from_arrow(_EMPTY)
+    sm = _normalize(sm)
     rng = np.random.default_rng(seed)
-    cent = sm[rng.choice(len(sm), size=n_cells, replace=False)]
+    # corpora smaller than the cell count get one cell per sample row
+    cent = sm[rng.choice(len(sm), size=min(n_cells, len(sm)),
+                         replace=False)]
+    n_cells = len(cent)
     for _ in range(lloyd_iters):
         assign = np.argmax(sm @ cent.T, axis=1)
         for c in range(n_cells):
@@ -416,6 +438,8 @@ def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     cent_ref = ray.put(cent)
 
     q_rows = ds.filter(expr=f"{id_col} in {[int(q) for q in query_ids]}").take_all()
+    if not q_rows:  # absent query ids -> empty result
+        return ray.data.from_arrow(_EMPTY)
     qid = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qm = _normalize(np.array([r[emb_col] for r in q_rows], dtype=np.float64))
     q_cells = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
@@ -452,18 +476,7 @@ def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-
-    def final_topk(group: pa.Table) -> pa.Table:
-        sims = np.asarray(group.column("sim"))
-        nbr = np.asarray(group.column("neighbor_id"))
-        order = np.lexsort((nbr, -sims))[:k]
-        return pa.table({
-            "query_id": group.column("query_id").take(order),
-            "neighbor_id": pa.array(nbr[order], pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-        })
-
-    return partials.groupby("query_id").map_groups(final_topk,
+    return partials.groupby("query_id").map_groups(_make_final_topk(k),
                                                    batch_format="pyarrow")
 
 
@@ -648,12 +661,19 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
     Returns (query_id, neighbor_id, rank, sim_sc) with sim scaled to
     integer 1e-4 (engine-independent reporting; ranks use the full
     float)."""
-    n = ds.count()
+    side = ds.select_columns([id_col, emb_col]).materialize()
+    n = side.count()  # one execution: guard, corpus fetch and the
+    # final map below all consume the materialized selection
     if n > corpus_cap:
         raise ValueError(
             f"knn_graph is the exact baseline ({n} rows > {corpus_cap}): "
             "partition by IVF cell (stages.ann.ivf_knn shape) at scale")
-    side = ds.select_columns([id_col, emb_col])
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "sim_sc": pa.array([], pa.int64())}))
     tbl = pa.concat_tables([ray.get(r) for r in side.to_arrow_refs()],
                            promote_options="default")
     ids_all = np.asarray(tbl.column(id_col), dtype=np.int64)
@@ -699,5 +719,5 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
             "sim_sc": pa.array(sim_sc, pa.int64()),
         })
 
-    return ds.map_batches(topk, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return side.map_batches(topk, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -477,41 +477,52 @@ def minhash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):
     gated = pairs.groupby("pair_part", num_partitions=num_parts).map_groups(
         make_count_gate(cfg.num_min_matches), batch_format="pyarrow")
     if cfg.min_store_length > 0:
-        # MinHashSearch.java:210-225: a pair survives only if at least
-        # one side is >= min_store_length ("never short to short"; the
-        # other two clauses only prevent double-processing in the
-        # reference's probe loop, not membership). Applied between the
-        # count gate and verify, where the pair table is smallest.
-        from mhray.rayutil import attach_payload
-
+        # MinHashSearch.java:210-225: membership is "never short to
+        # short" (the other two clauses only prevent double-processing
+        # in the reference's probe loop). Applied between the count
+        # gate and verify, where the pair table is smallest.
         side = sketches_ds.select_columns(["iid", "caption_len"])
-        side_schema = pa.schema([("iid", pa.int64()),
-                                 ("caption_len", pa.int32())])
-        pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
-                                 ("shared_slots", pa.int64())])
-        g = attach_payload(gated, "lo", side, "iid", ("caption_len",), "lo",
-                           num_parts, pairs_schema=pair_schema,
-                           side_schema=side_schema)
-        mid = pa.schema(list(pair_schema) + [pa.field("caption_len_lo",
-                                                      pa.int32())])
-        g = attach_payload(g, "hi", side, "iid", ("caption_len",), "hi",
-                           num_parts, pairs_schema=mid,
-                           side_schema=side_schema)
-        msl = cfg.min_store_length
-
-        def store_gate(batch: pa.Table) -> pa.Table:
-            ll = np.asarray(batch.column("caption_len_lo"), np.int32)
-            lh = np.asarray(batch.column("caption_len_hi"), np.int32)
-            keep = pa.array(~((ll < msl) & (lh < msl)))
-            return pa.table({
-                "lo": batch.column("lo").filter(keep),
-                "hi": batch.column("hi").filter(keep),
-                "shared_slots": batch.column("shared_slots").filter(keep),
-            })
-
-        gated = g.map_batches(store_gate, batch_format="pyarrow",
-                              zero_copy_batch=True)
+        gated = apply_store_length_gate(gated, side, side,
+                                        cfg.min_store_length, num_parts)
     return gated
+
+
+def apply_store_length_gate(gated, lo_side, hi_side, msl: int,
+                            num_parts: int):
+    """The min_store_length membership rule shared by the self-join and
+    the query-vs-index mode — "never short to short"
+    (MinHashSearch.java:210-212): a (lo, hi, shared_slots) pair
+    survives only if at least one side's caption_len >= ``msl``.
+    ``lo_side`` / ``hi_side`` are (iid, caption_len) datasets (the same
+    table twice for the self-join; query and index tables for the
+    incremental cross mode)."""
+    from mhray.rayutil import attach_payload
+
+    side_schema = pa.schema([("iid", pa.int64()),
+                             ("caption_len", pa.int32())])
+    pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                             ("shared_slots", pa.int64())])
+    g = attach_payload(gated, "lo", lo_side, "iid", ("caption_len",),
+                       "lo", num_parts, pairs_schema=pair_schema,
+                       side_schema=side_schema)
+    mid = pa.schema(list(pair_schema) + [pa.field("caption_len_lo",
+                                                  pa.int32())])
+    g = attach_payload(g, "hi", hi_side, "iid", ("caption_len",),
+                       "hi", num_parts, pairs_schema=mid,
+                       side_schema=side_schema)
+
+    def store_gate(batch: pa.Table) -> pa.Table:
+        ll = np.asarray(batch.column("caption_len_lo"), np.int32)
+        lh = np.asarray(batch.column("caption_len_hi"), np.int32)
+        keep = pa.array(~((ll < msl) & (lh < msl)))
+        return pa.table({
+            "lo": batch.column("lo").filter(keep),
+            "hi": batch.column("hi").filter(keep),
+            "shared_slots": batch.column("shared_slots").filter(keep),
+        })
+
+    return g.map_batches(store_gate, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def phash_candidates(sketches_ds, cfg: MhapConfig, num_parts: int = 64):

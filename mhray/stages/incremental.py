@@ -154,35 +154,14 @@ def find_matches(query_ds, index, cfg: MhapConfig,
 
     if cfg.min_store_length > 0:
         # toSelf=false keeps only "never short to short"
-        # (MinHashSearch.java:210-212)
-        pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
-                                 ("shared_slots", pa.int64())])
-        side_schema = pa.schema([("iid", pa.int64()),
-                                 ("caption_len", pa.int32())])
-        g = attach_payload(gated, "lo",
-                           query_sk.select_columns(["iid", "caption_len"]),
-                           "iid", ("caption_len",), "lo", num_parts,
-                           pairs_schema=pair_schema, side_schema=side_schema)
-        mid = pa.schema(list(pair_schema) + [pa.field("caption_len_lo",
-                                                      pa.int32())])
-        g = attach_payload(g, "hi",
-                           index_sk.select_columns(["iid", "caption_len"]),
-                           "iid", ("caption_len",), "hi", num_parts,
-                           pairs_schema=mid, side_schema=side_schema)
-        msl = cfg.min_store_length
+        # (MinHashSearch.java:210-212) — the shared gate, with the two
+        # independent iid spaces as lo/hi sides
+        from mhray.stages.candidates import apply_store_length_gate
 
-        def store_gate(batch: pa.Table) -> pa.Table:
-            ll = np.asarray(batch.column("caption_len_lo"), np.int32)
-            lh = np.asarray(batch.column("caption_len_hi"), np.int32)
-            keep = pa.array(~((ll < msl) & (lh < msl)))
-            return pa.table({
-                "lo": batch.column("lo").filter(keep),
-                "hi": batch.column("hi").filter(keep),
-                "shared_slots": batch.column("shared_slots").filter(keep),
-            })
-
-        gated = g.map_batches(store_gate, batch_format="pyarrow",
-                              zero_copy_batch=True)
+        gated = apply_store_length_gate(
+            gated, query_sk.select_columns(["iid", "caption_len"]),
+            index_sk.select_columns(["iid", "caption_len"]),
+            cfg.min_store_length, num_parts)
 
     # verify needs each side's bottom sketch from ITS OWN table (the
     # two iid spaces are independent) — attach query side then index

@@ -40,7 +40,9 @@ def ntile(ds, n_buckets: int, val_col: str, id_col: str,
     """Append ``bucket_col`` = NTILE(n_buckets) OVER (ORDER BY val_col,
     id_col) to every row. (val_col, id_col) must be unique per row
     (id_col unique suffices), which makes the rank — and therefore the
-    bucket — engine-independent.
+    bucket — engine-independent. ``val_col`` must be NaN-free (NTILE
+    ordering over NaN is undefined); a NaN landing on a bucket
+    boundary raises rather than silently collapsing the bucket.
     """
     sorted_ds = ds.sort([val_col, id_col]).materialize()
     blocks = []  # (ref, num_rows) in sorted order
@@ -79,6 +81,13 @@ def ntile(ds, n_buckets: int, val_col: str, id_col: str,
     bvals = np.array([x[0] for x in bounds])
     bids = np.array([x[1] for x in bounds])
     bbuckets = np.array([x[2] for x in bounds], np.int64)
+    if bvals.dtype.kind == "f" and np.isnan(bvals).any():
+        # a NaN boundary makes every >=-comparison False and silently
+        # collapses that bucket for ALL rows — refuse loudly instead
+        raise ValueError(
+            f"ntile: {val_col} contains NaN at a bucket boundary; "
+            "NTILE ordering over NaN is undefined — filter or fill "
+            "the column first")
 
     def assign(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column(val_col))

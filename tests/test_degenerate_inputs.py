@@ -152,3 +152,54 @@ def test_new_operators_degenerate_inputs(ray_session):
     r = {x["id"]: x["bucket"]
          for x in ntile(ray.data.from_arrow(te), 4, "v", "id").take_all()}
     assert [r[i] for i in range(10)] == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_ann_ops_survive_tiny_and_empty_corpora(ray_session):
+    """Review regressions: ivf_knn on a corpus smaller than n_cells,
+    kNN ops with absent query ids, and every sampler-backed op on an
+    EMPTY corpus must return empty results, not crash."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.stages.ann import ivf_knn, kmeans, knn_brute, knn_graph, semdedup
+
+    rng = np.random.default_rng(2)
+    tiny = pa.table({
+        "vec_id": pa.array(np.arange(10), pa.int64()),
+        "embedding": pa.array([list(map(float, r))
+                               for r in rng.normal(size=(10, 4))]),
+    })
+    tiny_ds = ray.data.from_arrow(tiny)
+
+    # fewer rows than the default 16 cells
+    out = ivf_knn(tiny_ds, [0, 1], k=3, n_cells=16).to_pandas()
+    assert set(out["query_id"]) == {0, 1}
+
+    # absent query ids -> empty, not AxisError
+    assert knn_brute(tiny_ds, [999], k=3).count() == 0
+    assert ivf_knn(tiny_ds, [999], k=3).count() == 0
+
+    empty_ds = tiny_ds.filter(expr="vec_id > 100")
+    assert knn_graph(empty_ds, k=3).count() == 0
+    assert semdedup(empty_ds, n_clusters=2).count() == 0
+    assert ivf_knn(empty_ds, [0], k=3).count() == 0
+    _, assign = kmeans(empty_ds, n_clusters=2, iters=1)
+    assert assign.count() == 0
+
+
+def test_ntile_nan_boundary_raises(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from mhray.stages.quantile import ntile
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([1.0, 2.0, float("nan"), float("nan")],
+                      pa.float64()),
+    })
+    with pytest.raises(ValueError, match="NaN"):
+        ntile(ray.data.from_arrow(tbl), 2, "v", "doc_id").to_pandas()
