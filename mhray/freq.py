@@ -86,10 +86,17 @@ class FreqTable:
                     freqs.append(float(parts[1]))
         if not kmers:
             return cls.empty(**kw)
-        hashes = np.concatenate(
-            [shingle_hashes64([k], len(k))[0] for k in kmers]
-        )
-        return cls(hashes, np.asarray(freqs), **kw)
+        # batch the hash kernel per k-mer LENGTH group (one kernel
+        # call per distinct length, not one per line — filter files
+        # are millions of lines)
+        freqs_arr = np.asarray(freqs)
+        lens = np.fromiter((len(k) for k in kmers), np.int64, len(kmers))
+        hashes = np.empty(len(kmers), np.uint64)
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            hashes[idx] = shingle_hashes64([kmers[i] for i in idx],
+                                           int(L))[0]
+        return cls(hashes, freqs_arr, **kw)
 
     # -- lookups (vectorized) --------------------------------------------
     def _idf_scalar(self, freq: float) -> float:
@@ -128,7 +135,13 @@ class FreqTable:
         if found.any():
             idf = np.log(self.max_value / freqs[found] - self.offset)
             scale = (self.max_idf - self.min_idf) / (self.idf_range - 1.0)
-            out[found] = 1.0 + (idf - self.min_idf) / scale
+            if scale == 0.0:
+                # every surviving frequency equals the cutoff: the idf
+                # band is a point — weight all found keys 1.0 instead
+                # of dividing to NaN (whose int cast is C-undefined)
+                out[found] = 1.0
+            else:
+                out[found] = 1.0 + (idf - self.min_idf) / scale
         if self.remove_unique == 2:
             # absent kmers suppressed like the most frequent ones (:294-295)
             out[~found] = 1.0

@@ -75,13 +75,6 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
 
 
-def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
-    for c, nd in cols.items():
-        i = tbl.column_names.index(c)
-        tbl = tbl.set_column(i, c, pc.round(tbl.column(c), ndigits=nd))
-    return tbl
-
-
 # ---------------------------------------------------------------------------
 # relational operators (sources, filters, aggregates, joins, sorts)
 # ---------------------------------------------------------------------------
@@ -510,7 +503,10 @@ def q_hash_sample(sf_dir: str):
         k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
         k32 = (k % 4294967296) ^ (k >> 32)  # 64-bit-id safe, no overflow
         h = (k32 * 2654435761) % 4294967296
-        return batch.filter(pa.array(h < int(0.05 * 4294967296)))
+        # explicit integer literal shared with the SQL oracle:
+        # int(0.05*2^32) truncates to ...364 while a decimal CAST
+        # rounds to ...365 — a one-row divergence at scale
+        return batch.filter(pa.array(h < 214748364))
 
     return o.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -976,7 +972,10 @@ def q_stratified_sample(sf_dir: str):
         for g in range(len(codes)):
             rows = np.flatnonzero(inv == g)
             if len(rows) > n_per:
-                rows = rows[np.argpartition(h[rows], n_per - 1)[:n_per]]
+                # (h, key) order like the final stage and the oracle:
+                # argpartition on h alone keeps an arbitrary member of
+                # a 32-bit-collision tie at the cut boundary
+                rows = rows[np.lexsort((k[rows], h[rows]))[:n_per]]
             keep[rows] = True
         return pa.table({
             "o_orderstatus": pa.array(np.asarray(st)[keep]),
@@ -1557,8 +1556,15 @@ def d_mixture_sample(sf_dir: str):
         x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
         x = x ^ (x >> 13)
         u = (x + 0.5) / 4294967296.0
-        src_num = np.char.lstrip(src, "src")  # "src12" -> "12"
-        rate = np.where(src_num.astype(np.int64) % 2 == 0, 0.8, 0.2)
+        # first digit run, exactly like the oracle's regexp_extract
+        # (np.char.lstrip strips a CHARACTER SET, not a prefix, and
+        # crashes on any source without digits)
+        import re as _re
+
+        usrc, inv = np.unique(src, return_inverse=True)
+        nums = np.array([int(m.group()) if (m := _re.search(r"\d+", v))
+                         else 1 for v in usrc], np.int64)
+        rate = np.where(nums[inv] % 2 == 0, 0.8, 0.2)
         m = pa.array(u < rate)
         return pa.table({"doc_id": batch.column("doc_id").filter(m),
                          "source": batch.column("source").filter(m)})
@@ -2049,7 +2055,7 @@ ORACLE_SQL = {
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE (xor(o_orderkey % 4294967296, o_orderkey // 4294967296)
                * 2654435761) % 4294967296
-              < CAST(0.05 * 4294967296 AS BIGINT)
+              < 214748364
     """,
     "ev_range_count": """
         SELECT user_id, event_id,

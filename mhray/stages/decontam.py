@@ -114,9 +114,15 @@ def decontaminate(docs, bench, n: int = 8, *, id_col: str = "doc_id",
     partials = bench.map_batches(bench_partial, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
 
-    if partials.count() <= broadcast_threshold:
-        rows = partials.take_all()
-        bkeys = np.unique(np.array([r["key"] for r in rows], np.int64))
+    n_partials = partials.count()
+    if n_partials <= broadcast_threshold:
+        if n_partials == 0:  # empty bench: concat would lose the schema
+            bkeys = np.empty(0, np.int64)
+        else:
+            tbl = pa.concat_tables(
+                [ray.get(r) for r in partials.to_arrow_refs()],
+                promote_options="default")
+            bkeys = np.unique(np.asarray(tbl.column("key"), np.int64))
         ref = ray.put(bkeys)
 
         def score(batch: pa.Table) -> pa.Table:

@@ -64,10 +64,22 @@ def pack_sequences(ds, budget: int, *, id_col: str = "doc_id",
         if tokens_col is not None:
             nt = np.asarray(batch.column(tokens_col), np.int64)
         else:
-            from mhray.stages.decontam import _token_hash_stream
+            # token COUNT only: whitespace-split lengths — hashing
+            # every token (the decontam stream) is wasted CPU here
+            import pyarrow.compute as pc
 
-            _, lens = _token_hash_stream(batch.column(text_col).to_pylist())
-            nt = lens.astype(np.int64)
+            from mhray.stages.text import _WS
+
+            split = pc.split_pattern_regex(batch.column(text_col),
+                                           f"[{_WS}]+")
+            if isinstance(split, pa.ChunkedArray):
+                split = split.combine_chunks()
+            flat = split.flatten()
+            per_doc = np.diff(np.asarray(split.offsets, np.int64))
+            nonempty = np.asarray(pc.utf8_length(flat)) > 0
+            parent = np.repeat(np.arange(len(per_doc)), per_doc)
+            nt = np.bincount(parent[nonempty],
+                             minlength=len(per_doc)).astype(np.int64)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "n_tokens": pa.array(nt, pa.int64()),

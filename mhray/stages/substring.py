@@ -51,9 +51,11 @@ def _window_hashes(prefix: np.ndarray, invpow: np.ndarray, L: int) -> np.ndarray
 
 
 def longest_common_substring_len(a: str, b: str, at_least: int = 0) -> int:
-    """Length of the longest common substring via binary search over
-    candidate lengths with rolling window-hash sets
-    (O((n+m) log min(n,m)) total; each probe is O(n+m)).
+    """Length of the longest common substring — measured in UTF-16
+    code units, the same coordinate space the window hashes (and the
+    fingerprint grams) live in; equal to characters for BMP text —
+    via binary search over candidate lengths with rolling window-hash
+    sets (O((n+m) log min(n,m)) total; each probe is O(n+m)).
 
     With ``at_least`` > 0, first runs ONE probe at that length and
     returns 0 immediately when no common substring reaches it — the
@@ -68,18 +70,21 @@ def longest_common_substring_len(a: str, b: str, at_least: int = 0) -> int:
     pb_, ib_ = _hash_prep(units_b)
 
     def has_common(L: int) -> bool:
-        if L > len(a) or L > len(b):
+        if L > len(units_a) or L > len(units_b):
             return False
         ha = _window_hashes(pa_, ia_, L)
         hb = _window_hashes(pb_, ib_, L)
-        # hash windows then confirm a real match (collision-proof)
+        # hash windows then confirm a real match (collision-proof).
+        # Confirm on the UNIT arrays: slicing the Python string here
+        # would mix code-point indices into unit offsets and silently
+        # drop matches around any astral (non-BMP) character
         common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
         for x, y in zip(ia, ib):
-            if a[x : x + L] == b[y : y + L]:
+            if np.array_equal(units_a[x: x + L], units_b[y: y + L]):
                 return True
         return False
 
-    lo, hi = 0, min(len(a), len(b))
+    lo, hi = 0, min(len(units_a), len(units_b))
     if at_least > 0:
         if not has_common(at_least):
             return 0
@@ -102,6 +107,13 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
     from mhray.kernels import shingle_hashes64
 
     num_parts = auto_parts(num_parts)
+    if min_len < 4:
+        raise ValueError("substring_pairs needs min_len >= 4 "
+                         "(the minimum fingerprint gram)")
+    # keep the completeness guarantee EXACT: gram + window - 1 must
+    # equal min_len, so short min_len shrinks the winnowing window
+    # instead of silently raising the guarantee above min_len
+    window = min(window, min_len - 3)
     gram = max(4, min_len - window + 1)
 
     texts_ds = ds.select_columns([id_col, text_col]).materialize()

@@ -74,3 +74,40 @@ def test_flagship_substring_axis(substr_corpus, ray_session, tmp_path_factory):
         "hi_id": [p[1] for p in found_on],
     })
     assert O.recall_against(truth, got) >= 0.99
+
+
+def test_lcs_survives_astral_chars():
+    """Regression: the collision check sliced the PYTHON string with
+    UTF-16 unit offsets, so any astral (non-BMP) char before or inside
+    a match silently dropped it. Lengths are UTF-16 code units."""
+    from mhray.stages.substring import longest_common_substring_len
+
+    shared = "the quick brown fox jumps"
+    a = "\U0001F600\U0001F600 " + shared + " tail one"
+    b = "prefix two " + shared + " \U0001F680 end"
+    got = longest_common_substring_len(a, b, at_least=len(shared))
+    assert got >= len(shared)
+    # emoji inside the shared run still matches (units compare equal)
+    s2 = "abc \U0001F600 def shared run here"
+    assert longest_common_substring_len("xx " + s2, s2 + " yy",
+                                        at_least=10) >= 10
+
+
+def test_substring_pairs_short_min_len_guarantee(ray_session):
+    """min_len below window+3 used to silently raise the winnowing
+    guarantee; the window now shrinks so an exact min_len-char match
+    is still guaranteed a candidate."""
+    import pyarrow as pa
+
+    import ray.data
+    from mhray.stages.substring import substring_pairs
+
+    shared = "ABCDEFGH"  # exactly 8 chars
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["xxxx " + shared + " yyyy",
+                          "qqqq " + shared + " rrrr"]),
+    })
+    out = substring_pairs(ray.data.from_arrow(tbl), min_len=8,
+                          window=8).to_pandas()
+    assert len(out) == 1 and int(out.iloc[0]["lcs_len"]) >= 8
