@@ -21,19 +21,9 @@ def _rand_text(rng: np.random.Generator, n: int) -> str:
 
 
 def _edit(rng: np.random.Generator, t: str, rate: float) -> str:
-    out = []
-    for ch in t:
-        r = rng.random()
-        if r < rate / 3:
-            out.append(_LETTERS[int(rng.integers(0, len(_LETTERS)))])
-        elif r < 2 * rate / 3:
-            out.append(ch)
-            out.append(_LETTERS[int(rng.integers(0, len(_LETTERS)))])
-        elif r < rate:
-            pass
-        else:
-            out.append(ch)
-    return "".join(out)
+    from mhray.synth import edit_text
+
+    return edit_text(rng, t, rate, _LETTERS)
 
 
 def exact_jaccard(a: str, b: str, k: int) -> float:

@@ -204,6 +204,8 @@ def histogram_stats(ds, col: str, percentile: float = 0.9) -> dict:
     value->count grouped histogram (GetHistogramStats analog) — one
     small groupby, no full materialization of the raw column."""
     hist = ds.groupby(col).count().rename_columns({"count()": "n"}).take_all()
+    if not hist:  # empty dataset: zeroed stats, not 0/0 + vals[-1]
+        return {"mean": 0.0, "std": 0.0, "percentile": 0.0, "n": 0}
     vals = np.array([r[col] for r in hist], dtype=np.float64)
     cnts = np.array([r["n"] for r in hist], dtype=np.int64)
     order = np.argsort(vals)

@@ -25,7 +25,12 @@ def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset
 
 
 def write_table(ds: "ray.data.Dataset", path: str) -> None:
-    if HAVE_LANCE and path.endswith(".lance"):
+    if path.endswith(".lance"):
+        if not HAVE_LANCE:
+            # writing parquet under a *.lance name would poison a
+            # later lance-enabled read — refuse like write_documents
+            raise NotImplementedError(
+                "lance writes need the optional 'lance' dependency")
         ds.write_lance(path)
     else:
         ds.write_parquet(path)

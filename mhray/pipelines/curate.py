@@ -42,7 +42,9 @@ def curate(ds, cfg: MhapConfig | None = None, *,
     def _count(d):
         return d.count()
 
-    docs = ds.select_columns([id_col, text_col])
+    # materialize once: the rows_in count would otherwise run a full
+    # extra scan before the annotate pass re-reads everything
+    docs = ds.select_columns([id_col, text_col]).materialize()
     n = _count(docs)
 
     # annotate + filter: quality floor and language allowlist in one

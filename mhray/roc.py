@@ -139,8 +139,11 @@ def arbitrate_pair(lo_text: str, hi_text: str,
         score = matches / length if length else 0.0
     else:
         score, length = alignment_identity(s1, s2)
+    # two-sided: the aligned length must be WITHIN 30% of the
+    # reported overlap (length >= ovl_len always, so the unsigned form
+    # `1.0 - length/ovl_len < 0.30` was vacuously true)
     return (score > min_identity and length > min_ovl_len
-            and 1.0 - length / ovl_len < 0.30)
+            and abs(1.0 - length / ovl_len) < 0.30)
 
 
 def estimate_roc(truth_pairs: pa.Table, found_pairs: pa.Table,
@@ -184,11 +187,17 @@ def estimate_roc(truth_pairs: pa.Table, found_pairs: pa.Table,
     else:
         ppv = 1.0
 
-    # specificity: random id pairs not in truth must not be in found
+    # specificity: random id pairs not in truth must not be in found.
+    # Attempts are BOUNDED: with <2 distinct ids, or when every cross
+    # pair is in the truth set, the rejection branches would otherwise
+    # spin forever
     ids = np.asarray(all_ids)
     hits = 0
     trials = 0
-    while trials < n_trials:
+    attempts = 0
+    max_attempts = 50 * n_trials
+    while trials < n_trials and attempts < max_attempts and len(ids) >= 2:
+        attempts += 1
         a, b = rng.integers(0, len(ids), size=2)
         if a == b:
             continue

@@ -59,8 +59,13 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+        try:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                     ignore_reinit_error=True)
+        except ConnectionError:
+            # no running cluster and no RAY_ADDRESS: the documented
+            # local fallback
+            ray.init(address="local", ignore_reinit_error=True)
     import pyarrow.parquet as pq
 
     from mhray.config import PRESETS
@@ -86,11 +91,15 @@ def main(argv=None) -> int:
         # canonicalizing read_documents path (which assigns content-hash
         # ids but keeps ONLY doc_id+text) when the source has no usable
         # id column, and say so.
-        low = args.input.lower()
-        if low.endswith((".jsonl", ".json", ".ndjson")):
+        from mhray.io import _sniff_fmt
+
+        fmt = _sniff_fmt(args.input)
+        if fmt == "jsonl":
             docs = ray.data.read_json(args.input)
-        elif low.endswith(".csv"):
+        elif fmt == "csv":
             docs = ray.data.read_csv(args.input)
+        elif fmt == "lance":
+            docs = ray.data.read_lance(args.input)
         else:
             docs = ray.data.read_parquet(args.input)
         schema = docs.schema()

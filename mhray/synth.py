@@ -63,22 +63,30 @@ def _base_caption(rng: np.random.Generator, vocab: list[str], lo: int, hi: int) 
     return " ".join(vocab[i] for i in rng.integers(0, len(vocab), size=n))
 
 
-def _edit_caption(rng: np.random.Generator, text: str, rate: float) -> str:
+def edit_text(rng: np.random.Generator, text: str, rate: float,
+              alphabet) -> str:
     """Per-char substitution/insertion/deletion at ``rate`` each-third
-    (the RandomSequenceGenerator error model, with uniform split)."""
+    (the RandomSequenceGenerator error model, with uniform split) —
+    the ONE copy of the reference error model, shared by the corpus
+    generator and the calibration harness (alphabet differs)."""
     out = []
+    n_alpha = len(alphabet)
     for ch in text:
         r = rng.random()
         if r < rate / 3:
-            out.append(str(_LETTERS[rng.integers(0, 26)]))       # substitute
+            out.append(str(alphabet[rng.integers(0, n_alpha)]))  # substitute
         elif r < 2 * rate / 3:
             out.append(ch)
-            out.append(str(_LETTERS[rng.integers(0, 26)]))       # insert
+            out.append(str(alphabet[rng.integers(0, n_alpha)]))  # insert
         elif r < rate:
             pass                                                 # delete
         else:
             out.append(ch)
     return "".join(out)
+
+
+def _edit_caption(rng: np.random.Generator, text: str, rate: float) -> str:
+    return edit_text(rng, text, rate, _LETTERS[:26])
 
 
 def _base_image(rng: np.random.Generator, n: int) -> np.ndarray:
