@@ -1573,6 +1573,18 @@ def d_mixture_sample(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def d_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (basis points) — repetitive
+    boilerplate compresses far below normal prose, binary junk far
+    above; both tails get filtered in production pipelines. Rows-only
+    (zlib has no SQL equivalent); the ordering property (repeated
+    text < prose < random) is pytest-asserted."""
+    from mhray.stages.text import compression_ratio
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        compression_ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1655,6 +1667,7 @@ QUERIES = {
     "ev_running_total": ev_running_total,
     "d_mixture_sample": d_mixture_sample,
     "e_knn_graph": e_knn_graph,
+    "d_compression_ratio": d_compression_ratio,
 }
 
 ORACLE_SQL = {

@@ -627,3 +627,29 @@ def winnow_fingerprints(batch: pa.Table, k: int = 8, window: int = 4,
         "fingerprint": pa.array(
             np.concatenate(out_fps).view(np.int64), pa.int64()),
     })
+
+
+def compression_ratio(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio in basis points (compressed /
+    raw UTF-8 bytes) — the classic "highly compressible = repetitive
+    boilerplate, incompressible = binary junk" curation signal; both
+    tails get filtered in production web pipelines. Deterministic
+    (zlib level pinned); empty docs emit 0.
+    """
+    import zlib
+
+    texts = batch.column(text_col).to_pylist()
+    ratios = np.zeros(len(texts), np.int64)
+    raw_bytes = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        raw_bytes[i] = len(b)
+        if b:
+            ratios[i] = round(len(zlib.compress(b, level)) * 10000
+                              / len(b))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "raw_bytes": pa.array(raw_bytes, pa.int64()),
+        "compress_bp": pa.array(ratios, pa.int64()),
+    })

@@ -74,6 +74,7 @@ ORACLE_CHECKED = [
     "d_mixture_sample",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca", "e_knn_graph",
+             "d_compression_ratio",
              "d_dup_clusters", "ev_motif", "d_bloom_new",
              "d_minhash_pairs", "d_simhash_pairs",
              "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",

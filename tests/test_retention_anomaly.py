@@ -273,3 +273,27 @@ def test_write_documents_roundtrip(ray_session, tmp_path):
         assert list(back["doc_id"]) == [1, 2, 3]
         assert list(back["text"]) == ["alpha", "beta beta",
                                       "gamma text here"]
+
+
+def test_compression_ratio_ordering(ray_session):
+    """Repeated boilerplate compresses far below prose; random bytes
+    barely compress — the tails the signal exists to catch."""
+    import ray.data
+
+    from mhray.stages.text import compression_ratio
+
+    rng = np.random.default_rng(4)
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "considers several rather different topics entirely " * 4)
+    boiler = "click here to subscribe now " * 40
+    noise = "".join(chr(rng.integers(0x21, 0x7F)) for _ in range(1000))
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array([prose, boiler, noise, ""])})
+    out = ray.data.from_arrow(tbl).map_batches(
+        compression_ratio, batch_format="pyarrow").to_pandas() \
+        .set_index("doc_id")["compress_bp"]
+    assert out[2] < out[1] < out[3]
+    assert out[4] == 0  # empty doc sentinel
+    # random PRINTABLE chars carry ~6.5 bits/char -> ratio ~0.82+
+    assert out[3] > 8000
+    assert out[2] < 2000  # boilerplate collapses
