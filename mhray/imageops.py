@@ -190,6 +190,11 @@ def _phash_ops(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     ops = _PHASH_OPS.get(key)
     if ops is not None:
         return ops
+    # bound the per-shape cache: a real web corpus has thousands of
+    # distinct resolutions and would grow worker memory without limit;
+    # recomputing the two skinny matrices is cheap vs a batch
+    if len(_PHASH_OPS) >= 256:
+        _PHASH_OPS.clear()
     ys = (np.arange(_DCT_N) * h // _DCT_N).astype(np.int64)
     xs = (np.arange(_DCT_N) * w // _DCT_N).astype(np.int64)
     ry = np.zeros((_DCT_N, h))

@@ -947,8 +947,17 @@ def weighted_sample_keys(k: np.ndarray, w: np.ndarray) -> np.ndarray:
     weighted-without-replacement sample. Deterministic, and every step
     is expressible in ANSI SQL (the second multiplicand is masked to
     31 bits so BIGINT engines don't overflow), so a DuckDB oracle
-    reproduces the selection bit-for-bit."""
+    reproduces the selection bit-for-bit.
+
+    PRECONDITION: keys must be NON-NEGATIVE. numpy's ``%`` is
+    non-negative-result while DuckDB's follows the dividend sign
+    (-5 % 2**32 = 4294967291 vs -5), so a negative id would silently
+    diverge from every sampling oracle. All row ids in this engine are
+    synthesized non-negative; assert rather than guess."""
     k = np.asarray(k, dtype=np.int64)
+    if len(k) and k.min() < 0:
+        raise ValueError("weighted_sample_keys requires non-negative keys "
+                         "(numpy %% and SQL %% disagree on negatives)")
     # mask to 32 bits BEFORE the multiply: int64 wraps silently past
     # k ~= 3.5e9 (a BIGINT SQL engine errors instead), and distinct
     # ids congruent mod 2^32 must not share a key — fold the high

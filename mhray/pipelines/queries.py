@@ -82,7 +82,9 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-like grouped aggregate (pre-aggregated under the hood by
     Ray's hash aggregate — the A1/A4 grouped-count analog)."""
-    li = _read(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
     agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Sum("l_extendedprice", alias_name="sum_price"),
@@ -99,7 +101,9 @@ def q_pricing_summary(sf_dir: str):
 def q_filter_project(sf_dir: str):
     """Predicate + projection pushed to the scan (M6 min-length filter
     analog as an Arrow filter expression)."""
-    li = _read(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity",
+                        "l_discount"])
     return li.filter(expr="l_quantity >= 49 and l_discount > 0.09") \
         .select_columns(["l_orderkey", "l_partkey", "l_quantity"])
 
@@ -107,9 +111,11 @@ def q_filter_project(sf_dir: str):
 def q_topk_orders(sf_dir: str):
     """Top-10 orders by total price (K5 MatchResult ordering analog:
     sort desc + limit)."""
-    o = _read(sf_dir, "orders")
+    # select BEFORE the sort: the sort is an all-to-all shuffle and must
+    # move only the 2 output columns, never the full-width table
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return o.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
-        .limit(10).select_columns(["o_orderkey", "o_totalprice"])
+        .limit(10)
 
 
 def q_join_agg(sf_dir: str):
@@ -119,8 +125,8 @@ def q_join_agg(sf_dir: str):
     custkey groupby, so the join input shrinks from |orders| to
     |customers| before any join work — the shape that holds at 100 TB
     (fact-table rows never reach the join operator)."""
-    o = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
-    c = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
@@ -152,7 +158,7 @@ def q_join_agg(sf_dir: str):
 def q_events_by_type(sf_dir: str):
     """events rollup: count / sum / min / max per event type (A6/A8
     telemetry-aggregate analog)."""
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
     agg = ev.groupby("event_type").aggregate(
         Count(alias_name="cnt"),
         Sum("value", alias_name="sum_value"),
@@ -169,7 +175,7 @@ def q_events_by_type(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     """Hour-bucketed event counts — the windowed-aggregate shape
     (floor the timestamp inside map_batches, then a grouped count)."""
-    ev = _read(sf_dir, "events").select_columns(["ts", "value"])
+    ev = _read(sf_dir, "events", ["ts", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -375,7 +381,8 @@ def d_fingerprints(sf_dir: str):
 def e_knn_brute(sf_dir: str):
     from mhray.stages.ann import knn_brute
 
-    return knn_brute(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+    return knn_brute(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     query_ids=list(range(10)), k=5)
 
 
 def e_dup_cosine(sf_dir: str):
@@ -385,7 +392,7 @@ def e_dup_cosine(sf_dir: str):
 
     import ray
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # brute force NEEDS every vector against every other: the matrix
     # broadcast is inherent to the baseline, so guard it explicitly —
     # past the threshold the LSH-bucketed path (e_dup_lsh /
@@ -427,7 +434,8 @@ def e_kmeans(sf_dir: str):
     Lloyd with identical init is pytest-asserted on planted blobs)."""
     from mhray.stages.ann import kmeans
 
-    _, assignments = kmeans(_read(sf_dir, "embeddings"), n_clusters=8,
+    _, assignments = kmeans(_read(sf_dir, "embeddings",
+                                  ["vec_id", "embedding"]), n_clusters=8,
                             iters=4, seed=13)
     return assignments
 
@@ -437,14 +445,17 @@ def e_knn_ivf(sf_dir: str):
     tests/test_ann_ivf.py)."""
     from mhray.stages.ann import ivf_knn
 
-    return ivf_knn(_read(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+    return ivf_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   query_ids=list(range(10)), k=5)
 
 
 def e_dup_lsh(sf_dir: str):
     """LSH-bucketed variant (the scale path; rows-only check)."""
     from mhray.stages.ann import embedding_dup_pairs
 
-    return embedding_dup_pairs(_read(sf_dir, "embeddings"), tau=0.4, n_bits=6)
+    return embedding_dup_pairs(_read(sf_dir, "embeddings",
+                                     ["vec_id", "embedding"]),
+                               tau=0.4, n_bits=6)
 
 
 
@@ -457,8 +468,8 @@ def q_semi_join(sf_dir: str):
     the 'small' side is corpus-proportional."""
     from mhray.rayutil import semi_join_ids
 
-    o = _read(sf_dir, "orders").select_columns(["o_custkey", "o_orderpriority"])
-    keys = _read(sf_dir, "customer").filter(
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    keys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
         expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
     agg = semi_join_ids(o, keys, "o_custkey", "c_custkey",
                         ds_schema=pa.schema([
@@ -476,16 +487,16 @@ def q_anti_join(sf_dir: str):
     materialization of the key side)."""
     from mhray.rayutil import anti_join_ids
 
-    c = _read(sf_dir, "customer").select_columns(["c_custkey"])
-    ok = _read(sf_dir, "orders").filter(expr="o_totalprice > 400000") \
-        .select_columns(["o_custkey"])
+    c = _read(sf_dir, "customer", ["c_custkey"])
+    ok = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 400000").select_columns(["o_custkey"])
     return anti_join_ids(c, ok, "c_custkey", "o_custkey",
                          ds_schema=pa.schema([("c_custkey", pa.int64())]))
 
 
 def q_distinct_parts(sf_dir: str):
     """Distinct-count via groupby (the 'unique' wide op)."""
-    li = _read(sf_dir, "lineitem").select_columns(["l_partkey"])
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
     n = li.groupby("l_partkey").count().count()
     return pa.table({"cnt": pa.array([n], pa.int64())})
 
@@ -497,7 +508,7 @@ def q_hash_sample(sf_dir: str):
     on every engine and every run — the property 'random_sample'
     cannot give an oracle). Pure per-batch filter: no shuffle, no
     state, trivially parallel at any scale."""
-    o = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def keep(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
@@ -526,9 +537,9 @@ def q_approx_distinct(sf_dir: str):
 
 def q_union_names(sf_dir: str):
     """union_all of two sources -> grouped count by first letter."""
-    r = _read(sf_dir, "region").select_columns(["r_name"]).rename_columns(
+    r = _read(sf_dir, "region", ["r_name"]).rename_columns(
         {"r_name": "name"})
-    n = _read(sf_dir, "nation").select_columns(["n_name"]).rename_columns(
+    n = _read(sf_dir, "nation", ["n_name"]).rename_columns(
         {"n_name": "name"})
     u = r.union(n)
 
@@ -544,7 +555,7 @@ def q_union_names(sf_dir: str):
 
 def ev_user_topk(sf_dir: str):
     """Top-5 users by total event value (groupby + sort + limit)."""
-    ev = _read(sf_dir, "events").select_columns(["user_id", "value"])
+    ev = _read(sf_dir, "events", ["user_id", "value"])
     agg = ev.groupby("user_id").aggregate(Sum("value", alias_name="total"))
     agg = agg.map_batches(lambda b: _cast_round(b, (), {"total": 2}),
                           batch_format="pyarrow")
@@ -595,7 +606,7 @@ def ev_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min inactivity closes a session) —
     the stateful per-key windowed operator, expressed as a per-user
     map_groups with vectorized gap detection."""
-    ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
 
     def sessions(group: pa.Table) -> pa.Table:
         ts = np.asarray(group.column("ts").cast(pa.int64()))  # microseconds
@@ -639,8 +650,7 @@ def ev_top_event_per_type(sf_dir: str):
     """Per-group argmax (window-function analog): the highest-value
     event id per event type. Per-batch partial argmax (combiner) ->
     tiny per-type groupby for the final winner."""
-    ev = _read(sf_dir, "events").select_columns(
-        ["event_type", "event_id", "value"])
+    ev = _read(sf_dir, "events", ["event_type", "event_id", "value"])
 
     def top1(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("value"), dtype=np.float64)
@@ -670,8 +680,7 @@ def q_percentiles(sf_dir: str):
     """Per-group exact percentiles (linear interpolation — the A7
     distribution-summary operator): p25/p50/p75 of extendedprice per
     returnflag, as a per-group map_groups over a pruned scan."""
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_returnflag", "l_extendedprice"])
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
     def pct(group: pa.Table) -> pa.Table:
         v = np.sort(np.asarray(group.column("l_extendedprice"),
@@ -704,8 +713,7 @@ def q_corr(sf_dir: str):
     """Per-group Pearson correlation (F10 regression/corr): partial
     moment sums per batch (combiner), one tiny groupby, closed-form
     finish — nothing but the 6 running sums ever shuffles."""
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_returnflag", "l_quantity", "l_extendedprice"])
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         flags = batch.column("l_returnflag").to_pylist()
@@ -755,7 +763,7 @@ def q_corr(sf_dir: str):
 def q_histogram(sf_dir: str):
     """Fixed-width value histogram over events (A6 histogram stats):
     bucket inside map_batches, grouped count."""
-    ev = _read(sf_dir, "events").select_columns(["value"])
+    ev = _read(sf_dir, "events", ["value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("value"), dtype=np.float64)
@@ -776,8 +784,7 @@ def q_distinct_per_group(sf_dir: str):
     """COUNT(DISTINCT) per group: per-batch local dedup (combiner)
     shrinks the shuffle to unique (flag, part) pairs, then a per-flag
     exact unique count."""
-    li = _read(sf_dir, "lineitem").select_columns(
-        ["l_returnflag", "l_partkey"])
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
 
     def local_unique(batch: pa.Table) -> pa.Table:
         return batch.group_by(["l_returnflag", "l_partkey"]).aggregate([])
@@ -799,8 +806,7 @@ def ev_moving_avg(sf_dir: str):
     """Per-key ordered sliding-window aggregate (3-event moving average
     over each user's event stream) — the windowed-aggregate operator as
     a user-hash-partitioned map_groups with vectorized shifts."""
-    ev = _read(sf_dir, "events").select_columns(
-        ["user_id", "event_id", "ts", "value"])
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
     def mov(group: pa.Table) -> pa.Table:
         uid = np.asarray(group.column("user_id"), dtype=np.int64)
@@ -849,8 +855,7 @@ def ev_asof_prev(sf_dir: str):
     partition, per-partition time sort + vectorized forward-fill)."""
     from mhray.stages.events import asof_join
 
-    ev = _read(sf_dir, "events").select_columns(
-        ["user_id", "ts", "event_id", "event_type"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
     right = ev.filter(expr="event_type == 'purchase'")
     return asof_join(ev, right, "user_id", "ts", "ts", "event_id",
                      carry_cols=("event_id",), out_col="prev_purchase_id")
@@ -862,7 +867,7 @@ def ev_close_pairs(sf_dir: str):
     sort + searchsorted window emit, output-proportional cost)."""
     from mhray.stages.events import window_self_join
 
-    ev = _read(sf_dir, "events").select_columns(["user_id", "ts", "event_id"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     return window_self_join(ev, "user_id", "ts", "event_id",
                             window_us=4 * 3600 * 1_000_000)
 
@@ -871,8 +876,7 @@ def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(status, priority): the distributed base aggregate
     does all the heavy lifting; the two subtotal levels re-aggregate the
     tiny base table (|statuses| x |priorities| rows) in one task."""
-    o = _read(sf_dir, "orders").select_columns(
-        ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    o = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
     base = o.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
         Count(alias_name="cnt"), Sum("o_totalprice", alias_name="total"))
 
@@ -904,7 +908,7 @@ def ev_gap_stats(sf_dir: str):
     integer microseconds — :func:`mhray.stages.events.gap_stats`."""
     from mhray.stages.events import gap_stats
 
-    ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
     return gap_stats(ev, "user_id", "ts")
 
 
@@ -912,8 +916,7 @@ def q_pivot_status(sf_dir: str):
     """Pivot / conditional aggregation: per priority, one count column
     per order status. Per-batch partial pivot (combiner) then a tiny
     grouped sum — only |priorities| x 3 ints ever shuffle."""
-    o = _read(sf_dir, "orders").select_columns(
-        ["o_orderpriority", "o_orderstatus"])
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
 
     def partial(batch: pa.Table) -> pa.Table:
         pri = np.asarray(batch.column("o_orderpriority").to_pylist())
@@ -946,8 +949,7 @@ def ev_range_count(sf_dir: str):
     :func:`mhray.stages.events.range_window_count`."""
     from mhray.stages.events import range_window_count
 
-    ev = _read(sf_dir, "events").select_columns(
-        ["user_id", "ts", "event_id"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     return range_window_count(ev, "user_id", "ts", "event_id",
                               window_us=10 * 60 * 1_000_000)
 
@@ -958,8 +960,7 @@ def q_stratified_sample(sf_dir: str):
     sampling with an exact, engine-independent oracle). Per-batch
     partial top-20 per group (combiner) then a tiny grouped final —
     only |groups| x 20 rows ever shuffle."""
-    o = _read(sf_dir, "orders").select_columns(
-        ["o_orderstatus", "o_orderkey"])
+    o = _read(sf_dir, "orders", ["o_orderstatus", "o_orderkey"])
     n_per = 20
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1102,8 +1103,7 @@ def ev_motif(sf_dir: str):
     vs a brute-force scan is pytest-asserted."""
     from mhray.stages.events import ts_motif_search
 
-    ev = _read(sf_dir, "events").select_columns(
-        ["user_id", "ts", "value"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
     peak = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0]
     return ts_motif_search(ev, "user_id", "ts", "value", peak, top_k=10)
 
@@ -1147,8 +1147,7 @@ def ev_funnel(sf_dir: str):
     (:func:`mhray.stages.events.funnel_counts`)."""
     from mhray.stages.events import funnel_counts
 
-    ev = _read(sf_dir, "events").select_columns(
-        ["user_id", "ts", "event_type"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     return funnel_counts(ev, "user_id", "ts", "event_type",
                          steps=("view", "click", "purchase"))
 
@@ -1412,8 +1411,7 @@ def ev_bursts(sf_dir: str):
     and a tiny grouped max (the rate-limit / bot-detection signal)."""
     from mhray.stages.events import range_window_count
 
-    ev = _read(sf_dir, "events").select_columns(
-        ["user_id", "ts", "event_id"])
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     w = range_window_count(ev, "user_id", "ts", "event_id",
                            window_us=10 * 60 * 1_000_000)
     agg = w.groupby("user_id").aggregate(Max("w_cnt", alias_name="peak"))
@@ -1877,7 +1875,7 @@ ORACLE_SQL = {
             FROM events
         )
         SELECT user_id, COUNT(gap) AS n_gaps,
-               COALESCE(SUM(gap), 0) AS total_gap_us
+               CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_gap_us
         FROM g GROUP BY user_id
     """,
     "q_pivot_status": """
@@ -2286,8 +2284,8 @@ ORACLE_SQL = {
         )
         SELECT doc_id, source FROM h2
         WHERE (xor(x2, x2 // 8192) + 0.5) / 4294967296.0 <
-              CASE WHEN CAST(regexp_extract(source, '\\d+') AS BIGINT)
-                        % 2 = 0 THEN 0.8 ELSE 0.2 END
+              CASE WHEN COALESCE(TRY_CAST(regexp_extract(source, '\\d+')
+                        AS BIGINT), 1) % 2 = 0 THEN 0.8 ELSE 0.2 END
     """,
     "ev_dau": """
         SELECT epoch_us(ts) // 86400000000 AS day,

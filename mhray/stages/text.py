@@ -284,26 +284,36 @@ def top_terms(ds, k: int = 3, text_col: str = "text",
             "dpart": pa.array(_part_of(ids, num_parts), pa.int32()),
         })
 
-    def rank_docs(part: "object") -> "object":
-        import pandas as pd
-
-        if len(part) == 0:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "token": pd.Series([], dtype="object"),
-                                 "rank": pd.Series([], dtype="int64")})
-        part = part.sort_values(
-            [id_col, "tf", "df", "token"],
-            ascending=[True, False, True, True], kind="mergesort")
-        part["rank"] = part.groupby(id_col).cumcount() + 1
-        out = part[part["rank"] <= k]
-        return out[[id_col, "token", "rank"]]
+    def rank_docs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int64())})
+        # Arrow-native multi-key sort (strings stay in Arrow — no
+        # object-dtype pandas round trip), then a run-length cumcount
+        # over the sorted id column gives the per-doc rank.
+        idx = pc.sort_indices(part, sort_keys=[
+            (id_col, "ascending"), ("tf", "descending"),
+            ("df", "ascending"), ("token", "ascending")])
+        part = part.take(idx)
+        ids = np.asarray(part.column(id_col), np.int64)
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = np.diff(ids) != 0
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(ids)))
+        rank = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        keep = pa.array(np.flatnonzero(rank <= k), pa.int64())
+        out = part.take(keep)
+        return pa.table({id_col: out.column(id_col),
+                         "token": out.column("token"),
+                         "rank": pa.array(rank[rank <= k], pa.int64())})
 
     return ds.map_batches(doc_token_tf, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("tpart", num_partitions=num_parts) \
         .map_groups(attach_df, batch_format="pyarrow") \
         .groupby("dpart", num_partitions=num_parts) \
-        .map_groups(rank_docs, batch_format="pandas")
+        .map_groups(rank_docs, batch_format="pyarrow")
 
 
 def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
@@ -646,8 +656,11 @@ def compression_ratio(batch: pa.Table, text_col: str = "text",
         b = t.encode("utf-8")
         raw_bytes[i] = len(b)
         if b:
-            ratios[i] = round(len(zlib.compress(b, level)) * 10000
-                              / len(b))
+            # half-away-from-zero like every other scaled-int output
+            # (Python round() is half-to-even and diverges from DuckDB
+            # ROUND on exact .5 boundaries)
+            ratios[i] = int(np.floor(
+                len(zlib.compress(b, level)) * 10000 / len(b) + 0.5))
     return pa.table({
         id_col: batch.column(id_col),
         "raw_bytes": pa.array(raw_bytes, pa.int64()),
