@@ -1528,9 +1528,10 @@ def ev_running_total(sf_dir: str):
 
 
 def e_knn_graph(sf_dir: str):
-    """Exact cosine kNN graph over the embedding table (top-5 per row)
-    — rows-only (float-sim ranking has no stable SQL hash); brute-
-    force parity is pytest-asserted row-for-row
+    """Exact cosine kNN graph over the embedding table (top-5 per row);
+    oracle = all-pairs list_cosine_similarity + ROW_NUMBER. Boundary
+    ties keep ALL candidates then break (sim desc, id asc) on both
+    sides; continuous-float near-tie flips share e_knn_brute's caveat
     (:func:`mhray.stages.ann.knn_graph`)."""
     from mhray.stages.ann import knn_graph
 
@@ -2367,4 +2368,294 @@ ORACLE_SQL["d_quality_buckets"] = f"""
            CAST(NTILE(10) OVER (ORDER BY quality_pm, doc_id) AS BIGINT)
                AS decile
     FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# murmur3_x64_128 (h1) in pure DuckDB SQL — lets hash-exact operators
+# (SimHash banding, winnowed fingerprints) get full driver oracles
+# instead of rows-only checks. Mirrors mhray/murmur.py byte-for-byte
+# for the tail-only case (shingles of <= 7 UTF-16 code units / <= 15
+# bytes — k=6 shingles are 12 bytes, so only the tail path runs).
+# PRECONDITION (asserted by the testdata): BMP-only text, so SQL
+# codepoints == the kernel's UTF-16 code units.
+# ---------------------------------------------------------------------------
+
+_M64 = "18446744073709551616"  # 2^64
+_C1_SQL = 0x87C37B91114253D5
+_C2_SQL = 0x4CF5AD432745937F
+_F1_SQL = 0xFF51AFD7ED558CCD
+_F2_SQL = 0xC4CEB9FE1A85EC53
+
+
+def _sql_mul64(x: str, c: int) -> str:
+    """(x * c) mod 2^64 without int128 overflow: 32-bit split —
+    x*c with both near 2^64 would exceed HUGEINT's 2^127-1."""
+    return (f"((({x}) % 4294967296 * {c} + "
+            f"((({x}) // 4294967296 * {c}) % 4294967296) * 4294967296)"
+            f" % {_M64})")
+
+
+def _sql_rotl64(x: str, r: int) -> str:
+    return f"((({x}) * {1 << r} % {_M64} + ({x}) // {1 << (64 - r)}) % {_M64})"
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    return f"xor(CAST({a} AS HUGEINT), CAST({b} AS HUGEINT))"
+
+
+def _sql_murmur_fin_ctes(keep: str, length: int) -> str:
+    """Shared murmur3 finalizer CTEs: from CTE ``m1`` with pre-length
+    states (h1x, h2x) to terminal CTE ``mur`` with h1 HUGEINT."""
+    return f"""
+        m2 AS (SELECT {keep}, {_sql_xor64('h1x', length)} AS h1a,
+                      {_sql_xor64('h2x', length)} AS h2a FROM m1),
+        m3 AS (SELECT {keep}, (h1a + h2a) % {_M64} AS h1b,
+                      (h2a + (h1a + h2a) % {_M64}) % {_M64} AS h2b FROM m2),
+        f1 AS (SELECT {keep}, {_sql_xor64('h1b', f'h1b // {1 << 33}')} AS a1,
+                      {_sql_xor64('h2b', f'h2b // {1 << 33}')} AS a2 FROM m3),
+        f2 AS (SELECT {keep}, {_sql_mul64('a1', _F1_SQL)} AS b1,
+                      {_sql_mul64('a2', _F1_SQL)} AS b2 FROM f1),
+        f3 AS (SELECT {keep}, {_sql_xor64('b1', f'b1 // {1 << 33}')} AS c1,
+                      {_sql_xor64('b2', f'b2 // {1 << 33}')} AS c2 FROM f2),
+        f4 AS (SELECT {keep}, {_sql_mul64('c1', _F2_SQL)} AS d1,
+                      {_sql_mul64('c2', _F2_SQL)} AS d2 FROM f3),
+        f5 AS (SELECT {keep}, {_sql_xor64('d1', f'd1 // {1 << 33}')} AS e1,
+                      {_sql_xor64('d2', f'd2 // {1 << 33}')} AS e2 FROM f4),
+        mur AS (SELECT {keep}, (e1 + e2) % {_M64} AS h1 FROM f5)"""
+
+
+def _sql_murmur12_ctes(src: str, keep: str = "doc_id") -> str:
+    """CTE chain computing murmur3_x64_128 h1 (seed 0) of a 6-char
+    BMP shingle column ``s`` from CTE ``src``; terminal CTE is ``mur``
+    with columns (``keep``..., h1 HUGEINT in [0, 2^64)). 12 bytes
+    < 16 means the hash is tail-only (murmur.py:99-126)."""
+    u = lambda i: f"CAST(unicode(substring(s,{i},1)) AS HUGEINT)"
+    k1 = f"({u(1)} + {u(2)} * 65536 + {u(3)} * 4294967296" \
+         f" + {u(4)} * 281474976710656)"
+    k2 = f"({u(5)} + {u(6)} * 65536)"
+    h1x = _sql_mul64(_sql_rotl64(_sql_mul64("k1", _C1_SQL), 31), _C2_SQL)
+    h2x = _sql_mul64(_sql_rotl64(_sql_mul64("k2", _C2_SQL), 33), _C1_SQL)
+    return f"""
+        uu AS (SELECT {keep}, {k1} AS k1, {k2} AS k2 FROM {src}),
+        m1 AS (SELECT {keep}, {h1x} AS h1x, {h2x} AS h2x FROM uu),
+        {_sql_murmur_fin_ctes(keep, 12)}"""
+
+
+def _sql_murmur16_ctes(src: str, keep: str = "doc_id") -> str:
+    """Same for an 8-char shingle (16 bytes = exactly one murmur body
+    block, no tail — murmur.py:72-97): terminal CTE ``mur``."""
+    u = lambda i: f"CAST(unicode(substring(s,{i},1)) AS HUGEINT)"
+    k1 = f"({u(1)} + {u(2)} * 65536 + {u(3)} * 4294967296" \
+         f" + {u(4)} * 281474976710656)"
+    k2 = f"({u(5)} + {u(6)} * 65536 + {u(7)} * 4294967296" \
+         f" + {u(8)} * 281474976710656)"
+    # body block with h1 = h2 = 0 (seed): h1 round completes before
+    # the h2 round reads the updated h1
+    k1c = _sql_mul64(_sql_rotl64(_sql_mul64("k1", _C1_SQL), 31), _C2_SQL)
+    k2c = _sql_mul64(_sql_rotl64(_sql_mul64("k2", _C2_SQL), 33), _C1_SQL)
+    h1r = _sql_rotl64("k1c", 27)                     # rotl(0 ^ k1c, 27)
+    h2r = _sql_rotl64("k2c", 31)                     # rotl(0 ^ k2c, 31)
+    return f"""
+        uu AS (SELECT {keep}, {k1} AS k1, {k2} AS k2 FROM {src}),
+        bb AS (SELECT {keep}, {k1c} AS k1c, {k2c} AS k2c FROM uu),
+        b1 AS (SELECT {keep}, ({h1r} * 5 + 1390208809) % {_M64} AS h1x,
+                      k2c FROM bb),
+        b2 AS (SELECT {keep}, h1x,
+                      (({h2r} + h1x) % {_M64} * 5 + 944331445) % {_M64}
+                          AS h2x FROM b1),
+        m1 AS (SELECT {keep}, h1x, h2x FROM b2),
+        {_sql_murmur_fin_ctes(keep, 16)}"""
+
+
+# SimHash near-dup pairs: per-bit majority over all (duplicate-kept)
+# k=6 shingle hashes, 4 contiguous 16-bit bands for candidates,
+# Hamming <= 4 gate — the exact pipeline semantics of
+# stages/dedup.py simhash_pairs (group_cap never binds at driver SF).
+ORACLE_SQL["d_simhash_pairs"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(text) - 4),
+                       i -> substring(text, i, 6))) AS s
+        FROM documents WHERE length(text) >= 6
+    ),{_sql_murmur12_ctes('sh')},
+    hb AS (
+        SELECT doc_id, CAST(h1 % 4294967296 AS BIGINT) AS lo32,
+               CAST(h1 // 4294967296 AS BIGINT) AS hi32
+        FROM mur
+    ),
+    bits AS (
+        SELECT doc_id, bb.b AS b,
+               CASE WHEN bb.b < 32 THEN (lo32 >> bb.b) & 1
+                    ELSE (hi32 >> (bb.b - 32)) & 1 END AS bit
+        FROM hb, (SELECT unnest(range(64)) AS b) bb
+    ),
+    maj AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS m
+        FROM bits GROUP BY doc_id, b
+    ),
+    sims0 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN b < 32 THEN m << b ELSE 0 END) AS BIGINT)
+                   AS slo,
+               CAST(SUM(CASE WHEN b >= 32 THEN m << (b - 32) ELSE 0 END)
+                   AS BIGINT) AS shi
+        FROM maj GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT d.doc_id,
+               COALESCE(CAST(s.slo AS HUGEINT)
+                        + CAST(s.shi AS HUGEINT) * 4294967296,
+                        CAST(0 AS HUGEINT)) AS sh
+        FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, p.j,
+               CAST((sh // p.p) % 65536 AS BIGINT) AS bv
+        FROM sims, (VALUES (0, CAST(1 AS HUGEINT)), (1, 65536),
+                           (2, 4294967296), (3, 281474976710656)) p(j, p)
+    ),
+    sgn AS (
+        SELECT doc_id,
+               CAST(CASE WHEN sh >= 9223372036854775808
+                         THEN sh - {_M64} ELSE sh END AS BIGINT) AS sb
+        FROM sims
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.lo, c.hi,
+           CAST(bit_count(xor(x.sb, y.sb)) AS BIGINT) AS hamming
+    FROM cand c JOIN sgn x ON c.lo = x.doc_id
+                JOIN sgn y ON c.hi = y.doc_id
+    WHERE bit_count(xor(x.sb, y.sb)) <= 4
+"""
+
+
+# Winnowed fingerprint count (MOSS winnowing, stages/text.py
+# winnow_fingerprints): k=8 shingle murmur hashes, leftmost min per
+# sliding window of 4 (encoded as h*2^32+pos so MIN picks leftmost on
+# hash ties), distinct selected hash VALUES per doc. Docs with <= 4
+# shingles contribute their single global argmin (n_fp = 1); docs
+# with < 8 chars emit nothing, exactly like the kernel.
+ORACLE_SQL["d_fingerprints"] = f"""
+    WITH pos0 AS (
+        SELECT doc_id, unnest(range(1, length(text) - 6)) AS i, text
+        FROM documents WHERE length(text) >= 8
+    ),
+    sh AS (
+        SELECT doc_id, i - 1 AS pos, substring(text, i, 8) AS s FROM pos0
+    ),{_sql_murmur16_ctes('sh', keep='doc_id, pos')},
+    keyed AS (
+        SELECT doc_id, pos, h1 * 4294967296 + pos AS kk FROM mur
+    ),
+    nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM keyed GROUP BY doc_id),
+    wmin AS (
+        SELECT doc_id, pos,
+               MIN(kk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        FROM keyed
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, mk // 4294967296 AS fp
+        FROM wmin WHERE pos >= 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id)
+    SELECT n.doc_id,
+           CAST(CASE WHEN n.n_sh < 4 THEN 1 ELSE c.n_fp END AS BIGINT)
+               AS n_fp
+    FROM nsh n LEFT JOIN cnt c ON n.doc_id = c.doc_id
+"""
+
+
+# Exact kNN graph: same all-pairs shape as e_knn_brute's oracle, for
+# every row; sim_sc rounded half-away on both sides.
+ORACLE_SQL["e_knn_graph"] = """
+    WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id
+           ) AS rank,
+           CAST(ROUND(list_cosine_similarity(a.e, b.e) * 10000, 0)
+               AS BIGINT) AS sim_sc
+    FROM n a JOIN n b ON a.vec_id != b.vec_id
+    QUALIFY rank <= 5
+"""
+
+
+# Next-fit sequence packing: the per-partition greedy is sequential,
+# but its boundaries are pure running-sum arithmetic, so a recursive
+# CTE walks them exactly. The hash partitioner (_part_of: fmix-style
+# 64-bit mix mod num_parts) is mirrored with split-multiply mod-2^64
+# arithmetic; num_parts mirrors _doc_parts at the driver's sf=0.01
+# (500 docs -> 2 partitions).
+ORACLE_SQL["d_pack_sequences"] = f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text,
+                   '[ \t\n\r\f\v]+'), x -> x != '')) AS n_tokens
+        FROM documents
+    ),
+    px1 AS (
+        SELECT doc_id, n_tokens,
+               {_sql_xor64('CAST(doc_id AS HUGEINT)',
+                           f'CAST(doc_id AS HUGEINT) // {1 << 33}')} AS x1
+        FROM tok
+    ),
+    px2 AS (
+        SELECT doc_id, n_tokens, {_sql_mul64('x1', _F1_SQL)} AS x2 FROM px1
+    ),
+    parts AS (
+        SELECT doc_id, n_tokens,
+               CAST({_sql_xor64('x2', f'x2 // {1 << 33}')} % 2 AS BIGINT)
+                   AS part
+        FROM px2
+    ),
+    d AS (
+        SELECT part, doc_id, n_tokens,
+               LEAST(n_tokens, 128) AS eff,
+               ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn,
+               SUM(LEAST(n_tokens, 128)) OVER (
+                   PARTITION BY part ORDER BY doc_id) AS cs
+        FROM parts
+    ),
+    nmax AS (SELECT part, MAX(rn) AS n FROM d GROUP BY part),
+    seqs AS (
+        SELECT part, 1 AS i, 0 AS s FROM nmax
+        UNION ALL
+        SELECT q.part, q.j + 1, q.s + 1
+        FROM (
+            SELECT s.part, s.s,
+                   GREATEST(s.i,
+                       COALESCE((SELECT MAX(d2.rn) FROM d d2
+                                 WHERE d2.part = s.part AND d2.cs <=
+                                       COALESCE((SELECT d3.cs FROM d d3
+                                                 WHERE d3.part = s.part
+                                                   AND d3.rn = s.i - 1), 0)
+                                       + 128), s.i)) AS j
+            FROM seqs s
+        ) q JOIN nmax m ON m.part = q.part
+        WHERE q.j < m.n
+    ),
+    bounds AS (
+        SELECT s.part, s.s AS seq, s.i AS lo_rn,
+               LEAD(s.i, 1, m.n + 1) OVER (
+                   PARTITION BY s.part ORDER BY s.s) - 1 AS hi_rn
+        FROM seqs s JOIN nmax m ON m.part = s.part
+    )
+    SELECT d.doc_id, d.n_tokens,
+           b.part * 1099511627776 + b.seq AS seq_id,
+           CAST(d.cs - d.eff
+                - (SELECT COALESCE(d4.cs - d4.eff, 0) FROM d d4
+                   WHERE d4.part = b.part AND d4.rn = b.lo_rn) AS BIGINT)
+               AS offset,
+           CAST(CASE WHEN d.n_tokens > 128 THEN 1 ELSE 0 END AS BIGINT)
+               AS truncated
+    FROM d JOIN bounds b
+      ON d.part = b.part AND d.rn BETWEEN b.lo_rn AND b.hi_rn
 """

@@ -697,25 +697,33 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
                 "neighbor_id": pa.array([], pa.int64()),
                 "rank": pa.array([], pa.int64()),
                 "sim_sc": pa.array([], pa.int64())})
-        # per-row top-k: argpartition isolates each row's top `take`
-        # by sim, then ONE flat lexsort orders every row's candidates
-        # by (row, -sim, neighbor_id) — no per-row Python. Float-sim
-        # boundary ties share knn_brute's (rare, continuous-sim)
-        # caveat.
-        cand = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-        row_idx = np.repeat(rows, take)
-        c_flat = cand.ravel()
+        # per-row top-k: select every candidate >= the take-th largest
+        # sim (so exact boundary ties are ALL kept, not an arbitrary
+        # argpartition subset), then ONE flat lexsort orders candidates
+        # by (row, -sim, neighbor_id) and a within-row rank keeps the
+        # first `take` — deterministic under duplicate vectors, no
+        # per-row Python.
+        kth = np.partition(sims, sims.shape[1] - take, axis=1)[
+            :, sims.shape[1] - take]
+        row_idx, c_flat = np.nonzero(sims >= kth[:, None])
         s_flat = sims[row_idx, c_flat]
         n_flat = corpus_ids[c_flat]
         order = np.lexsort((n_flat, -s_flat, row_idx))
+        r_sorted = row_idx[order]
+        starts = np.flatnonzero(np.diff(r_sorted, prepend=r_sorted[0] - 1))
+        sizes = np.diff(np.append(starts, len(r_sorted)))
+        rank = (np.arange(len(r_sorted), dtype=np.int64)
+                - np.repeat(starts, sizes) + 1)
+        keep = rank <= take
+        order = order[keep]
+        rank = rank[keep]
         sim = s_flat[order]
         sim_sc = (np.sign(sim) * np.floor(np.abs(sim) * 10000 + 0.5)) \
             .astype(np.int64)
         return pa.table({
             "query_id": pa.array(ids[row_idx[order]], pa.int64()),
             "neighbor_id": pa.array(n_flat[order], pa.int64()),
-            "rank": pa.array(np.tile(np.arange(1, take + 1), len(ids)),
-                             pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
             "sim_sc": pa.array(sim_sc, pa.int64()),
         })
 

@@ -843,8 +843,14 @@ def simhash_pairs(ds, max_hamming: int = 6, k: int = 6,
         })
 
     gated = pairs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-    return gated.groupby(["lo", "hi"]).min("hamming").rename_columns(
+    out = gated.groupby(["lo", "hi"]).min("hamming").rename_columns(
         {"min(hamming)": "hamming"})
+    # int64 so the driver's value-hash sees the same lexical type as
+    # the SQL oracle's BIGINT
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("hamming"),
+                               "hamming", b.column("hamming").cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

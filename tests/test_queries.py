@@ -71,16 +71,16 @@ ORACLE_CHECKED = [
     "d_containment_pairs", "ev_retention", "ev_anomaly",
     "q_weighted_sample", "ev_user_mode", "ev_mad", "d_novelty",
     "ev_bursts", "d_dup_by_source", "ev_dau", "ev_running_total",
-    "d_mixture_sample",
+    "d_mixture_sample", "d_simhash_pairs", "d_fingerprints",
+    "e_knn_graph", "d_pack_sequences",
 ]
-ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca", "e_knn_graph",
+ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio",
              "d_dup_clusters", "ev_motif", "d_bloom_new",
-             "d_minhash_pairs", "d_simhash_pairs",
-             "d_fingerprints", "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
+             "d_minhash_pairs",
+             "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
-             "q_approx_distinct", "e_semdedup", "d_lm_score",
-             "d_pack_sequences"]
+             "q_approx_distinct", "e_semdedup", "d_lm_score"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
