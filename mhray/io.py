@@ -36,17 +36,29 @@ def write_table(ds: "ray.data.Dataset", path: str) -> None:
         ds.write_parquet(path)
 
 
-def _sniff_fmt(path: str) -> str:
-    """Shared extension sniff for read_documents / write_documents —
-    one suffix list, no reader/writer drift."""
+_COMPRESSIONS = {".gz": "gzip", ".bz2": "bz2", ".zst": "zstd"}
+
+
+def _sniff_fmt(path: str) -> tuple[str, str | None]:
+    """Shared extension sniff for read_documents / write_documents:
+    (format, compression). Compression suffixes are stripped first so
+    ``docs.jsonl.gz`` routes to the JSONL reader with a gzip stream
+    (reference S2 analog: utils/Utils.java:228-268 transparent
+    gz/bz2 openers) instead of falling through to the parquet branch."""
     low = path.lower()
+    compression = None
+    for suf, name in _COMPRESSIONS.items():
+        if low.endswith(suf):
+            compression = name
+            low = low[: -len(suf)]
+            break
     if low.endswith((".jsonl", ".json", ".ndjson")):
-        return "jsonl"
+        return "jsonl", compression
     if low.endswith(".csv"):
-        return "csv"
+        return "csv", compression
     if low.endswith(".lance"):
-        return "lance"
-    return "parquet"
+        return "lance", compression
+    return "parquet", compression
 
 
 def read_documents(path: str, fmt: str | None = None,
@@ -66,8 +78,17 @@ def read_documents(path: str, fmt: str | None = None,
     """
     import pyarrow as pa
 
+    compression = None
     if fmt is None:
-        fmt = _sniff_fmt(path)
+        fmt, compression = _sniff_fmt(path)
+    if compression is not None and fmt in ("jsonl", "csv") \
+            and "arrow_open_stream_args" not in reader_kwargs:
+        # Arrow decompresses natively once the stream is opened with
+        # the right codec; file_extensions=None keeps Ray's default
+        # extension filter from dropping the .gz/.bz2 path
+        reader_kwargs["arrow_open_stream_args"] = {
+            "compression": compression}
+        reader_kwargs.setdefault("file_extensions", None)
     if fmt == "jsonl":
         ds = ray.data.read_json(path, **reader_kwargs)
     elif fmt == "csv":
@@ -143,7 +164,11 @@ def write_documents(ds: "ray.data.Dataset", path: str,
     (optional dependency, same gate as the reader) writes a lance
     dataset — fragmented internally, not per-block files."""
     if fmt is None:
-        fmt = _sniff_fmt(path)
+        fmt, compression = _sniff_fmt(path)
+        if compression is not None and fmt in ("jsonl", "csv") \
+                and "arrow_open_stream_args" not in writer_kwargs:
+            writer_kwargs["arrow_open_stream_args"] = {
+                "compression": compression}
     if fmt == "jsonl":
         ds.write_json(path, **writer_kwargs)
     elif fmt == "csv":

@@ -93,11 +93,16 @@ def main(argv=None) -> int:
         # id column, and say so.
         from mhray.io import _sniff_fmt
 
-        fmt = _sniff_fmt(args.input)
+        fmt, compression = _sniff_fmt(args.input)
+        open_args = {}
+        if compression is not None and fmt in ("jsonl", "csv"):
+            open_args = {"arrow_open_stream_args":
+                         {"compression": compression},
+                         "file_extensions": None}
         if fmt == "jsonl":
-            docs = ray.data.read_json(args.input)
+            docs = ray.data.read_json(args.input, **open_args)
         elif fmt == "csv":
-            docs = ray.data.read_csv(args.input)
+            docs = ray.data.read_csv(args.input, **open_args)
         elif fmt == "lance":
             docs = ray.data.read_lance(args.input)
         else:

@@ -128,6 +128,33 @@ def _unpack_rows(col, dim: int) -> np.ndarray:
     return flat[off * dim:(off + len(col)) * dim].reshape(len(col), dim)
 
 
+def _coarse_centroids(ds, n_cells: int, lloyd_iters: int, seed: int,
+                      id_col: str, emb_col: str) -> np.ndarray | None:
+    """Cosine-normalized coarse centroids from the deterministic
+    hash-bottom sample + a few Lloyd iterations — the shared IVF
+    trainer (ivf_knn's probing and knn_graph_ivf's partitioning use
+    the identical cells). None on an empty corpus."""
+    sm = _hash_bottom_sample(ds, max(512, n_cells * 16), seed,
+                             id_col, emb_col)
+    if len(sm) == 0:
+        return None
+    sm = _normalize(sm)
+    rng = np.random.default_rng(seed)
+    # corpora smaller than the cell count get one cell per sample row
+    cent = sm[rng.choice(len(sm), size=min(n_cells, len(sm)),
+                         replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(sm @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sm[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
 def _hash_bottom_sample(ds, n_sample: int, seed: int, id_col: str,
                         emb_col: str) -> np.ndarray:
     """Deterministic UNIFORM sample of up to n_sample vectors: bottom-n
@@ -416,25 +443,11 @@ def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     _EMPTY = pa.table({"query_id": pa.array([], pa.int64()),
                        "neighbor_id": pa.array([], pa.int64()),
                        "rank": pa.array([], pa.int64())})
-    sm = _hash_bottom_sample(ds, max(512, n_cells * 16), seed,
+    cent = _coarse_centroids(ds, n_cells, lloyd_iters, seed,
                              id_col, emb_col)
-    if len(sm) == 0:  # empty corpus -> empty result, not a crash
+    if cent is None:  # empty corpus -> empty result, not a crash
         return ray.data.from_arrow(_EMPTY)
-    sm = _normalize(sm)
-    rng = np.random.default_rng(seed)
-    # corpora smaller than the cell count get one cell per sample row
-    cent = sm[rng.choice(len(sm), size=min(n_cells, len(sm)),
-                         replace=False)]
     n_cells = len(cent)
-    for _ in range(lloyd_iters):
-        assign = np.argmax(sm @ cent.T, axis=1)
-        for c in range(n_cells):
-            members = sm[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
     cent_ref = ray.put(cent)
 
     q_rows = ds.filter(expr=f"{id_col} in {[int(q) for q in query_ids]}").take_all()
@@ -665,9 +678,17 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
     n = side.count()  # one execution: guard, corpus fetch and the
     # final map below all consume the materialized selection
     if n > corpus_cap:
-        raise ValueError(
-            f"knn_graph is the exact baseline ({n} rows > {corpus_cap}): "
-            "partition by IVF cell (stages.ann.ivf_knn shape) at scale")
+        # the exact broadcast baseline stops paying past the cap:
+        # route to the IVF-cell graph (same output schema, neighbors
+        # found within a row's coarse cell — recall bound in pytest)
+        print(f"[mhray] knn_graph: {n} rows > {corpus_cap} cap — "
+              "building the per-IVF-cell graph instead of the exact "
+              "broadcast baseline")
+        # size cells so each holds many x k rows (a singleton cell has
+        # no neighbors to offer); n is already known here
+        n_cells = int(max(1, min(64, n // (8 * max(k, 1)))))
+        return knn_graph_ivf(side, k=k, n_cells=n_cells,
+                             id_col=id_col, emb_col=emb_col)
     if n == 0:
         return ray.data.from_arrow(pa.table({
             "query_id": pa.array([], pa.int64()),
@@ -697,35 +718,117 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
                 "neighbor_id": pa.array([], pa.int64()),
                 "rank": pa.array([], pa.int64()),
                 "sim_sc": pa.array([], pa.int64())})
-        # per-row top-k: select every candidate >= the take-th largest
-        # sim (so exact boundary ties are ALL kept, not an arbitrary
-        # argpartition subset), then ONE flat lexsort orders candidates
-        # by (row, -sim, neighbor_id) and a within-row rank keeps the
-        # first `take` — deterministic under duplicate vectors, no
-        # per-row Python.
-        kth = np.partition(sims, sims.shape[1] - take, axis=1)[
-            :, sims.shape[1] - take]
-        row_idx, c_flat = np.nonzero(sims >= kth[:, None])
-        s_flat = sims[row_idx, c_flat]
-        n_flat = corpus_ids[c_flat]
-        order = np.lexsort((n_flat, -s_flat, row_idx))
-        r_sorted = row_idx[order]
-        starts = np.flatnonzero(np.diff(r_sorted, prepend=r_sorted[0] - 1))
-        sizes = np.diff(np.append(starts, len(r_sorted)))
-        rank = (np.arange(len(r_sorted), dtype=np.int64)
-                - np.repeat(starts, sizes) + 1)
-        keep = rank <= take
-        order = order[keep]
-        rank = rank[keep]
-        sim = s_flat[order]
-        sim_sc = (np.sign(sim) * np.floor(np.abs(sim) * 10000 + 0.5)) \
-            .astype(np.int64)
-        return pa.table({
-            "query_id": pa.array(ids[row_idx[order]], pa.int64()),
-            "neighbor_id": pa.array(n_flat[order], pa.int64()),
-            "rank": pa.array(rank, pa.int64()),
-            "sim_sc": pa.array(sim_sc, pa.int64()),
-        })
+        return _graph_topk(sims, ids, corpus_ids, take)
 
     return side.map_batches(topk, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def _graph_topk(sims: np.ndarray, q_ids: np.ndarray,
+                corpus_ids: np.ndarray, take: int) -> pa.Table:
+    """Deterministic per-row top-``take`` from a (Q, N) sim matrix
+    (self-sims already -inf): select every candidate >= the take-th
+    largest sim (exact boundary ties are ALL kept, not an arbitrary
+    argpartition subset), then ONE flat lexsort orders candidates by
+    (row, -sim, neighbor_id) and a within-row rank keeps the first
+    ``take`` — stable under duplicate vectors, no per-row Python."""
+    kth = np.partition(sims, sims.shape[1] - take, axis=1)[
+        :, sims.shape[1] - take]
+    row_idx, c_flat = np.nonzero(sims >= kth[:, None])
+    s_flat = sims[row_idx, c_flat]
+    n_flat = corpus_ids[c_flat]
+    order = np.lexsort((n_flat, -s_flat, row_idx))
+    r_sorted = row_idx[order]
+    starts = np.flatnonzero(np.diff(r_sorted, prepend=r_sorted[0] - 1))
+    sizes = np.diff(np.append(starts, len(r_sorted)))
+    rank = (np.arange(len(r_sorted), dtype=np.int64)
+            - np.repeat(starts, sizes) + 1)
+    keep = rank <= take
+    order = order[keep]
+    rank = rank[keep]
+    sim = s_flat[order]
+    sim_sc = (np.sign(sim) * np.floor(np.abs(sim) * 10000 + 0.5)) \
+        .astype(np.int64)
+    return pa.table({
+        "query_id": pa.array(q_ids[row_idx[order]], pa.int64()),
+        "neighbor_id": pa.array(n_flat[order], pa.int64()),
+        "rank": pa.array(rank, pa.int64()),
+        "sim_sc": pa.array(sim_sc, pa.int64()),
+    })
+
+
+_GRAPH_EMPTY = pa.table({
+    "query_id": pa.array([], pa.int64()),
+    "neighbor_id": pa.array([], pa.int64()),
+    "rank": pa.array([], pa.int64()),
+    "sim_sc": pa.array([], pa.int64())})
+
+
+def knn_graph_ivf(ds, k: int = 5, n_cells: int = 64,
+                  lloyd_iters: int = 2, seed: int = 13,
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  cell_cap: int = 200_000, chunk_rows: int = 2048):
+    """Approximate cosine kNN graph at corpus scale: vectors are
+    assigned to their nearest coarse IVF cell (the banding-probe
+    analog of sketch/BitVectorIndex.java:129-162 — search only within
+    the matching bucket), ONE groupby co-locates each cell, and the
+    exact graph is built inside the cell with chunked matmuls (peak
+    scratch = chunk_rows x cell rows, never cell^2).
+
+    Partitioning assumptions, explicit: (1) neighbors are only found
+    within a row's own cell — recall vs the exact graph depends on the
+    corpus clustering (pytest bounds it on blob data); (2) a skewed
+    cell larger than ``cell_cap`` is deterministically sub-split by
+    id order and the graph is built per sub-split (bounded memory,
+    further recall loss ONLY inside oversized cells — logged)."""
+    import ray
+
+    cent = _coarse_centroids(ds, n_cells, lloyd_iters, seed,
+                             id_col, emb_col)
+    if cent is None:
+        return ray.data.from_arrow(_GRAPH_EMPTY)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return pa.table({
+            "cell": pa.array(cell, pa.int32()),
+            "iid": pa.array(ids, pa.int64()),
+            "vec": _pack_rows(m),
+        })
+
+    def graph_cell(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _GRAPH_EMPTY
+        ids = np.asarray(part.column("iid"), dtype=np.int64)
+        dim = part.column("vec").type.byte_width // 8
+        vecs = _unpack_rows(part.column("vec"), dim)
+        order = np.argsort(ids)
+        ids, vecs = ids[order], np.ascontiguousarray(vecs[order])
+        if len(ids) > cell_cap:
+            print(f"[mhray] knn_graph_ivf: cell of {len(ids)} rows "
+                  f"sub-split at {cell_cap} (recall loss inside cell)")
+        outs = []
+        for s0 in range(0, len(ids), cell_cap):
+            sub_ids = ids[s0:s0 + cell_cap]
+            sub = vecs[s0:s0 + cell_cap]
+            take = min(k, len(sub_ids) - 1)
+            if take <= 0:
+                continue
+            for c0 in range(0, len(sub_ids), chunk_rows):
+                q = sub[c0:c0 + chunk_rows]
+                sims = q @ sub.T
+                rows = np.arange(len(q))
+                sims[rows, c0 + rows] = -np.inf  # exclude self
+                outs.append(_graph_topk(sims, sub_ids[c0:c0 + chunk_rows],
+                                        sub_ids, take))
+        if not outs:
+            return _GRAPH_EMPTY
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("cell").map_groups(graph_cell, batch_format="pyarrow")

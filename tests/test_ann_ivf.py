@@ -79,15 +79,87 @@ def test_knn_graph_vs_bruteforce(ray_session):
              np.floor(np.abs(sims[qi][o]) * 10000 + 0.5)).astype(np.int64))
 
 
-def test_knn_graph_cap_raises(ray_session):
-    import numpy as np
+def test_knn_graph_cap_routes_to_ivf(ray_session):
+    """Past corpus_cap the exact baseline hands off to the IVF-cell
+    graph (same schema) instead of raising."""
     import pyarrow as pa
 
     import ray.data
-    import pytest
     from mhray.stages.ann import knn_graph
 
     tbl = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
-                    "embedding": pa.array([[1.0, 0.0]] * 3)})
-    with pytest.raises(ValueError, match="exact baseline"):
-        knn_graph(ray.data.from_arrow(tbl), k=2, corpus_cap=2)
+                    "embedding": pa.array([[1.0, 0.0], [0.9, 0.1],
+                                           [0.0, 1.0]])})
+    rows = knn_graph(ray.data.from_arrow(tbl), k=2,
+                     corpus_cap=2).take_all()
+    assert rows and set(rows[0].keys()) == {"query_id", "neighbor_id",
+                                            "rank", "sim_sc"}
+
+
+def test_knn_graph_ivf_recall_and_routing(ray_session):
+    """The IVF-cell graph (the >cap scale path) keeps high recall vs
+    the exact graph on clustered data, and knn_graph routes to it —
+    instead of raising — when the corpus exceeds corpus_cap."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.ann import knn_graph, knn_graph_ivf
+
+    # well-separated blobs: within-cell search should recover nearly
+    # every exact neighbor
+    rng = np.random.default_rng(11)
+    n_blobs, per, d, k = 6, 80, 16, 5
+    centers = rng.normal(size=(n_blobs, d)) * 6
+    m = np.concatenate([c + rng.normal(size=(per, d)) * 0.3
+                        for c in centers])
+    ids = np.arange(len(m), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(map(list, m)))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_graph(ds, k=k).take_all()}
+    approx_rows = knn_graph_ivf(ds, k=k, n_cells=n_blobs,
+                                seed=11).take_all()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    # every row got neighbors, ranks contiguous from 1
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(by_q) == len(m)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+
+    # routing: a tiny corpus_cap must switch to the IVF path, not raise
+    routed = knn_graph(ds, k=k, corpus_cap=100).take_all()
+    assert len({r["query_id"] for r in routed}) == len(m)
+    assert set(routed[0].keys()) == {"query_id", "neighbor_id",
+                                     "rank", "sim_sc"}
+
+
+def test_knn_graph_ivf_cell_cap_subsplit(ray_session):
+    """A cell bigger than cell_cap is deterministically sub-split:
+    output stays valid (unique (q, rank), self excluded) and is
+    reproducible run-to-run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.ann import knn_graph_ivf
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(90, 8))
+    tbl = pa.table({"vec_id": pa.array(np.arange(90), pa.int64()),
+                    "embedding": pa.array(list(map(list, m)))})
+    ds = ray.data.from_arrow(tbl)
+    a = knn_graph_ivf(ds, k=3, n_cells=1, cell_cap=40, seed=3).take_all()
+    b = knn_graph_ivf(ds, k=3, n_cells=1, cell_cap=40, seed=3).take_all()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                               r["sim_sc"]) for r in rows)
+    assert key(a) == key(b)
+    assert all(r["query_id"] != r["neighbor_id"] for r in a)
+    seen = {(r["query_id"], r["rank"]) for r in a}
+    assert len(seen) == len(a)

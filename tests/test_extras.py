@@ -387,3 +387,29 @@ def test_read_documents_idless_duplicates_collapse(tmp_path, ray_session):
     assert len(rows) == 31                      # 30 unique + 1 collapsed
     assert len(set(ids)) == len(ids)            # ids unique
     assert sum(r["text"] == "same body" for r in rows) == 1
+
+
+def test_read_documents_compressed(tmp_path, ray_session):
+    """.jsonl.gz / .csv.gz / .jsonl.bz2 route to the text readers with
+    a decompressing stream (reference S2: transparent gz/bz2 opener,
+    utils/Utils.java:228-268) — not to the parquet fallthrough."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import json as _json
+
+    from mhray.io import read_documents
+
+    rows = [{"doc_id": i, "text": f"compressed doc {i} body"}
+            for i in range(25)]
+    jsonl = "".join(_json.dumps(r) + "\n" for r in rows).encode()
+    csv = ("doc_id,text\n" + "".join(
+        f"{r['doc_id']},{r['text']}\n" for r in rows)).encode()
+    (tmp_path / "d.jsonl.gz").write_bytes(_gzip.compress(jsonl))
+    (tmp_path / "d.csv.gz").write_bytes(_gzip.compress(csv))
+    (tmp_path / "d.jsonl.bz2").write_bytes(_bz2.compress(jsonl))
+
+    want = {(r["doc_id"], r["text"]) for r in rows}
+    for name in ("d.jsonl.gz", "d.csv.gz", "d.jsonl.bz2"):
+        ds = read_documents(str(tmp_path / name))
+        got = {(r["doc_id"], r["text"]) for r in ds.take_all()}
+        assert got == want, name
