@@ -1001,9 +1001,10 @@ def q_stratified_sample(sf_dir: str):
 
 def d_lm_score(sf_dir: str):
     """Char-trigram statistical-LM document scoring (train on the
-    corpus, score every doc by mean trigram log-prob) — rows-only
-    (iterative two-pass model fit, not SQL-expressible); pytest
-    asserts gibberish scores below in-distribution text."""
+    corpus, score every doc by mean trigram log-prob); full oracle —
+    the "two-pass fit" is a grouped count + rank-filtered top-K, both
+    SQL shapes. pytest also asserts gibberish scores below
+    in-distribution text."""
     from mhray.stages.text import trigram_lm_score
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2658,4 +2659,48 @@ ORACLE_SQL["d_pack_sequences"] = f"""
                AS truncated
     FROM d JOIN bounds b
       ON d.part = b.part AND d.rn BETWEEN b.lo_rn AND b.hi_rn
+"""
+
+
+# Char-trigram LM scoring: the "two-pass model fit" is really one
+# grouped count + a rank-filtered top-K + a log-prob lookup, all
+# SQL-expressible (trigram key = c0 | c1<<21 | c2<<42, identical
+# packing to stages/text.py _trigram_keys_batch; codepoints, so
+# astral-safe on both sides). Float caveat: ln + mean accumulate in
+# different orders across engines; the per-mille rounding absorbs it.
+ORACLE_SQL["d_lm_score"] = """
+    WITH tg AS (
+        SELECT doc_id, unnest(range(1, length(text) - 1)) AS i, text
+        FROM documents WHERE length(text) >= 3
+    ),
+    keys AS (
+        SELECT doc_id,
+               CAST(unicode(substring(text, i, 1)) AS BIGINT)
+               + (CAST(unicode(substring(text, i + 1, 1)) AS BIGINT) << 21)
+               + (CAST(unicode(substring(text, i + 2, 1)) AS BIGINT) << 42)
+                   AS key
+        FROM tg
+    ),
+    cnts AS (SELECT key, COUNT(*) AS cnt FROM keys GROUP BY key),
+    tot AS (SELECT GREATEST(SUM(cnt), 1.0) AS total FROM cnts),
+    model AS (
+        SELECT key, ln(GREATEST(cnt, 0.5) / (SELECT total FROM tot))
+                   AS logp
+        FROM cnts
+        QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, key) <= 200000
+    ),
+    scored AS (
+        SELECT k.doc_id,
+               COALESCE(m.logp, ln(0.5 / (SELECT total FROM tot))) AS lp
+        FROM keys k LEFT JOIN model m ON k.key = m.key
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_trigrams, AVG(lp) AS mean_lp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_trigrams, 0) AS n_trigrams,
+           CAST(COALESCE(ROUND(a.mean_lp * 1000, 0), 0) AS BIGINT)
+               AS lm_logprob_pm
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """

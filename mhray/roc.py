@@ -146,12 +146,84 @@ def arbitrate_pair(lo_text: str, hi_text: str,
             and abs(1.0 - length / ovl_len) < 0.30)
 
 
+def full_estimate(truth_pairs: pa.Table, found_pairs: pa.Table,
+                  all_ids: list[str], texts: dict[str, str] | None = None,
+                  edges: dict[tuple[str, str], tuple] | None = None,
+                  min_identity: float = 0.65, min_ovl_len: int = 16,
+                  truth_ovl: dict[tuple[str, str], int] | None = None,
+                  ) -> dict:
+    """Exhaustive O(N^2) confusion matrix — EstimateROC's fullEstimate
+    mode (EstimateROC.java:886-913, triggered by --num-trials 0;
+    metrics formulas :256-262):
+
+    - pair in found and in truth -> tp; in found, not in truth ->
+      alignment arbitration (computeDP) decides tp vs fp
+    - pair not found, not truth -> tn
+    - pair not found, in truth with overlap > min_ovl_len -> fn
+      (small-overlap truth pairs count neither way, matching
+      getOverlapSize(id, id2) > minOvlLen at :897; without
+      ``truth_ovl`` every missed truth pair is an fn)
+
+    sensitivity = tp/(tp+fn), specificity = tn/(fp+tn),
+    ppv = tp/(tp+fp). Set membership makes this O(N^2) only in the
+    tn arithmetic (closed form), so the real cost is |found| +
+    |truth| — exhaustive semantics without the exhaustive loop.
+    """
+    truth = _pair_set(truth_pairs)
+    found = _pair_set(found_pairs)
+
+    tp = fp = 0
+    n_arbitrated = 0
+    for pair in found:
+        if pair in truth:
+            tp += 1
+        elif texts is not None:
+            lo, hi = pair
+            if lo in texts and hi in texts and arbitrate_pair(
+                    texts[lo], texts[hi],
+                    edges.get(pair) if edges else None,
+                    min_identity, min_ovl_len):
+                tp += 1
+                n_arbitrated += 1
+            else:
+                fp += 1
+        else:
+            fp += 1
+
+    missed = truth - found
+    if truth_ovl is not None:
+        fn = sum(1 for p in missed if truth_ovl.get(p, 0) > min_ovl_len)
+    else:
+        fn = len(missed)
+    n = len(set(all_ids))
+    total_pairs = n * (n - 1) // 2
+    tn = total_pairs - len(found | truth)
+
+    return {
+        "sensitivity": round(tp / max(1, tp + fn), 4),
+        "specificity": round(tn / max(1, fp + tn), 4),
+        "ppv": round(tp / max(1, tp + fp), 4),
+        "tp": tp, "fp": fp, "tn": tn, "fn": fn,
+        "n_trials": 0,
+        "n_truth": len(truth),
+        "n_found": len(found),
+        "n_arbitrated": n_arbitrated,
+    }
+
+
 def estimate_roc(truth_pairs: pa.Table, found_pairs: pa.Table,
                  all_ids: list[str], n_trials: int = 10_000,
                  seed: int = 42, texts: dict[str, str] | None = None,
                  edges: dict[tuple[str, str], tuple] | None = None,
                  min_identity: float = 0.65,
                  min_ovl_len: int = 16) -> dict:
+    # --num-trials 0 selects the exhaustive mode, exactly like the
+    # reference CLI (EstimateROC.java:230-234)
+    if n_trials == 0:
+        return full_estimate(truth_pairs, found_pairs, all_ids,
+                             texts=texts, edges=edges,
+                             min_identity=min_identity,
+                             min_ovl_len=min_ovl_len)
     rng = np.random.default_rng(seed)
     truth = _pair_set(truth_pairs)
     found = _pair_set(found_pairs)

@@ -72,7 +72,7 @@ ORACLE_CHECKED = [
     "q_weighted_sample", "ev_user_mode", "ev_mad", "d_novelty",
     "ev_bursts", "d_dup_by_source", "ev_dau", "ev_running_total",
     "d_mixture_sample", "d_simhash_pairs", "d_fingerprints",
-    "e_knn_graph", "d_pack_sequences",
+    "e_knn_graph", "d_pack_sequences", "d_lm_score",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio",
@@ -80,7 +80,7 @@ ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_minhash_pairs",
              "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
-             "q_approx_distinct", "e_semdedup", "d_lm_score"]
+             "q_approx_distinct", "e_semdedup"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)

@@ -225,3 +225,42 @@ def test_interval_truth_and_range_overlap():
                         min(end[i], end[j]) - max(start[i], start[j]) + 1 >= mo:
                     exp.add(tuple(sorted((ids[i], ids[j]))))
         assert got == exp, mo
+
+
+def test_full_estimate_exact_confusion_matrix():
+    """fullEstimate mode (EstimateROC.java:886-913): exhaustive
+    tp/fp/tn/fn over all C(N,2) pairs, hand-computed expectations."""
+    import pyarrow as pa
+
+    from mhray.roc import estimate_roc, full_estimate
+
+    ids = ["a", "b", "c", "d", "e"]          # 10 possible pairs
+    truth = pa.table({"lo_id": ["a", "a", "b"],
+                      "hi_id": ["b", "c", "c"]})
+    # found: (a,b) tp; (a,d) fp (arbitration fails: different texts);
+    # (b,e) arbitrated tp (identical texts); misses (a,c),(b,c) -> fn
+    found = pa.table({"lo_id": ["a", "a", "b"],
+                      "hi_id": ["b", "d", "e"]})
+    texts = {"a": "the quick brown fox jumps over the lazy dog",
+             "d": "completely unrelated content here that differs",
+             "b": "shared identical caption body for this pair!",
+             "e": "shared identical caption body for this pair!"}
+    r = full_estimate(truth, found, ids, texts=texts, min_ovl_len=16)
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 2)
+    # tn = 10 - |found ∪ truth| = 10 - 5 = 5
+    assert r["tn"] == 5
+    assert r["sensitivity"] == round(2 / 4, 4)
+    assert r["specificity"] == round(5 / 6, 4)
+    assert r["ppv"] == round(2 / 3, 4)
+    assert r["n_arbitrated"] == 1
+
+    # n_trials=0 routes estimate_roc to the exhaustive mode (the
+    # reference CLI convention)
+    r2 = estimate_roc(truth, found, ids, n_trials=0, texts=texts)
+    assert r2 == r
+
+    # truth overlap sizes gate fn exactly like getOverlapSize > minOvl
+    r3 = full_estimate(truth, found, ids, texts=texts,
+                       truth_ovl={("a", "c"): 10, ("b", "c"): 40},
+                       min_ovl_len=16)
+    assert r3["fn"] == 1 and r3["sensitivity"] == round(2 / 3, 4)
