@@ -450,7 +450,12 @@ def e_knn_ivf(sf_dir: str):
 
 
 def e_dup_lsh(sf_dir: str):
-    """LSH-bucketed variant (the scale path; rows-only check)."""
+    """LSH-bucketed variant (the scale path). Rows-only BY NECESSITY:
+    the sign-LSH hyperplanes come from numpy PCG64 standard_normal
+    draws, which no SQL engine reproduces — and the bucketing (hence
+    which cosine>=tau pairs are recalled) depends on those exact
+    floats. Recall and in-bucket rescore exactness are pytest-bound
+    instead (tests/test_extras.py)."""
     from mhray.stages.ann import embedding_dup_pairs
 
     return embedding_dup_pairs(_read(sf_dir, "embeddings",
@@ -1070,8 +1075,10 @@ def d_bloom_new(sf_dir: str):
     != 0), then keep only the incoming batch rows (doc_id % 97 == 0)
     whose content the corpus has NOT seen — no corpus shuffle, the
     filter broadcasts once (:mod:`mhray.stages.freqjob` BloomFilter).
-    Rows-only (membership is probabilistic by design; the
-    no-false-negative and FPR bounds are pytest-asserted)."""
+    Full oracle: bloom membership is DETERMINISTIC given the hashes,
+    and the ragged-murmur recursive CTE reproduces hash_strings64
+    bit-for-bit; the no-false-negative / FPR bounds stay
+    pytest-asserted."""
     from mhray.kernels import hash_strings64
     from mhray.stages.freqjob import bloom_build, bloom_filter_new
 
@@ -2351,12 +2358,27 @@ ORACLE_SQL = {
                CAST(ROUND(novel * 10000.0 / tot, 0) AS BIGINT) AS novel_bp
         FROM nv
     """,
-    # d_minhash_pairs / d_simhash_pairs / d_fingerprints / e_dup_lsh /
-    # e_knn_ivf / d_substring_pairs / d_incremental_pairs /
-    # d_tiered_dedup / e_kmeans / e_semdedup / d_lm_score /
-    # q_approx_distinct: custom-hash / approximate / iterative
-    # operators with no faithful ANSI-SQL equivalent -> rows-only
-    # driver check.
+    # Remaining rows-only queries, each with the specific reason and a
+    # pytest substitute (d_simhash_pairs / d_fingerprints /
+    # d_pack_sequences / e_knn_graph / d_lm_score graduated to full
+    # oracles in round 3 via the murmur-in-SQL builders below):
+    #   d_minhash_pairs, d_incremental_pairs, d_tiered_dedup, d_curate,
+    #     d_dup_clusters: the MHAP positional verify kernel (bottom
+    #     sketch median-shift two-pass) is an imperative algorithm
+    #     with no SQL form; pipeline-vs-reference-oracle exactness is
+    #     pytest-asserted (tests/test_pipeline_e2e.py etc.)
+    #   e_dup_lsh: PCG64-drawn hyperplanes (see its docstring)
+    #   e_kmeans / e_semdedup / e_knn_ivf / e_pca: iterative ML
+    #     (Lloyd / greedy prune / trained quantizer / eigh)
+    #   q_approx_distinct / q_approx_percentiles: approximate sketches
+    #     (HLL / equi-depth merge), exactness bounds pytest-asserted
+    #   d_substring_pairs: winnow + LCS verify (imperative two-pointer)
+    #   d_compression_ratio: zlib byte stream, not expressible
+    #   ev_motif: z-normalized sliding matmul; float ranking over
+    #     ~continuous scores has no stable cross-engine hash
+    # (d_bloom_new also graduated: the ragged-murmur recursive CTE
+    # below hashes full variable-length texts, and bloom membership is
+    # deterministic given the hashes)
 }
 
 # composed from the d_quality oracle so the quality definition lives in
@@ -2703,4 +2725,126 @@ ORACLE_SQL["d_lm_score"] = """
            CAST(COALESCE(ROUND(a.mean_lp * 1000, 0), 0) AS BIGINT)
                AS lm_logprob_pm
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def _sql_text_hash64() -> str:
+    """Subquery computing murmur3_x64_128 h1 (seed 0, the
+    hash_strings64 content hash) of EVERY documents row's full
+    variable-length text: a recursive CTE advances all docs one
+    16-byte block per iteration (the SQL mirror of
+    murmur.murmur3_x64_128_ragged's block-iterative shape), then the
+    1..7-unit tail and the shared finalizer. Yields (doc_id,
+    h1 HUGEINT). BMP-only precondition as elsewhere."""
+    u = lambda base, i: (f"CAST(unicode(substring(t.text, {base} + {i}, 1))"
+                         f" AS HUGEINT)")
+    k1b = " + ".join(f"{u('8*r.b', i)} * {1 << (16 * (i - 1))}"
+                     for i in range(1, 5))
+    k2b = " + ".join(f"{u('8*r.b', i)} * {1 << (16 * (i - 5))}"
+                     for i in range(5, 9))
+    k1c = _sql_mul64(_sql_rotl64(_sql_mul64(f"({k1b})", _C1_SQL), 31),
+                     _C2_SQL)
+    k2c = _sql_mul64(_sql_rotl64(_sql_mul64(f"({k2b})", _C2_SQL), 33),
+                     _C1_SQL)
+    h1p = (f"(({_sql_rotl64(_sql_xor64('p.h1', 'p.k1c'), 27)} + p.h2)"
+           f" % {_M64} * 5 + {0x52DCE729}) % {_M64}")
+    h2p = (f"(({_sql_rotl64(_sql_xor64('q.h2', 'q.k2c'), 31)} + q.h1n)"
+           f" % {_M64} * 5 + {0x38495AB5}) % {_M64}")
+    tu = lambda i: (f"CASE WHEN tl >= {i} THEN "
+                    f"CAST(unicode(substring(text, 8*nb + {i}, 1))"
+                    f" AS HUGEINT) ELSE CAST(0 AS HUGEINT) END")
+    k1t = " + ".join(f"({tu(i)}) * {1 << (16 * (i - 1))}"
+                     for i in range(1, 5))
+    k2t = " + ".join(f"({tu(i)}) * {1 << (16 * (i - 5))}"
+                     for i in range(5, 8))
+    h1t = _sql_mul64(_sql_rotl64(_sql_mul64(f"({k1t})", _C1_SQL), 31),
+                     _C2_SQL)
+    h2t = _sql_mul64(_sql_rotl64(_sql_mul64(f"({k2t})", _C2_SQL), 33),
+                     _C1_SQL)
+    return f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) // 8 AS nb, length(text) % 8 AS tl
+        FROM documents
+    ),
+    st AS (
+        SELECT r.doc_id, r.h1, r.h2
+        FROM (
+            WITH RECURSIVE rec(doc_id, b, h1, h2) AS (
+                SELECT doc_id, 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+                FROM docs
+                UNION ALL
+                SELECT q.doc_id, q.b + 1, q.h1n, {h2p}
+                FROM (
+                    SELECT p.doc_id, p.b, p.h2, p.k2c, {h1p} AS h1n
+                    FROM (
+                        SELECT r.doc_id, r.b, r.h1, r.h2,
+                               {k1c} AS k1c, {k2c} AS k2c
+                        FROM rec r JOIN docs t ON t.doc_id = r.doc_id
+                        WHERE r.b < t.nb
+                    ) p
+                ) q
+            )
+            SELECT * FROM rec
+        ) r JOIN docs d ON d.doc_id = r.doc_id AND r.b = d.nb
+    ),
+    tl0 AS (
+        SELECT s.doc_id, d.n,
+               CASE WHEN d.tl > 0 THEN {_sql_xor64('s.h1', h1t)}
+                    ELSE s.h1 END AS h1x0,
+               CASE WHEN d.tl > 0 THEN {_sql_xor64('s.h2', h2t)}
+                    ELSE s.h2 END AS h2x0
+        FROM st s JOIN docs d ON d.doc_id = s.doc_id
+    ),
+    tm2 AS (SELECT doc_id, {_sql_xor64('h1x0', '2*n')} AS h1a,
+                   {_sql_xor64('h2x0', '2*n')} AS h2a FROM tl0),
+    tm3 AS (SELECT doc_id, (h1a + h2a) % {_M64} AS h1b,
+                   (h2a + (h1a + h2a) % {_M64}) % {_M64} AS h2b FROM tm2),
+    tf1 AS (SELECT doc_id, {_sql_xor64('h1b', f'h1b // {1 << 33}')} AS a1,
+                   {_sql_xor64('h2b', f'h2b // {1 << 33}')} AS a2 FROM tm3),
+    tf2 AS (SELECT doc_id, {_sql_mul64('a1', _F1_SQL)} AS b1,
+                   {_sql_mul64('a2', _F1_SQL)} AS b2 FROM tf1),
+    tf3 AS (SELECT doc_id, {_sql_xor64('b1', f'b1 // {1 << 33}')} AS c1,
+                   {_sql_xor64('b2', f'b2 // {1 << 33}')} AS c2 FROM tf2),
+    tf4 AS (SELECT doc_id, {_sql_mul64('c1', _F2_SQL)} AS d1,
+                   {_sql_mul64('c2', _F2_SQL)} AS d2 FROM tf3),
+    tf5 AS (SELECT doc_id, {_sql_xor64('d1', f'd1 // {1 << 33}')} AS e1,
+                   {_sql_xor64('d2', f'd2 // {1 << 33}')} AS e2 FROM tf4),
+    th AS (SELECT doc_id, (e1 + e2) % {_M64} AS h1 FROM tf5)"""
+
+
+# Bloom-filter ingestion pre-filter, now with a full oracle: the text
+# content hash is the ragged murmur above; the k=5 double-hashed bit
+# positions (Kirsch–Mitzenmacher, BloomFilter._positions) reduce mod
+# n_bits=2^20, and since 2^20 | 2^64 the uint64 wraparound drops out
+# of the arithmetic entirely. A batch doc is NEW iff at least one of
+# its 5 positions is unset in the corpus filter — bloom false
+# positives are DETERMINISTIC given the hashes, so SQL reproduces
+# them bit-for-bit.
+ORACLE_SQL["d_bloom_new"] = f"""{_sql_text_hash64()},
+    hx1 AS (
+        SELECT doc_id, (doc_id % 97 = 0) AS is_new,
+               {_sql_xor64(_sql_mul64('h1', 0x9E3779B97F4A7C15),
+                           _sql_mul64('h1', 0x9E3779B97F4A7C15)
+                           + f' // {1 << 32}')} AS x1,
+               ({_sql_mul64('h1', 0xC2B2AE3D27D4EB4F)} + 1) % {_M64} AS x2a
+        FROM th
+    ),
+    hx2 AS (
+        SELECT doc_id, is_new, x1,
+               {_sql_xor64('x2a', f'x2a // {1 << 29}')} AS x2
+        FROM hx1
+    ),
+    posx AS (
+        SELECT doc_id, is_new,
+               CAST((x1 + i.i * (x2 // 2 * 2 + 1)) % 1048576 AS BIGINT)
+                   AS pos
+        FROM hx2, (SELECT unnest(range(5)) AS i) i
+    ),
+    seen AS (SELECT DISTINCT pos FROM posx WHERE NOT is_new)
+    SELECT p.doc_id
+    FROM posx p LEFT JOIN seen s ON p.pos = s.pos
+    WHERE p.is_new
+    GROUP BY p.doc_id
+    HAVING COUNT(*) FILTER (WHERE s.pos IS NULL) > 0
 """

@@ -72,11 +72,11 @@ ORACLE_CHECKED = [
     "q_weighted_sample", "ev_user_mode", "ev_mad", "d_novelty",
     "ev_bursts", "d_dup_by_source", "ev_dau", "ev_running_total",
     "d_mixture_sample", "d_simhash_pairs", "d_fingerprints",
-    "e_knn_graph", "d_pack_sequences", "d_lm_score",
+    "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio",
-             "d_dup_clusters", "ev_motif", "d_bloom_new",
+             "d_dup_clusters", "ev_motif",
              "d_minhash_pairs",
              "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
