@@ -61,6 +61,23 @@ def _sniff_fmt(path: str) -> tuple[str, str | None]:
     return "parquet", compression
 
 
+def codec_kwargs(fmt: str, compression: str | None,
+                 read: bool = True) -> dict:
+    """Reader/writer kwargs for a sniffed compression suffix — the ONE
+    place the codec plumbing lives (read_documents, write_documents and
+    run.py all route through here). Arrow decompresses natively once
+    the stream is opened with the right codec; on the read side
+    ``file_extensions=None`` keeps Ray's default extension filter from
+    dropping the .gz/.bz2 path (it must apply even when the caller
+    supplies its own ``arrow_open_stream_args``)."""
+    if compression is None or fmt not in ("jsonl", "csv"):
+        return {}
+    kw: dict = {"arrow_open_stream_args": {"compression": compression}}
+    if read:
+        kw["file_extensions"] = None
+    return kw
+
+
 def read_documents(path: str, fmt: str | None = None,
                    id_col: str = "doc_id", text_col: str = "text",
                    **reader_kwargs) -> "ray.data.Dataset":
@@ -81,14 +98,8 @@ def read_documents(path: str, fmt: str | None = None,
     compression = None
     if fmt is None:
         fmt, compression = _sniff_fmt(path)
-    if compression is not None and fmt in ("jsonl", "csv") \
-            and "arrow_open_stream_args" not in reader_kwargs:
-        # Arrow decompresses natively once the stream is opened with
-        # the right codec; file_extensions=None keeps Ray's default
-        # extension filter from dropping the .gz/.bz2 path
-        reader_kwargs["arrow_open_stream_args"] = {
-            "compression": compression}
-        reader_kwargs.setdefault("file_extensions", None)
+    for key, val in codec_kwargs(fmt, compression).items():
+        reader_kwargs.setdefault(key, val)
     if fmt == "jsonl":
         ds = ray.data.read_json(path, **reader_kwargs)
     elif fmt == "csv":
@@ -165,10 +176,9 @@ def write_documents(ds: "ray.data.Dataset", path: str,
     dataset — fragmented internally, not per-block files."""
     if fmt is None:
         fmt, compression = _sniff_fmt(path)
-        if compression is not None and fmt in ("jsonl", "csv") \
-                and "arrow_open_stream_args" not in writer_kwargs:
-            writer_kwargs["arrow_open_stream_args"] = {
-                "compression": compression}
+        for key, val in codec_kwargs(fmt, compression,
+                                     read=False).items():
+            writer_kwargs.setdefault(key, val)
     if fmt == "jsonl":
         ds.write_json(path, **writer_kwargs)
     elif fmt == "csv":

@@ -957,7 +957,7 @@ def weighted_sample_keys(k: np.ndarray, w: np.ndarray) -> np.ndarray:
     k = np.asarray(k, dtype=np.int64)
     if len(k) and k.min() < 0:
         raise ValueError("weighted_sample_keys requires non-negative keys "
-                         "(numpy %% and SQL %% disagree on negatives)")
+                         "(numpy % and SQL % disagree on negatives)")
     # mask to 32 bits BEFORE the multiply: int64 wraps silently past
     # k ~= 3.5e9 (a BIGINT SQL engine errors instead), and distinct
     # ids congruent mod 2^32 must not share a key — fold the high

@@ -327,14 +327,25 @@ def d_top_terms(sf_dir: str):
                      k=3, num_parts=_doc_parts(sf_dir))
 
 
+def _pack_parts(sf_dir: str) -> int:
+    """Partition count for d_pack_sequences: table-derived and
+    CPU-independent so the static SQL oracle can mirror it exactly at
+    any scale factor (GREATEST(2, count // 2000 + 1) in SQL)."""
+    from mhray.checkpoint import parquet_num_rows
+
+    rows = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    return max(2, rows // 2000 + 1)
+
+
 def d_pack_sequences(sf_dir: str):
     """Token-budget sequence packing over the documents table (budget
-    128). Rows-only driver check (next-fit packing has no SQL
-    equivalent); the kernel is brute-force-parity-tested in pytest."""
+    128). Full SQL oracle: the per-partition next-fit walk is a
+    recursive CTE over running sums; the kernel is additionally
+    brute-force-parity-tested in pytest."""
     from mhray.stages.pack import pack_sequences
 
     return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
-                          budget=128, num_parts=_doc_parts(sf_dir))
+                          budget=128, num_parts=_pack_parts(sf_dir))
 
 
 def d_tiered_dedup(sf_dir: str):
@@ -361,7 +372,8 @@ def d_tiered_dedup(sf_dir: str):
 
 
 def d_fingerprints(sf_dir: str):
-    """Winnowed fingerprint count per doc (rows-only: murmur-based)."""
+    """Winnowed fingerprint count per doc (full SQL oracle: murmur +
+    winnowing mirrored with list ops + window mins)."""
     from mhray.stages.text import winnow_fingerprints
 
     fps = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -2615,8 +2627,8 @@ ORACLE_SQL["e_knn_graph"] = """
 # but its boundaries are pure running-sum arithmetic, so a recursive
 # CTE walks them exactly. The hash partitioner (_part_of: fmix-style
 # 64-bit mix mod num_parts) is mirrored with split-multiply mod-2^64
-# arithmetic; num_parts mirrors _doc_parts at the driver's sf=0.01
-# (500 docs -> 2 partitions).
+# arithmetic; num_parts mirrors _pack_parts (GREATEST(2,
+# count // 2000 + 1) — table-derived, so the oracle holds at any sf).
 ORACLE_SQL["d_pack_sequences"] = f"""
     WITH RECURSIVE tok AS (
         SELECT doc_id,
@@ -2635,8 +2647,9 @@ ORACLE_SQL["d_pack_sequences"] = f"""
     ),
     parts AS (
         SELECT doc_id, n_tokens,
-               CAST({_sql_xor64('x2', f'x2 // {1 << 33}')} % 2 AS BIGINT)
-                   AS part
+               CAST({_sql_xor64('x2', f'x2 // {1 << 33}')}
+                    % (SELECT GREATEST(2, COUNT(*) // 2000 + 1)
+                       FROM documents) AS BIGINT) AS part
         FROM px2
     ),
     d AS (

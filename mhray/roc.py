@@ -162,7 +162,9 @@ def full_estimate(truth_pairs: pa.Table, found_pairs: pa.Table,
     - pair not found, in truth with overlap > min_ovl_len -> fn
       (small-overlap truth pairs count neither way, matching
       getOverlapSize(id, id2) > minOvlLen at :897; without
-      ``truth_ovl`` every missed truth pair is an fn)
+      ``truth_ovl`` every missed truth pair is an fn, and a pair
+      ABSENT from a partial ``truth_ovl`` dict is conservatively an
+      fn too — only an explicit small overlap excuses a miss)
 
     sensitivity = tp/(tp+fn), specificity = tn/(fp+tn),
     ppv = tp/(tp+fp). Set membership makes this O(N^2) only in the
@@ -192,7 +194,8 @@ def full_estimate(truth_pairs: pa.Table, found_pairs: pa.Table,
 
     missed = truth - found
     if truth_ovl is not None:
-        fn = sum(1 for p in missed if truth_ovl.get(p, 0) > min_ovl_len)
+        fn = sum(1 for p in missed
+                 if p not in truth_ovl or truth_ovl[p] > min_ovl_len)
     else:
         fn = len(missed)
     n = len(set(all_ids))

@@ -91,14 +91,10 @@ def main(argv=None) -> int:
         # canonicalizing read_documents path (which assigns content-hash
         # ids but keeps ONLY doc_id+text) when the source has no usable
         # id column, and say so.
-        from mhray.io import _sniff_fmt
+        from mhray.io import _sniff_fmt, codec_kwargs
 
         fmt, compression = _sniff_fmt(args.input)
-        open_args = {}
-        if compression is not None and fmt in ("jsonl", "csv"):
-            open_args = {"arrow_open_stream_args":
-                         {"compression": compression},
-                         "file_extensions": None}
+        open_args = codec_kwargs(fmt, compression)
         if fmt == "jsonl":
             docs = ray.data.read_json(args.input, **open_args)
         elif fmt == "csv":

@@ -690,11 +690,7 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
         return knn_graph_ivf(side, k=k, n_cells=n_cells,
                              id_col=id_col, emb_col=emb_col)
     if n == 0:
-        return ray.data.from_arrow(pa.table({
-            "query_id": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64()),
-            "rank": pa.array([], pa.int64()),
-            "sim_sc": pa.array([], pa.int64())}))
+        return ray.data.from_arrow(_GRAPH_EMPTY)
     tbl = pa.concat_tables([ray.get(r) for r in side.to_arrow_refs()],
                            promote_options="default")
     ids_all = np.asarray(tbl.column(id_col), dtype=np.int64)
@@ -713,11 +709,7 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
         sims[rows[hit], self_pos[hit]] = -np.inf  # exclude self
         take = min(k, sims.shape[1] - 1)
         if take <= 0:
-            return pa.table({
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "sim_sc": pa.array([], pa.int64())})
+            return _GRAPH_EMPTY
         return _graph_topk(sims, ids, corpus_ids, take)
 
     return side.map_batches(topk, batch_format="pyarrow",

@@ -413,3 +413,10 @@ def test_read_documents_compressed(tmp_path, ray_session):
         ds = read_documents(str(tmp_path / name))
         got = {(r["doc_id"], r["text"]) for r in ds.take_all()}
         assert got == want, name
+
+    # caller-supplied stream args must not re-enable Ray's default
+    # extension filter (which would drop the .gz path entirely)
+    ds = read_documents(str(tmp_path / "d.jsonl.gz"),
+                        arrow_open_stream_args={"compression": "gzip"})
+    got = {(r["doc_id"], r["text"]) for r in ds.take_all()}
+    assert got == want

@@ -69,3 +69,30 @@ def test_pack_sequences_invariants(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pack_oracle_parity_above_2000_docs(ray_session):
+    """The d_pack_sequences SQL oracle derives its partition count from
+    the table itself (GREATEST(2, count // 2000 + 1)); at sf0.1 that is
+    3 partitions, not the 2 the small SFs use — both sides must agree
+    at any scale factor (regression: the oracle once hardcoded % 2)."""
+    import duckdb
+
+    from mhray.pipelines.queries import ORACLE_SQL, QUERIES, _pack_parts
+
+    sf_dir = "/root/testdata/sf0.1"
+    assert _pack_parts(sf_dir) == 3
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    ray_df = QUERIES["d_pack_sequences"](sf_dir).to_pandas()
+    sql_df = con.sql(ORACLE_SQL["d_pack_sequences"]).df()
+    assert set(ray_df["seq_id"] // (1 << 40)) == {0, 1, 2}
+    a = ray_df[sorted(ray_df.columns)].sort_values(
+        by=sorted(ray_df.columns)).reset_index(drop=True)
+    b = sql_df[sorted(sql_df.columns)].sort_values(
+        by=sorted(sql_df.columns)).reset_index(drop=True)
+    assert a.columns.tolist() == b.columns.tolist()
+    assert len(a) == len(b) == 5000
+    for col in a.columns:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col

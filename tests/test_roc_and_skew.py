@@ -264,3 +264,12 @@ def test_full_estimate_exact_confusion_matrix():
                        truth_ovl={("a", "c"): 10, ("b", "c"): 40},
                        min_ovl_len=16)
     assert r3["fn"] == 1 and r3["sensitivity"] == round(2 / 3, 4)
+
+    # a missed pair ABSENT from a partial truth_ovl dict must count as
+    # fn (conservative) — only an explicit small overlap excuses a miss
+    r4 = full_estimate(truth, found, ids, texts=texts,
+                       truth_ovl={("a", "c"): 10}, min_ovl_len=16)
+    assert r4["fn"] == 1          # (b,c) missing from dict -> still fn
+    r5 = full_estimate(truth, found, ids, texts=texts,
+                       truth_ovl={}, min_ovl_len=16)
+    assert r5["fn"] == 2          # empty dict == no excusals at all
