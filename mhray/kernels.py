@@ -967,3 +967,106 @@ def weighted_sample_keys(k: np.ndarray, w: np.ndarray) -> np.ndarray:
     x = ((x ^ (x >> 16)) % 2147483648) * 2654435761 % 4294967296
     x = x ^ (x >> 13)
     return np.log((x + 0.5) / 4294967296.0) / np.asarray(w, np.float64)
+
+
+# ---------------------------------------------------------------------------
+# MinHash bit sub-sketches — impl/MinHashBitSequenceSubSketches.java:74-100
+# (computeSequencesDouble; the alignment-sketch path the reference keeps
+# behind the disabled SequenceSketch.alignmentSketches field, :54)
+# ---------------------------------------------------------------------------
+
+
+def subsketch_window_bounds(lengths: np.ndarray, step: int, k: int
+                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc double-window bounds for the sub-sketch sequence.
+
+    Mirrors computeSequencesDouble's count rule
+    (MinHashBitSequenceSubSketches.java:76-82): with ``rem = len %
+    step``, ``n = (len - rem) / step - 1`` windows, plus one more when
+    ``rem >= step // 2 and rem >= k``. Window ``iter`` covers UTF-16
+    units ``[max(0, end - 2*step), end)`` with ``end = min(len,
+    iter*step + 2*step)`` (:88-91) — every window is ``2*step`` units
+    (or the whole text when shorter), stepping by ``step``.
+
+    Returns (win_offsets, cstart, end): doc i owns windows
+    ``win_offsets[i]:win_offsets[i+1]``; cstart/end are PER-DOC-LOCAL
+    unit bounds of each window.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    rem = lengths % step
+    num = (lengths - rem) // step - 1
+    num = num + ((rem >= step // 2) & (rem >= k))
+    np.maximum(num, 0, out=num)
+    win_offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(num, out=win_offsets[1:])
+    it = _concat_aranges(num)
+    doc = np.repeat(np.arange(len(lengths)), num)
+    end = np.minimum(lengths[doc], it * step + 2 * step)
+    cstart = np.maximum(0, end - 2 * step)
+    return win_offsets, cstart, end
+
+
+def bit_subsketches(texts, k: int = 7, step: int = 50,
+                    num_words: int = 20
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc sequences of windowed MinHash bit-sketches.
+
+    The text-domain analog of MinHashBitSequenceSubSketches
+    (impl/MinHashBitSequenceSubSketches.java:74-100 + constants
+    SequenceSketch.java:57-59: k=BIT_KMER_SIZE, step=SUBSEQUENCE_SIZE,
+    num_words=BIT_SKETCH_SIZE): each double-window gets an UNWEIGHTED
+    ``num_words*64``-hash MinHash over its k-shingles
+    (MinHashSketch.java:208-211 constructor, weight 1, no freq filter)
+    collapsed to the last-bit sketch (MinHashBitSketch.java:38-66).
+
+    Returns (words, win_offsets, lengths, valid): ``words`` is
+    (total_windows, num_words) int64 — doc i owns rows
+    ``win_offsets[i]:win_offsets[i+1]`` — ``lengths`` is each doc's
+    UTF-16 unit length, and ``valid`` flags windows long enough to
+    shingle (callers drop docs with an invalid window; the reference
+    throws ZeroNGramsFoundException instead).
+    """
+    units, offsets = _units_of(texts)
+    lengths = np.diff(offsets)
+    win_offsets, cstart, end = subsketch_window_bounds(lengths, step, k)
+    n_win = int(win_offsets[-1])
+    if n_win == 0:
+        return (np.empty((0, num_words), np.int64), win_offsets, lengths,
+                np.empty(0, bool))
+
+    doc = np.repeat(np.arange(len(lengths)), np.diff(win_offsets))
+    wlen = end - cstart
+    w_off = np.zeros(n_win + 1, dtype=np.int64)
+    np.cumsum(wlen, out=w_off[1:])
+    # gather every window's unit run into one contiguous buffer
+    take = np.repeat(offsets[:-1][doc] + cstart, wlen) + _concat_aranges(wlen)
+    w_units = units[take]
+
+    win, row_offsets = _window_matrix(w_units, w_off, k)
+    hashes = murmur3_x64_128(win, 0)
+    keys, counts, uoff = unique_in_first_occurrence_order(hashes, row_offsets)
+    sig = weighted_minhash(keys, np.ones(len(keys), np.int64), uoff,
+                           num_words * 64)
+    words = minhash_bit_sketch(sig)
+    valid = sig[:, 0] != np.iinfo(np.int32).min
+    words[~valid] = 0
+    return words, win_offsets, lengths, valid
+
+
+def bit_words_jaccard_matrix(wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
+    """(na, nb) pairwise bit-sketch Jaccard estimates between two
+    window-word matrices (MinHashBitSketch.jaccard, :83-90):
+    max(0, (matching_bits/total - 0.5) * 2). Popcount via the uint8
+    bit-count table; na*nb is window-count-squared per pair (tiny)."""
+    ua = wa.view(np.uint64)
+    ub = wb.view(np.uint64)
+    x = ua[:, None, :] ^ ub[None, :, :]                  # (na, nb, W)
+    mismatch = _POPCOUNT8[x.view(np.uint8)].sum(axis=2, dtype=np.int64) \
+        if x.size else np.zeros(x.shape[:2], np.int64)
+    total = wa.shape[1] * 64
+    sim = (total - mismatch) / total
+    return np.maximum(0.0, (sim - 0.5) * 2.0)
+
+
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1).astype(np.int64)

@@ -587,6 +587,24 @@ def d_substring_pairs(sf_dir: str):
     return substring_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), min_len=40)
 
 
+def d_sketch_align(sf_dir: str):
+    """Overlap COORDINATES for the exact-substring dup pairs: each
+    pair's shared region located by the one-skip sketch alignment
+    (align/Aligner.java:226-341 + AlignElementDoubleSketch.java over
+    MinHashBitSequenceSubSketches windows). step=16 suits the
+    48-553-unit docs (the reference's step=50 is sized for reads).
+    Rows-only check — the float32 DP has no SQL form; DP parity vs a
+    direct transcription and coordinate recovery are pytest-asserted
+    (tests/test_sketch_align.py)."""
+    from mhray.stages.sketch_align import sketch_align_pairs
+    from mhray.stages.substring import substring_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = substring_pairs(docs, min_len=40)
+    return sketch_align_pairs(docs, pairs, k=7, step=16, num_words=8,
+                              num_parts=_doc_parts(sf_dir))
+
+
 def d_incremental_pairs(sf_dir: str):
     """Query-vs-index incremental dedup (the reference's -q mode,
     AbstractMatchSearch.findMatches :203-285): every 5th document is
@@ -1687,6 +1705,7 @@ QUERIES = {
     "d_mixture_sample": d_mixture_sample,
     "e_knn_graph": e_knn_graph,
     "d_compression_ratio": d_compression_ratio,
+    "d_sketch_align": d_sketch_align,
 }
 
 ORACLE_SQL = {
@@ -2385,6 +2404,9 @@ ORACLE_SQL = {
     #   q_approx_distinct / q_approx_percentiles: approximate sketches
     #     (HLL / equi-depth merge), exactness bounds pytest-asserted
     #   d_substring_pairs: winnow + LCS verify (imperative two-pointer)
+    #   d_sketch_align: float32 one-skip DP over window sketches
+    #     (Aligner.java:226-341) — no SQL form; DP parity vs a direct
+    #     transcription is pytest-asserted
     #   d_compression_ratio: zlib byte stream, not expressible
     #   ev_motif: z-normalized sliding matmul; float ranking over
     #     ~continuous scores has no stable cross-engine hash

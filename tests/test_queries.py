@@ -75,7 +75,7 @@ ORACLE_CHECKED = [
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
-             "d_compression_ratio",
+             "d_compression_ratio", "d_sketch_align",
              "d_dup_clusters", "ev_motif",
              "d_minhash_pairs",
              "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
