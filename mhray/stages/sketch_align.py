@@ -96,16 +96,29 @@ def sketch_align_pairs(docs_ds, pairs_ds, k: int = 7, step: int = 50,
     (impl/SequenceSketch.java:57-59) and Aligner(0.0, -0.52)
     (main/AlignmentTry.java:73).
     """
-    from mhray.rayutil import attach_payload
+    from mhray.rayutil import attach_payload, semi_join_ids
 
-    sketches = docs_ds.select_columns([id_col, text_col]).map_batches(
+    # sub-sketch ONLY docs that appear in some pair (output-proportional:
+    # the pair set is post-gate, typically a small fraction of the
+    # corpus; sketching 512+ hashes per window for untouched docs is
+    # the dominant cost otherwise)
+    pairs_ds = pairs_ds.select_columns(["lo", "hi"]).materialize()
+    ids = pairs_ds.select_columns(["lo"]) \
+        .rename_columns({"lo": id_col}) \
+        .union(pairs_ds.select_columns(["hi"])
+               .rename_columns({"hi": id_col}))
+    touched = semi_join_ids(
+        docs_ds.select_columns([id_col, text_col]), ids, id_col,
+        ds_schema=pa.schema([(id_col, pa.int64()),
+                             (text_col, pa.string())]))
+    sketches = touched.map_batches(
         make_subsketcher(k, step, num_words, id_col, text_col),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
     pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
     side_schema = pa.schema([(id_col, pa.int64()), ("ssk", pa.binary())])
-    j = attach_payload(pairs_ds.select_columns(["lo", "hi"]), "lo",
+    j = attach_payload(pairs_ds, "lo",
                        sketches, id_col, ("ssk",), "lo",
                        num_parts=num_parts,
                        pairs_schema=pair_schema, side_schema=side_schema)
