@@ -157,30 +157,27 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
         ("lo", pa.int64()), ("hi", pa.int64()), ("count()", pa.int64())]),
         num_parts)
 
-    from mhray.rayutil import safe_join
+    from mhray.rayutil import attach_payload
 
-    side = texts_ds
+    # attach both texts with the threshold-guarded payload join
+    # (broadcast below the row/byte caps, tagged-union shuffle above) —
+    # measured ~2x faster than two join-operator actor pools on a
+    # small post-gate pair table, and the same J2 idiom as the sketch
+    # fetch
+    side = texts_ds if text_col == "text" else \
+        texts_ds.rename_columns({text_col: "text"})
     cand_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
                              ("count()", pa.int64())])
-    j = safe_join(
-        cands,
-        side.rename_columns({id_col: "_ilo", text_col: "text_lo"}),
-        join_type="inner", num_partitions=num_parts,
-        on=("lo",), right_on=("_ilo",),
-        left_schema=cand_schema,
-        right_schema=pa.schema([("_ilo", pa.int64()),
-                                ("text_lo", pa.string())]),
-    )
-    j = safe_join(
-        j,
-        side.rename_columns({id_col: "_ihi", text_col: "text_hi"}),
-        join_type="inner", num_partitions=num_parts,
-        on=("hi",), right_on=("_ihi",),
-        left_schema=pa.schema(list(cand_schema)
-                              + [pa.field("text_lo", pa.string())]),
-        right_schema=pa.schema([("_ihi", pa.int64()),
-                                ("text_hi", pa.string())]),
-    )
+    side_schema = pa.schema([(id_col, pa.int64()), ("text", pa.string())])
+    j = attach_payload(cands, "lo", side, id_col, ("text",), "lo",
+                       num_parts=num_parts,
+                       pairs_schema=cand_schema, side_schema=side_schema)
+    j = attach_payload(j, "hi", side, id_col, ("text",), "hi",
+                       num_parts=num_parts,
+                       pairs_schema=pa.schema(
+                           list(cand_schema)
+                           + [pa.field("text_lo", pa.string())]),
+                       side_schema=side_schema)
 
     def verify(batch: pa.Table) -> pa.Table:
         ta = batch.column("text_lo").to_pylist()
