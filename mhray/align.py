@@ -219,7 +219,14 @@ def sketch_overlap_info(J: np.ndarray, len_a: int, len_b: int,
     raw, A1, A2, B1, B2 = local_align_one_skip(sim, gap_open, score_offset)
 
     a1, a2, b1, b2 = A1 * 2, A2 * 2, B1 * 2, B2 * 2
-    if raw < 0.0:
+    if raw <= 0.0:
+        # the reference's `score < 0.0` guard (:56) is dead — its DP
+        # initializes best to 0.0 with a strict `>`, so raw is never
+        # negative. `<=` makes the no-alignment path REACHABLE: a zero
+        # score means no positive-scoring window chain exists, and
+        # returning raw_score 0 here (coords in the reference's
+        # unscaled element units, like its early return) lets callers
+        # drop the pair instead of reading a fake [0, step) overlap.
         return {"score": 0.0, "raw_score": 0.0,
                 "a1": a1, "a2": a2, "b1": b1, "b2": b2}
 

@@ -891,10 +891,32 @@ def simhash64(texts: list[str], k: int, seed: int = 0,
     return out.view(np.int64)
 
 
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1).astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64/int64 array of any shape (the
+    byte-table idiom — faster than unpackbits and shared by every
+    XOR-popcount kernel in this module)."""
+    flat = np.ascontiguousarray(x).reshape(-1).view(np.uint64)
+    if flat.size == 0:
+        return np.zeros(x.shape, np.int64)
+    return _POPCOUNT8[flat.view(np.uint8)].reshape(-1, 8).sum(axis=1) \
+        .reshape(x.shape)
+
+
+def _bit_jaccard(mismatch: np.ndarray, total_bits: int) -> np.ndarray:
+    """max(0, (matching/total - 0.5) * 2) — MinHashBitSketch.jaccard
+    (:83-90): the single reference-parity point for the bit-sketch
+    Jaccard estimate."""
+    sim = (total_bits - mismatch) / total_bits
+    return np.maximum(0.0, (sim - 0.5) * 2.0)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """XOR-popcount Hamming distance (sketch/AbstractBitSketch.java:74-88)."""
-    x = np.bitwise_xor(a.view(np.uint64), b.view(np.uint64))
-    return np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+    return popcount64(np.bitwise_xor(a.view(np.uint64), b.view(np.uint64)))
 
 
 # ---------------------------------------------------------------------------
@@ -915,17 +937,11 @@ def minhash_bit_sketch(sig: np.ndarray) -> np.ndarray:
 
 
 def bit_sketch_jaccard(wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
-    """Per-row jaccard estimate from (N, W) word matrices:
-    max(0, (matching_bits/total_bits - 0.5) * 2)
+    """Per-row jaccard estimate from (N, W) word matrices
     (MinHashBitSketch.jaccard, :82-90 + AbstractBitSketch
     getIntersectionCount :75-89)."""
     x = np.bitwise_xor(wa.view(np.uint64), wb.view(np.uint64))
-    mismatch = np.unpackbits(
-        np.ascontiguousarray(x).view(np.uint8).reshape(len(x), -1),
-        axis=1).sum(axis=1)
-    total = wa.shape[1] * 64
-    sim = (total - mismatch) / total
-    return np.maximum(0.0, (sim - 0.5) * 2.0)
+    return _bit_jaccard(popcount64(x).sum(axis=1), wa.shape[1] * 64)
 
 
 def phash_band_keys(phash: np.ndarray, n_bands: int, band_bits: int) -> np.ndarray:
@@ -1048,25 +1064,16 @@ def bit_subsketches(texts, k: int = 7, step: int = 50,
     sig = weighted_minhash(keys, np.ones(len(keys), np.int64), uoff,
                            num_words * 64)
     words = minhash_bit_sketch(sig)
+    # invalid rows already pack to all-zero words (int32.min has last
+    # bit 0); the flag alone carries the information
     valid = sig[:, 0] != np.iinfo(np.int32).min
-    words[~valid] = 0
     return words, win_offsets, lengths, valid
 
 
 def bit_words_jaccard_matrix(wa: np.ndarray, wb: np.ndarray) -> np.ndarray:
     """(na, nb) pairwise bit-sketch Jaccard estimates between two
-    window-word matrices (MinHashBitSketch.jaccard, :83-90):
-    max(0, (matching_bits/total - 0.5) * 2). Popcount via the uint8
-    bit-count table; na*nb is window-count-squared per pair (tiny)."""
-    ua = wa.view(np.uint64)
-    ub = wb.view(np.uint64)
-    x = ua[:, None, :] ^ ub[None, :, :]                  # (na, nb, W)
-    mismatch = _POPCOUNT8[x.view(np.uint8)].sum(axis=2, dtype=np.int64) \
-        if x.size else np.zeros(x.shape[:2], np.int64)
-    total = wa.shape[1] * 64
-    sim = (total - mismatch) / total
-    return np.maximum(0.0, (sim - 0.5) * 2.0)
-
-
-_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                           axis=1).sum(axis=1).astype(np.int64)
+    window-word matrices — the all-pairs form of
+    :func:`bit_sketch_jaccard`; na*nb is window-count-squared per pair
+    (tiny)."""
+    x = wa.view(np.uint64)[:, None, :] ^ wb.view(np.uint64)[None, :, :]
+    return _bit_jaccard(popcount64(x).sum(axis=2), wa.shape[1] * 64)

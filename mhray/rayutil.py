@@ -20,8 +20,35 @@ import pyarrow as pa
 import ray.data
 
 
-def _attach_broadcast(pairs_ds, key_col, side_ds, side_key, payload_cols,
-                      out_suffix, how, pair_names, payload_types):
+def _broadcast_fits(side_ds, threshold_rows: int,
+                    threshold_bytes: int = 512 * 1024 * 1024) -> bool:
+    """Small side -> broadcast once via ray.put and look up per batch
+    (no shuffle at all); large side -> union + partition merge. The
+    cutoff weighs BYTES as well as rows: a wide binary payload
+    (sketches at ~KBs/row) hits driver memory long before the row
+    threshold does."""
+    try:
+        n_side = side_ds.count()
+    except Exception:
+        return False
+    side_bytes = None
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(side_ds, MaterializedDataset):
+            # O(1) from block metadata; on a lazy dataset size_bytes()
+            # could execute the plan — skip there and let the row
+            # threshold govern
+            side_bytes = side_ds.size_bytes()
+    except Exception:
+        side_bytes = None
+    return (n_side is not None and n_side <= threshold_rows
+            and (side_bytes is None or side_bytes <= threshold_bytes))
+
+
+def _prepare_broadcast_side(side_ds, side_key, payload_cols):
+    """ONE driver fetch + key sort + ray.put of the side payload,
+    reusable across several lookup stages."""
     import numpy as np
 
     import ray
@@ -31,10 +58,20 @@ def _attach_broadcast(pairs_ds, key_col, side_ds, side_key, payload_cols,
         promote_options="default")
     keys = np.asarray(side_tbl.column(side_key), dtype=np.int64)
     order = np.argsort(keys)
-    keys_sorted = keys[order]
     payloads = {c: side_tbl.column(c).take(pa.array(order, pa.int64()))
                 .combine_chunks() for c in payload_cols}
-    ref = ray.put((keys_sorted, payloads))
+    return ray.put((keys[order], payloads))
+
+
+def _attach_broadcast(pairs_ds, key_col, side_ds, side_key, payload_cols,
+                      out_suffix, how, pair_names, payload_types,
+                      ref=None):
+    import numpy as np
+
+    import ray
+
+    if ref is None:
+        ref = _prepare_broadcast_side(side_ds, side_key, payload_cols)
 
     def lookup(batch: pa.Table) -> pa.Table:
         ks, pl = ray.get(ref)
@@ -280,30 +317,7 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
     side_schema = side_schema if side_schema is not None else _pa_schema(side_ds)
     payload_types = {c: side_schema.field(c).type for c in payload_cols}
 
-    # small side -> broadcast once via ray.put and look up per batch
-    # (no shuffle at all); large side -> union + partition merge below.
-    # The cutoff weighs BYTES as well as rows: a wide binary payload
-    # (sketches at ~KBs/row) hits driver memory long before the row
-    # threshold does
-    try:
-        n_side = side_ds.count()
-    except Exception:
-        n_side = None
-    side_bytes = None
-    if n_side is not None:
-        try:
-            from ray.data.dataset import MaterializedDataset
-
-            if isinstance(side_ds, MaterializedDataset):
-                # O(1) from block metadata; on a lazy dataset
-                # size_bytes() could execute the plan — skip there and
-                # let the row threshold govern
-                side_bytes = side_ds.size_bytes()
-        except Exception:
-            side_bytes = None
-    fits = (n_side is not None and n_side <= broadcast_threshold_rows
-            and (side_bytes is None or side_bytes <= 512 * 1024 * 1024))
-    if fits:
+    if _broadcast_fits(side_ds, broadcast_threshold_rows):
         return _attach_broadcast(pairs_ds, key_col, side_ds, side_key,
                                  payload_cols, out_suffix, how,
                                  pair_names, payload_types)
@@ -377,3 +391,52 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
 
     return tagged.groupby("__part", num_partitions=num_parts).map_groups(
         merge, batch_format="pyarrow")
+
+
+def attach_payload_both(pairs_ds, side_ds, side_key: str,
+                        payload_cols: tuple,
+                        num_parts: int = 16,
+                        pairs_schema: pa.Schema | None = None,
+                        side_schema: pa.Schema | None = None,
+                        keys=(("lo", "lo"), ("hi", "hi")),
+                        broadcast_threshold_rows: int = 1_500_000):
+    """Attach the SAME side payload to two key columns of a pair table
+    (the (lo, hi) text/sketch fetch). On the broadcast path the side
+    is fetched, key-sorted, and ``ray.put`` ONCE and reused for both
+    lookups — two plain :func:`attach_payload` calls would hold a
+    duplicate full payload copy in the object store and double the
+    driver concat+sort. Above the thresholds it falls back to two
+    threshold-guarded shuffling attach_payload calls. Inner-join
+    semantics on BOTH keys (a pair missing either side is dropped).
+    """
+    if side_schema is None:
+        s = side_ds.schema()
+        side_schema = getattr(s, "base_schema", s)
+    payload_types = {c: side_schema.field(c).type for c in payload_cols}
+
+    if _broadcast_fits(side_ds, broadcast_threshold_rows):
+        ref = _prepare_broadcast_side(side_ds, side_key, payload_cols)
+        if pairs_schema is None:
+            s = pairs_ds.schema()
+            pairs_schema = getattr(s, "base_schema", s)
+        names = list(pairs_schema.names)
+        out = pairs_ds
+        for key_col, suffix in keys:
+            out = _attach_broadcast(out, key_col, side_ds, side_key,
+                                    payload_cols, suffix, "inner",
+                                    names, payload_types, ref=ref)
+            names = names + [f"{c}_{suffix}" for c in payload_cols]
+        return out
+
+    out = pairs_ds
+    schema = pairs_schema
+    for key_col, suffix in keys:
+        out = attach_payload(out, key_col, side_ds, side_key,
+                             payload_cols, suffix, num_parts=num_parts,
+                             pairs_schema=schema, side_schema=side_schema)
+        if schema is not None:
+            schema = pa.schema(
+                list(schema) + [pa.field(f"{c}_{suffix}",
+                                         payload_types[c])
+                                for c in payload_cols])
+    return out

@@ -89,14 +89,15 @@ def sketch_align_pairs(docs_ds, pairs_ds, k: int = 7, step: int = 50,
     DP score scaled x10000 half-away-from-zero (the reference reports
     raw and raw/100000.0, :88 — a float; the scaled int is this repo's
     stable-output idiom). Pairs whose side has no alignable sub-sketch
-    sequence are dropped, mirroring the ZeroNGramsFound skip.
+    sequence are dropped (mirroring the ZeroNGramsFound skip), as are
+    pairs with no positive-scoring alignment (raw score 0).
 
     Defaults are the reference's alignment constants: k=BIT_KMER_SIZE,
     step=SUBSEQUENCE_SIZE, num_words=BIT_SKETCH_SIZE
     (impl/SequenceSketch.java:57-59) and Aligner(0.0, -0.52)
     (main/AlignmentTry.java:73).
     """
-    from mhray.rayutil import attach_payload, semi_join_ids
+    from mhray.rayutil import attach_payload_both, semi_join_ids
 
     # sub-sketch ONLY docs that appear in some pair (output-proportional:
     # the pair set is post-gate, typically a small fraction of the
@@ -109,6 +110,7 @@ def sketch_align_pairs(docs_ds, pairs_ds, k: int = 7, step: int = 50,
                .rename_columns({"hi": id_col}))
     touched = semi_join_ids(
         docs_ds.select_columns([id_col, text_col]), ids, id_col,
+        num_parts=num_parts,
         ds_schema=pa.schema([(id_col, pa.int64()),
                              (text_col, pa.string())]))
     sketches = touched.map_batches(
@@ -116,18 +118,11 @@ def sketch_align_pairs(docs_ds, pairs_ds, k: int = 7, step: int = 50,
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
-    pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
-    side_schema = pa.schema([(id_col, pa.int64()), ("ssk", pa.binary())])
-    j = attach_payload(pairs_ds, "lo",
-                       sketches, id_col, ("ssk",), "lo",
-                       num_parts=num_parts,
-                       pairs_schema=pair_schema, side_schema=side_schema)
-    j = attach_payload(j, "hi", sketches, id_col, ("ssk",), "hi",
-                       num_parts=num_parts,
-                       pairs_schema=pa.schema(list(pair_schema)
-                                              + [pa.field("ssk_lo",
-                                                          pa.binary())]),
-                       side_schema=side_schema)
+    j = attach_payload_both(
+        pairs_ds, sketches, id_col, ("ssk",), num_parts=num_parts,
+        pairs_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+        side_schema=pa.schema([(id_col, pa.int64()),
+                               ("ssk", pa.binary())]))
 
     def align(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -144,14 +139,18 @@ def sketch_align_pairs(docs_ds, pairs_ds, k: int = 7, step: int = 50,
             r = info["raw_score"] * 10000.0
             raw[i] = int(np.sign(r) * np.floor(np.abs(r) + 0.5))
             coords[i] = (info["a1"], info["a2"], info["b1"], info["b2"])
+        # zero-score pairs have no positive-scoring window chain —
+        # emitting their placeholder coordinates would read as a fake
+        # [0, step) overlap, so they are dropped
+        keep = pa.array(raw > 0)
         return pa.table({
-            "lo": batch.column("lo"),
-            "hi": batch.column("hi"),
-            "raw_sc": pa.array(raw, pa.int64()),
-            "a1": pa.array(coords[:, 0], pa.int64()),
-            "a2": pa.array(coords[:, 1], pa.int64()),
-            "b1": pa.array(coords[:, 2], pa.int64()),
-            "b2": pa.array(coords[:, 3], pa.int64()),
+            "lo": batch.column("lo").filter(keep),
+            "hi": batch.column("hi").filter(keep),
+            "raw_sc": pa.array(raw[raw > 0], pa.int64()),
+            "a1": pa.array(coords[raw > 0, 0], pa.int64()),
+            "a2": pa.array(coords[raw > 0, 1], pa.int64()),
+            "b1": pa.array(coords[raw > 0, 2], pa.int64()),
+            "b2": pa.array(coords[raw > 0, 3], pa.int64()),
         })
 
     return j.map_batches(align, batch_format="pyarrow",

@@ -116,10 +116,17 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
     window = min(window, min_len - 3)
     gram = max(4, min_len - window + 1)
 
-    texts_ds = ds.select_columns([id_col, text_col]).materialize()
+    # normalize the text column name BEFORE materializing: the
+    # broadcast byte cap in attach_payload only reads size_bytes() off
+    # a MaterializedDataset, so a lazy rename here would silently
+    # bypass it for non-default text_col callers
+    texts_ds = ds.select_columns([id_col, text_col])
+    if text_col != "text":
+        texts_ds = texts_ds.rename_columns({text_col: "text"})
+    texts_ds = texts_ds.materialize()
 
     def fingerprint(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+        texts = batch.column("text").to_pylist()
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         hashes, offs = shingle_hashes64(texts, gram)
         out_key, out_iid = [], []
@@ -157,27 +164,20 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
         ("lo", pa.int64()), ("hi", pa.int64()), ("count()", pa.int64())]),
         num_parts)
 
-    from mhray.rayutil import attach_payload
+    from mhray.rayutil import attach_payload_both
 
     # attach both texts with the threshold-guarded payload join
-    # (broadcast below the row/byte caps, tagged-union shuffle above) —
-    # measured ~2x faster than two join-operator actor pools on a
-    # small post-gate pair table, and the same J2 idiom as the sketch
+    # (broadcast below the row/byte caps — ONE side fetch + ONE
+    # object-store copy for both lookups — tagged-union shuffle
+    # above) — measured ~2x faster than two join-operator actor pools
+    # on a small post-gate pair table, same J2 idiom as the sketch
     # fetch
-    side = texts_ds if text_col == "text" else \
-        texts_ds.rename_columns({text_col: "text"})
-    cand_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
-                             ("count()", pa.int64())])
-    side_schema = pa.schema([(id_col, pa.int64()), ("text", pa.string())])
-    j = attach_payload(cands, "lo", side, id_col, ("text",), "lo",
-                       num_parts=num_parts,
-                       pairs_schema=cand_schema, side_schema=side_schema)
-    j = attach_payload(j, "hi", side, id_col, ("text",), "hi",
-                       num_parts=num_parts,
-                       pairs_schema=pa.schema(
-                           list(cand_schema)
-                           + [pa.field("text_lo", pa.string())]),
-                       side_schema=side_schema)
+    j = attach_payload_both(
+        cands, texts_ds, id_col, ("text",), num_parts=num_parts,
+        pairs_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                ("count()", pa.int64())]),
+        side_schema=pa.schema([(id_col, pa.int64()),
+                               ("text", pa.string())]))
 
     def verify(batch: pa.Table) -> pa.Table:
         ta = batch.column("text_lo").to_pylist()

@@ -141,8 +141,9 @@ def test_shifted_overlap_coordinates(ray_session):
         "hi": pa.array([1, 2], pa.int64())}))
     out = sketch_align_pairs(docs, pairs, k=7, step=50,
                              num_words=20).to_pandas()
-    out = out.sort_values("hi").reset_index(drop=True)
-    dup, rand = out.iloc[0], out.iloc[1]
+    # the unrelated pair (0,2) has no positive alignment -> dropped
+    assert len(out) == 1 and out.iloc[0]["hi"] == 1
+    dup = out.iloc[0]
     # shared block sits at unit 200 in t0 / unit 0 in t1 — recovered at
     # window (step) granularity
     assert dup["raw_sc"] > 0
@@ -150,8 +151,6 @@ def test_shifted_overlap_coordinates(ray_session):
     assert dup["b1"] <= 50
     assert dup["a2"] >= 200 + len(shared) - 100
     assert dup["b2"] >= len(shared) - 100
-    # unrelated pair: no positive alignment
-    assert rand["raw_sc"] <= 0
 
 
 def test_short_docs_dropped(ray_session):
@@ -166,3 +165,32 @@ def test_short_docs_dropped(ray_session):
     out = sketch_align_pairs(docs, pairs, k=7, step=50,
                              num_words=8).to_pandas()
     assert len(out) == 0  # doc 0 has no alignable windows -> pair dropped
+
+
+def test_attach_payload_both_paths(ray_session):
+    """Broadcast (one prepared side) and shuffle-fallback paths of
+    attach_payload_both produce the same inner-join result."""
+    import ray.data
+
+    from mhray.rayutil import attach_payload_both
+
+    side = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string())})).materialize()
+    pairs = ray.data.from_arrow(pa.table({
+        "lo": pa.array([1, 2, 9], pa.int64()),      # 9 matches nothing
+        "hi": pa.array([3, 9, 4], pa.int64())}))    # -> only (1,3) kept
+    kw = dict(
+        pairs_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+        side_schema=pa.schema([("doc_id", pa.int64()),
+                               ("text", pa.string())]))
+    want = [(1, 3, "a", "c")]
+    for thresh in (1_000_000, 0):    # broadcast, then shuffle fallback
+        out = attach_payload_both(pairs, side, "doc_id", ("text",),
+                                  num_parts=4,
+                                  broadcast_threshold_rows=thresh,
+                                  **kw).to_pandas()
+        got = sorted(map(tuple,
+                         out[["lo", "hi", "text_lo", "text_hi"]]
+                         .values.tolist()))
+        assert got == want, thresh
