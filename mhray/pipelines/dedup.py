@@ -432,7 +432,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             return pairs_so_far
 
         from mhray.kernels import hamming64, phash_band_keys
-        from mhray.rayutil import attach_payload
+        from mhray.rayutil import attach_payload_both
         from mhray.stages.candidates import _pair_part, make_pair_min
         from mhray.stages.substring import substring_pairs
 
@@ -452,15 +452,12 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         sp = substring_pairs(texts, min_len=cfg.substr_min_length,
                              window=cfg.substr_window, num_parts=num_parts)
         ph_side = valid.select_columns(["iid", "phash"]).materialize()
-        ph_schema = pa.schema([("iid", pa.int64()), ("phash", pa.int64())])
-        sp_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
-                               ("lcs_len", pa.int64())])
-        sp = attach_payload(sp, "lo", ph_side, "iid", ("phash",), "lo",
-                            num_parts, pairs_schema=sp_schema,
-                            side_schema=ph_schema)
-        mid = pa.schema(list(sp_schema) + [pa.field("phash_lo", pa.int64())])
-        sp = attach_payload(sp, "hi", ph_side, "iid", ("phash",), "hi",
-                            num_parts, pairs_schema=mid, side_schema=ph_schema)
+        sp = attach_payload_both(
+            sp, ph_side, "iid", ("phash",), num_parts=num_parts,
+            pairs_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                    ("lcs_len", pa.int64())]),
+            side_schema=pa.schema([("iid", pa.int64()),
+                                   ("phash", pa.int64())]))
 
         def substr_gate(batch: pa.Table) -> pa.Table:
             a = np.asarray(batch.column("phash_lo"), dtype=np.int64)
