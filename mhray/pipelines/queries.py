@@ -477,6 +477,17 @@ def e_dup_lsh(sf_dir: str):
 
 
 
+def e_centroid_dist(sf_dir: str):
+    """Cosine of every embedding to its LABEL's centroid, x10000 —
+    per-class outlier / mislabeled-sample mining (low cosine to your
+    own class centroid = labeling-error candidate). Full SQL oracle:
+    centroids via generate_subscripts + unnest per (label, dim)."""
+    from mhray.stages.ann import label_centroid_dist
+
+    return label_centroid_dist(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]))
+
+
 def q_semi_join(sf_dir: str):
     """Semi-join: order-priority counts for BUILDING-segment customers.
     The key set broadcasts below rayutil's row threshold (one ray.put,
@@ -1706,6 +1717,7 @@ QUERIES = {
     "e_knn_graph": e_knn_graph,
     "d_compression_ratio": d_compression_ratio,
     "d_sketch_align": d_sketch_align,
+    "e_centroid_dist": e_centroid_dist,
 }
 
 ORACLE_SQL = {
@@ -2629,6 +2641,26 @@ ORACLE_SQL["d_fingerprints"] = f"""
 
 # Exact kNN graph: same all-pairs shape as e_knn_brute's oracle, for
 # every row; sim_sc rounded half-away on both sides.
+# per-label centroid = per-dimension SUM/COUNT (unnest + subscripts),
+# rebuilt as an ordered list; cosine to the own-label centroid mirrors
+# the pipeline's float64 math, NaN (zero-norm) pinned to 0 both sides
+ORACLE_SQL["e_centroid_dist"] = """
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    flat AS (SELECT label, generate_subscripts(v, 1) AS dim,
+                    unnest(v) AS val FROM e),
+    c AS (SELECT label, list(s ORDER BY dim) AS cv
+          FROM (SELECT label, dim, SUM(val) / COUNT(*) AS s
+                FROM flat GROUP BY label, dim) GROUP BY label)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           CAST(ROUND(CASE WHEN isnan(list_cosine_similarity(e.v, c.cv))
+                           THEN 0
+                           ELSE list_cosine_similarity(e.v, c.cv) END
+                      * 10000, 0) AS BIGINT) AS cos_sc
+    FROM e JOIN c USING (label)
+"""
+
+
 ORACLE_SQL["e_knn_graph"] = """
     WITH n AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -824,3 +824,69 @@ def knn_graph_ivf(ds, k: int = 5, n_cells: int = 64,
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("cell").map_groups(graph_cell, batch_format="pyarrow")
+
+
+def label_centroid_dist(ds, id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        label_col: str = "label"):
+    """(vec_id, label, cos_sc): cosine of every embedding to its own
+    LABEL's centroid, scaled x10000 half-away-from-zero — the
+    per-class outlier / mislabeled-sample score (low cosine to your
+    class centroid = candidate labeling error or boundary sample, the
+    classic cleanlab-style signal).
+
+    Scale shape: per-block partial (label, sum-vector, count) rows —
+    n_labels x n_blocks, corpus-size-independent like the kmeans
+    partials — combined on the driver and broadcast once; the scoring
+    pass streams. Zero-norm vectors (or an all-zero centroid) score 0
+    instead of NaN.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, emb_col)
+        labels = np.asarray(batch.column(label_col)).astype(np.int64)
+        ulab, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ulab), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        return pa.table({
+            "label": pa.array(ulab, pa.int64()),
+            "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    cents: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for _, row in parts.iterrows():
+        v = np.frombuffer(row["vsum"], np.float64)
+        lab = int(row["label"])
+        cents[lab] = cents.get(lab, 0) + v
+        counts[lab] = counts.get(lab, 0) + int(row["cnt"])
+    for lab in cents:
+        cents[lab] = cents[lab] / counts[lab]
+    ref = ray.put(cents)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _embedding_matrix(batch, emb_col)
+        labels = np.asarray(batch.column(label_col)).astype(np.int64)
+        cos = np.zeros(len(labels), np.float64)
+        for lab in np.unique(labels):
+            sel = labels == lab
+            cv = c[int(lab)]
+            denom = np.linalg.norm(m[sel], axis=1) * np.linalg.norm(cv)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = (m[sel] @ cv) / denom
+            cos[sel] = np.where(np.isfinite(v), v, 0.0)
+        sc = (np.sign(cos) * np.floor(np.abs(cos) * 10000 + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "label": pa.array(labels, pa.int64()),
+            "cos_sc": pa.array(sc, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

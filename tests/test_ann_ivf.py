@@ -163,3 +163,27 @@ def test_knn_graph_ivf_cell_cap_subsplit(ray_session):
     assert all(r["query_id"] != r["neighbor_id"] for r in a)
     seen = {(r["query_id"], r["rank"]) for r in a}
     assert len(seen) == len(a)
+
+
+def test_label_centroid_dist(ray_session):
+    """Hand-computed centroids + the zero-norm guard."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.ann import label_centroid_dist
+
+    # label 0: (1,0) and (0,1) -> centroid (.5,.5); cos = 1/sqrt(2)
+    # label 1: (2,0) and zero-vector -> centroid (1,0); cos = 1 and 0
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0],
+                               [2.0, 0.0], [0.0, 0.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1], pa.int32()),
+    })
+    out = label_centroid_dist(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert out["label"].tolist() == [0, 0, 1, 1]
+    r = int(round(1 / np.sqrt(2) * 10000))
+    assert out["cos_sc"].tolist() == [r, r, 10000, 0]
