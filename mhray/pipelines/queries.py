@@ -488,6 +488,17 @@ def e_centroid_dist(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]))
 
 
+def e_knn_label_vote(sf_dir: str):
+    """Majority label among each embedding's 5 nearest neighbors vs its
+    own label (agree=0 -> label-error candidate). Full SQL oracle:
+    reuses the e_knn_graph neighbor CTE + a windowed vote."""
+    from mhray.stages.ann import knn_label_agreement
+
+    return knn_label_agreement(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        k=5)
+
+
 def q_semi_join(sf_dir: str):
     """Semi-join: order-priority counts for BUILDING-segment customers.
     The key set broadcasts below rayutil's row threshold (one ray.put,
@@ -1718,6 +1729,7 @@ QUERIES = {
     "d_compression_ratio": d_compression_ratio,
     "d_sketch_align": d_sketch_align,
     "e_centroid_dist": e_centroid_dist,
+    "e_knn_label_vote": e_knn_label_vote,
 }
 
 ORACLE_SQL = {
@@ -2658,6 +2670,39 @@ ORACLE_SQL["e_centroid_dist"] = """
                            ELSE list_cosine_similarity(e.v, c.cv) END
                       * 10000, 0) AS BIGINT) AS cos_sc
     FROM e JOIN c USING (label)
+"""
+
+
+# the e_knn_graph neighbor CTE (hash-green) + a windowed vote: most
+# neighbor votes wins, ties to the smallest label — both mirrored by
+# the pipeline's lexsort
+ORACLE_SQL["e_knn_label_vote"] = """
+    WITH n AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    g AS (
+        SELECT a.vec_id AS query_id, b.label AS nb_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.e, b.e) DESC,
+                            b.vec_id
+               ) AS rank
+        FROM n a JOIN n b ON a.vec_id != b.vec_id
+        QUALIFY rank <= 5
+    ),
+    v AS (SELECT query_id, nb_label, COUNT(*) AS votes
+          FROM g GROUP BY query_id, nb_label),
+    w AS (SELECT query_id, nb_label AS voted_label, votes,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY votes DESC, nb_label) AS rn
+          FROM v)
+    SELECT n.vec_id, CAST(n.label AS BIGINT) AS label,
+           CAST(w.voted_label AS BIGINT) AS voted_label,
+           CAST(w.votes AS BIGINT) AS votes,
+           CAST(n.label = w.voted_label AS BIGINT) AS agree
+    FROM n JOIN w ON w.query_id = n.vec_id AND w.rn = 1
 """
 
 

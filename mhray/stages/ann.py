@@ -890,3 +890,92 @@ def label_centroid_dist(ds, id_col: str = "vec_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def knn_label_agreement(ds, k: int = 5, id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        label_col: str = "label",
+                        num_parts: int = 8):
+    """(vec_id, label, voted_label, votes, agree): majority label among
+    the k nearest cosine neighbors (knn_graph's exact ranks), ties to
+    the smallest label — the confident-learning-style label-error
+    signal (agree=0 rows are review candidates). Composes the kNN
+    graph (broadcast-exact below the cap, IVF-cell above) with one
+    narrow label attach and a partition-local vectorized vote —
+    the ev_user_mode shuffle shape.
+    """
+    from mhray.rayutil import attach_payload
+    from mhray.stages.candidates import _part_of
+
+    g = knn_graph(ds, k=k, id_col=id_col, emb_col=emb_col)
+    labels_side = ds.select_columns([id_col, label_col]).map_batches(
+        lambda b: pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "label": b.column(label_col).cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    side_schema = pa.schema([(id_col, pa.int64()), ("label", pa.int64())])
+    g = attach_payload(
+        g, "neighbor_id", labels_side, id_col, ("label",), "nb",
+        num_parts=num_parts,
+        pairs_schema=pa.schema([("query_id", pa.int64()),
+                                ("neighbor_id", pa.int64()),
+                                ("rank", pa.int64()),
+                                ("sim_sc", pa.int64())]),
+        side_schema=side_schema)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["query_id", "label_nb"]).aggregate(
+            [([], "count_all")])
+        t = t.rename_columns(["query_id", "label_nb", "n"])
+        qid = np.asarray(t.column("query_id"), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(qid, num_parts), pa.int32()),
+            "query_id": pa.array(qid, pa.int64()),
+            "label_nb": t.column("label_nb").cast(pa.int64()),
+            "n": t.column("n").cast(pa.int64()),
+        })
+
+    def vote(group: pa.Table) -> pa.Table:
+        t = group.group_by(["query_id", "label_nb"]).aggregate(
+            [("n", "sum")])
+        qid = np.asarray(t.column("query_id"), dtype=np.int64)
+        lab = np.asarray(t.column("label_nb"), dtype=np.int64)
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        order = np.lexsort((lab, -n, qid))   # per query: most votes,
+        q_s = qid[order]                     # ties to smallest label
+        first = np.ones(len(q_s), dtype=bool)
+        if len(q_s) > 1:
+            first[1:] = q_s[1:] != q_s[:-1]
+        sel = order[first]
+        return pa.table({
+            "query_id": pa.array(qid[sel], pa.int64()),
+            "voted_label": pa.array(lab[sel], pa.int64()),
+            "votes": pa.array(n[sel], pa.int64()),
+        })
+
+    voted = g.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(vote, batch_format="pyarrow")
+
+    out = attach_payload(
+        voted, "query_id", labels_side, id_col, ("label",), "own",
+        num_parts=num_parts,
+        pairs_schema=pa.schema([("query_id", pa.int64()),
+                                ("voted_label", pa.int64()),
+                                ("votes", pa.int64())]),
+        side_schema=side_schema)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        own = np.asarray(batch.column("label_own"), dtype=np.int64)
+        vl = np.asarray(batch.column("voted_label"), dtype=np.int64)
+        return pa.table({
+            id_col: batch.column("query_id"),
+            "label": pa.array(own, pa.int64()),
+            "voted_label": pa.array(vl, pa.int64()),
+            "votes": batch.column("votes"),
+            "agree": pa.array((own == vl).astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -187,3 +187,34 @@ def test_label_centroid_dist(ray_session):
     assert out["label"].tolist() == [0, 0, 1, 1]
     r = int(round(1 / np.sqrt(2) * 10000))
     assert out["cos_sc"].tolist() == [r, r, 10000, 0]
+
+
+def test_knn_label_agreement(ray_session):
+    """Hand-built 2-D cluster pair: inliers agree with their cluster,
+    the planted mislabeled point is outvoted (agree=0)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.ann import knn_label_agreement
+
+    # cluster A around (1,0): ids 0-3 labeled 0, id 4 MISLABELED 1;
+    # cluster B around (0,1): ids 5-9 labeled 1
+    rng = np.random.default_rng(0)
+    a = np.array([1.0, 0.0]) + rng.normal(0, 0.01, (5, 2))
+    b = np.array([0.0, 1.0]) + rng.normal(0, 0.01, (5, 2))
+    emb = np.vstack([a, b])
+    labels = [0, 0, 0, 0, 1, 1, 1, 1, 1, 1]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())}))
+    out = knn_label_agreement(ds, k=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 10
+    # every cluster-A point's 4 NNs are the other A points -> vote 0
+    assert out.loc[0:4, "voted_label"].tolist() == [0] * 5
+    assert out.loc[4, "agree"] == 0          # the planted error caught
+    assert out.loc[0:3, "agree"].tolist() == [1] * 4
+    assert out.loc[5:9, "agree"].tolist() == [1] * 5

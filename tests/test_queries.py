@@ -73,7 +73,7 @@ ORACLE_CHECKED = [
     "ev_bursts", "d_dup_by_source", "ev_dau", "ev_running_total",
     "d_mixture_sample", "d_simhash_pairs", "d_fingerprints",
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
-    "e_centroid_dist",
+    "e_centroid_dist", "e_knn_label_vote",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
