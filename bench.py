@@ -159,7 +159,8 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
              "ev_range_count", "e_semdedup", "d_decontaminate",
              "d_repetition", "d_chunk_dedup", "d_quality_buckets",
              "ev_json_extract", "d_containment_pairs", "d_novelty",
-             "ev_retention", "ev_anomaly", "d_sketch_align"]
+             "ev_retention", "ev_anomaly", "d_sketch_align",
+             "e_centroid_dist", "e_knn_label_vote"]
     out = {}
     for name in names:
         t0 = time.time()
