@@ -48,14 +48,20 @@ def _broadcast_fits(side_ds, threshold_rows: int,
 
 def _prepare_broadcast_side(side_ds, side_key, payload_cols):
     """ONE driver fetch + key sort + ray.put of the side payload,
-    reusable across several lookup stages."""
+    reusable across several lookup stages. A zero-block side (an empty
+    MaterializedDataset yields NO arrow refs, so there is no schema to
+    read columns from) degrades to an empty key set — the lookup side
+    already handles len(keys)==0 without touching the payloads."""
     import numpy as np
 
     import ray
 
-    side_tbl = pa.concat_tables(
-        [ray.get(r) for r in side_ds.to_arrow_refs()],
-        promote_options="default")
+    tables = [ray.get(r) for r in side_ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows or side_key in t.schema.names]
+    if not tables:
+        return ray.put((np.empty(0, np.int64),
+                        {c: None for c in payload_cols}))
+    side_tbl = pa.concat_tables(tables, promote_options="default")
     keys = np.asarray(side_tbl.column(side_key), dtype=np.int64)
     order = np.argsort(keys)
     payloads = {c: side_tbl.column(c).take(pa.array(order, pa.int64()))
@@ -205,11 +211,17 @@ def anti_join_ids(ds, ids_ds, key_col: str, ids_key: str | None = None,
     if n_ids is not None and n_ids <= broadcast_threshold_rows:
         import ray
 
-        ids_tbl = pa.concat_tables(
-            [ray.get(r) for r in ids_ds.select_columns([ids_key]).to_arrow_refs()],
-            promote_options="default")
-        key_arr = np.unique(np.asarray(ids_tbl.column(ids_key),
-                                       dtype=np.int64))
+        tables = [ray.get(r) for r in
+                  ids_ds.select_columns([ids_key]).to_arrow_refs()]
+        # a zero-row id set can arrive as zero refs or schema-less
+        # blocks — both mean "no keys", not a missing column
+        tables = [t for t in tables if ids_key in t.schema.names]
+        if tables:
+            ids_tbl = pa.concat_tables(tables, promote_options="default")
+            key_arr = np.unique(np.asarray(ids_tbl.column(ids_key),
+                                           dtype=np.int64))
+        else:
+            key_arr = np.empty(0, np.int64)
         ref = ray.put(key_arr)
 
         def drop(batch: pa.Table) -> pa.Table:

@@ -194,3 +194,33 @@ def test_attach_payload_both_paths(ray_session):
                          out[["lo", "hi", "text_lo", "text_hi"]]
                          .values.tolist()))
         assert got == want, thresh
+
+
+def test_degenerate_empty_inputs(ray_session):
+    """Zero-row corpora/pair sets flow through (regression: a zero-
+    block broadcast side raised KeyError in the payload/semi joins)."""
+    import ray.data
+
+    from mhray.stages.ann import knn_label_agreement, label_centroid_dist
+
+    empty_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    empty_pairs = ray.data.from_arrow(pa.table({
+        "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}))
+    assert sketch_align_pairs(empty_docs, empty_pairs).count() == 0
+
+    empty_emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())}))
+    assert label_centroid_dist(empty_emb).count() == 0
+    assert knn_label_agreement(empty_emb).count() == 0
+
+    # pairs referencing docs absent from the corpus are dropped
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["x" * 200], pa.string())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "lo": pa.array([8], pa.int64()), "hi": pa.array([9], pa.int64())}))
+    assert sketch_align_pairs(docs, pairs).count() == 0
