@@ -1362,49 +1362,17 @@ def q_weighted_sample(sf_dir: str):
 
 def ev_user_mode(sf_dir: str):
     """Most frequent event_type per user (grouped mode, ties to the
-    lexically-smallest type — deterministic). Per-batch pre-counted
-    (user, type) partials below ONE user-hash shuffle; the mode argmax
-    is partition-local and vectorized."""
-    from mhray.stages.candidates import _part_of, auto_parts
+    lexically-smallest type — deterministic). The shared
+    rayutil.grouped_mode kernel: per-batch pre-counted (user, type)
+    partials below ONE user-hash shuffle, partition-local vectorized
+    argmax."""
+    from mhray.rayutil import grouped_mode
+    from mhray.stages.candidates import auto_parts
 
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
-    num_parts = max(2, min(auto_parts(), 8))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["user_id", "event_type"]).aggregate(
-            [([], "count_all")])
-        t = t.rename_columns(["user_id", "event_type", "n"])
-        uid = np.asarray(t.column("user_id"), dtype=np.int64)
-        return pa.table({
-            "__part": pa.array(_part_of(uid, num_parts), pa.int32()),
-            "user_id": pa.array(uid, pa.int64()),
-            "event_type": t.column("event_type"),
-            "n": t.column("n").cast(pa.int64()),
-        })
-
-    def mode(group: pa.Table) -> pa.Table:
-        t = group.group_by(["user_id", "event_type"]).aggregate(
-            [("n", "sum")])
-        uid = np.asarray(t.column("user_id"), dtype=np.int64)
-        typ = np.asarray(t.column("event_type").to_pylist())
-        n = np.asarray(t.column("n_sum"), dtype=np.int64)
-        # lexsort: per user, highest count first, then lexical type
-        order = np.lexsort((typ, -n, uid))
-        u_s = uid[order]
-        first = np.ones(len(u_s), dtype=bool)
-        if len(u_s) > 1:
-            first[1:] = u_s[1:] != u_s[:-1]
-        sel = order[first]
-        return pa.table({
-            "user_id": pa.array(uid[sel], pa.int64()),
-            "mode_type": pa.array(typ[sel]),
-            "n_events": pa.array(n[sel], pa.int64()),
-        })
-
-    return ev.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby("__part", num_partitions=num_parts) \
-        .map_groups(mode, batch_format="pyarrow")
+    return grouped_mode(ev, "user_id", "event_type",
+                        max(2, min(auto_parts(), 8)),
+                        "user_id", "mode_type", "n_events")
 
 
 def ev_mad(sf_dir: str):
@@ -2651,8 +2619,6 @@ ORACLE_SQL["d_fingerprints"] = f"""
 """
 
 
-# Exact kNN graph: same all-pairs shape as e_knn_brute's oracle, for
-# every row; sim_sc rounded half-away on both sides.
 # per-label centroid = per-dimension SUM/COUNT (unnest + subscripts),
 # rebuilt as an ordered list; cosine to the own-label centroid mirrors
 # the pipeline's float64 math, NaN (zero-norm) pinned to 0 both sides
@@ -2706,6 +2672,8 @@ ORACLE_SQL["e_knn_label_vote"] = """
 """
 
 
+# Exact kNN graph: same all-pairs shape as e_knn_brute's oracle, for
+# every row; sim_sc rounded half-away on both sides.
 ORACLE_SQL["e_knn_graph"] = """
     WITH n AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

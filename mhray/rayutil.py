@@ -452,3 +452,51 @@ def attach_payload_both(pairs_ds, side_ds, side_key: str,
                                          payload_types[c])
                                 for c in payload_cols])
     return out
+
+
+def grouped_mode(ds, key_col: str, val_col: str, num_parts: int,
+                 out_key: str, out_val: str, out_n: str):
+    """Most frequent ``val_col`` per ``key_col`` (ties to the SMALLEST
+    value — lexical for strings, numeric otherwise): per-batch
+    pre-counted (key, val) partials below ONE key-hash shuffle, then a
+    partition-local vectorized argmax. Shared by ev_user_mode and
+    knn_label_agreement so the mode kernel (and its reliance on
+    pyarrow group_by().aggregate() emitting group keys first — stable
+    on the pinned pyarrow) lives in exactly one place."""
+    import numpy as np
+
+    from mhray.stages.candidates import _part_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([key_col, val_col]).aggregate(
+            [([], "count_all")])
+        t = t.rename_columns([key_col, val_col, "n"])
+        k = np.asarray(t.column(key_col), dtype=np.int64)
+        return pa.table({
+            "__part": pa.array(_part_of(k, num_parts), pa.int32()),
+            key_col: pa.array(k, pa.int64()),
+            val_col: t.column(val_col),
+            "n": t.column("n").cast(pa.int64()),
+        })
+
+    def mode(group: pa.Table) -> pa.Table:
+        t = group.group_by([key_col, val_col]).aggregate([("n", "sum")])
+        k = np.asarray(t.column(key_col), dtype=np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        n = np.asarray(t.column("n_sum"), dtype=np.int64)
+        order = np.lexsort((v, -n, k))   # per key: most counts first,
+        k_s = k[order]                   # then smallest value
+        first = np.ones(len(k_s), dtype=bool)
+        if len(k_s) > 1:
+            first[1:] = k_s[1:] != k_s[:-1]
+        sel = pa.array(order[first], pa.int64())
+        return pa.table({
+            out_key: pa.array(k_s[np.asarray(first)], pa.int64()),
+            out_val: t.column(val_col).take(sel),
+            out_n: pa.array(n[np.asarray(sel)], pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(mode, batch_format="pyarrow")

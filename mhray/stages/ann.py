@@ -855,13 +855,14 @@ def label_centroid_dist(ds, id_col: str = "vec_id",
             "cnt": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
+    # n_labels x n_blocks partial rows combine on the driver — the
+    # pca_project take_all idiom (no pandas conversion)
     cents: dict[int, np.ndarray] = {}
     counts: dict[int, int] = {}
-    for _, row in parts.iterrows():
-        v = np.frombuffer(row["vsum"], np.float64)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
         lab = int(row["label"])
+        v = np.frombuffer(row["vsum"], np.float64)
         cents[lab] = cents.get(lab, 0) + v
         counts[lab] = counts.get(lab, 0) + int(row["cnt"])
     for lab in cents:
@@ -904,8 +905,9 @@ def knn_label_agreement(ds, k: int = 5, id_col: str = "vec_id",
     narrow label attach and a partition-local vectorized vote —
     the ev_user_mode shuffle shape.
     """
-    from mhray.rayutil import attach_payload
-    from mhray.stages.candidates import _part_of
+    from mhray.rayutil import (_attach_broadcast, _broadcast_fits,
+                               _prepare_broadcast_side, attach_payload,
+                               grouped_mode)
 
     g = knn_graph(ds, k=k, id_col=id_col, emb_col=emb_col)
     labels_side = ds.select_columns([id_col, label_col]).map_batches(
@@ -914,57 +916,33 @@ def knn_label_agreement(ds, k: int = 5, id_col: str = "vec_id",
             "label": b.column(label_col).cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     side_schema = pa.schema([(id_col, pa.int64()), ("label", pa.int64())])
-    g = attach_payload(
-        g, "neighbor_id", labels_side, id_col, ("label",), "nb",
-        num_parts=num_parts,
-        pairs_schema=pa.schema([("query_id", pa.int64()),
-                                ("neighbor_id", pa.int64()),
-                                ("rank", pa.int64()),
-                                ("sim_sc", pa.int64())]),
-        side_schema=side_schema)
+    g_names = ["query_id", "neighbor_id", "rank", "sim_sc"]
+    v_names = ["query_id", "voted_label", "votes"]
+    types = {"label": pa.int64()}
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["query_id", "label_nb"]).aggregate(
-            [([], "count_all")])
-        t = t.rename_columns(["query_id", "label_nb", "n"])
-        qid = np.asarray(t.column("query_id"), dtype=np.int64)
-        return pa.table({
-            "__part": pa.array(_part_of(qid, num_parts), pa.int32()),
-            "query_id": pa.array(qid, pa.int64()),
-            "label_nb": t.column("label_nb").cast(pa.int64()),
-            "n": t.column("n").cast(pa.int64()),
-        })
+    # the labels side feeds TWO different pair tables (neighbor labels
+    # before the vote, own labels after), so prepare the broadcast
+    # copy ONCE and reuse the ref; the shuffle fallback runs two
+    # threshold-guarded attaches
+    if _broadcast_fits(labels_side, 1_500_000):
+        ref = _prepare_broadcast_side(labels_side, id_col, ("label",))
 
-    def vote(group: pa.Table) -> pa.Table:
-        t = group.group_by(["query_id", "label_nb"]).aggregate(
-            [("n", "sum")])
-        qid = np.asarray(t.column("query_id"), dtype=np.int64)
-        lab = np.asarray(t.column("label_nb"), dtype=np.int64)
-        n = np.asarray(t.column("n_sum"), dtype=np.int64)
-        order = np.lexsort((lab, -n, qid))   # per query: most votes,
-        q_s = qid[order]                     # ties to smallest label
-        first = np.ones(len(q_s), dtype=bool)
-        if len(q_s) > 1:
-            first[1:] = q_s[1:] != q_s[:-1]
-        sel = order[first]
-        return pa.table({
-            "query_id": pa.array(qid[sel], pa.int64()),
-            "voted_label": pa.array(lab[sel], pa.int64()),
-            "votes": pa.array(n[sel], pa.int64()),
-        })
+        def attach(pairs, key, suffix, names):
+            return _attach_broadcast(pairs, key, labels_side, id_col,
+                                     ("label",), suffix, "inner",
+                                     names, types, ref=ref)
+    else:
+        def attach(pairs, key, suffix, names):
+            return attach_payload(
+                pairs, key, labels_side, id_col, ("label",), suffix,
+                num_parts=num_parts,
+                pairs_schema=pa.schema([(n, pa.int64()) for n in names]),
+                side_schema=side_schema)
 
-    voted = g.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby("__part", num_partitions=num_parts) \
-        .map_groups(vote, batch_format="pyarrow")
-
-    out = attach_payload(
-        voted, "query_id", labels_side, id_col, ("label",), "own",
-        num_parts=num_parts,
-        pairs_schema=pa.schema([("query_id", pa.int64()),
-                                ("voted_label", pa.int64()),
-                                ("votes", pa.int64())]),
-        side_schema=side_schema)
+    g = attach(g, "neighbor_id", "nb", g_names)
+    voted = grouped_mode(g, "query_id", "label_nb", num_parts,
+                         "query_id", "voted_label", "votes")
+    out = attach(voted, "query_id", "own", v_names)
 
     def finish(batch: pa.Table) -> pa.Table:
         own = np.asarray(batch.column("label_own"), dtype=np.int64)
