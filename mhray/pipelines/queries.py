@@ -143,6 +143,18 @@ def q_join_agg(sf_dir: str):
     # and the final segment groupby sums the partials
     per_cust = o.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
+    # Ray's join operator cannot take a zero-row side; an O(1)
+    # parquet-footer row check keeps the native (barrier-free) join on
+    # the hot path while an empty input short-circuits to the typed
+    # empty result instead of crashing
+    from mhray.checkpoint import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/orders.parquet") == 0 or \
+            parquet_num_rows(f"{sf_dir}/customer.parquet") == 0:
+        return ray.data.from_arrow(pa.table({
+            "c_mktsegment": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "total": pa.array([], pa.int64())}))
     j = per_cust.join(c, join_type="inner", num_partitions=4,
                       on=("o_custkey",), right_on=("c_custkey",))
     agg = j.groupby("c_mktsegment").aggregate(
@@ -414,6 +426,10 @@ def e_dup_cosine(sf_dir: str):
         raise ValueError(
             f"e_dup_cosine is the brute-force baseline ({n_vecs} rows > "
             "2M): use stages.ann.embedding_dup_pairs (LSH) instead")
+    if n_vecs == 0:  # an empty table yields zero (schema-less) refs
+        return ray.data.from_arrow(pa.table({
+            "lo_id": pa.array([], pa.int64()),
+            "hi_id": pa.array([], pa.int64())}))
     side = ds.select_columns(["vec_id", "embedding"])
     tbl = pa.concat_tables([ray.get(r) for r in side.to_arrow_refs()],
                            promote_options="default")

@@ -29,6 +29,11 @@ def attach_sketches(pairs_ds, sketches_ds, num_partitions: int = 32,
     # attach passes (otherwise the upstream plan re-executes per pass)
     side = sketches_ds.select_columns(["iid", *columns]).materialize()
     side_schema = getattr(side.schema(), "base_schema", side.schema())
+    if side_schema is None:
+        # an EMPTY sketch side has no schema to read; every payload
+        # this stage attaches is a packed binary blob
+        side_schema = pa.schema([("iid", pa.int64())]
+                                + [(c, pa.binary()) for c in columns])
     pair_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
                              ("shared_slots", pa.int64())])
     j = attach_payload(pairs_ds, "lo", side, "iid", columns, "lo",

@@ -203,3 +203,30 @@ def test_ntile_nan_boundary_raises(ray_session):
     })
     with pytest.raises(ValueError, match="NaN"):
         ntile(ray.data.from_arrow(tbl), 2, "v", "doc_id").to_pandas()
+
+
+def test_catalog_queries_on_empty_tables(ray_session, tmp_path):
+    """Whole-table-empty inputs (e.g. an empty partition dir) must not
+    crash (regression: Ray's join operator, the broadcast sketch
+    attach, and the driver-side vector concat all choked on zero-block
+    datasets). e_pca raises a CLEAR error by design — PCA of nothing
+    is undefined."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mhray.pipelines.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    for t in ["documents", "embeddings", "orders", "customer"]:
+        pq.write_table(pq.read_schema(f"{src}/{t}.parquet").empty_table(),
+                       str(tmp_path / f"{t}.parquet"))
+    d = str(tmp_path)
+    for name in ["q_join_agg", "d_minhash_pairs", "e_dup_cosine",
+                 "d_tiered_dedup", "d_dup_clusters"]:
+        res = QUERIES[name](d)
+        import ray.data
+
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        assert n == 0, name
+    with pytest.raises(ValueError, match="empty input"):
+        QUERIES["e_pca"](d)
