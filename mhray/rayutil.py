@@ -57,7 +57,10 @@ def _prepare_broadcast_side(side_ds, side_key, payload_cols):
     import ray
 
     tables = [ray.get(r) for r in side_ds.to_arrow_refs()]
-    tables = [t for t in tables if t.num_rows or side_key in t.schema.names]
+    # filter on KEY PRESENCE only (same guard as anti_join_ids): a
+    # schema-less empty block means "no keys", and a keyless non-empty
+    # block must not be null-promoted into the key column
+    tables = [t for t in tables if side_key in t.schema.names]
     if not tables:
         return ray.put((np.empty(0, np.int64),
                         {c: None for c in payload_cols}))
@@ -405,6 +408,40 @@ def attach_payload(pairs_ds, key_col: str, side_ds, side_key: str,
         merge, batch_format="pyarrow")
 
 
+def prepared_attacher(side_ds, side_key: str, payload_cols: tuple,
+                      num_parts: int = 16,
+                      side_schema: pa.Schema | None = None,
+                      broadcast_threshold_rows: int = 1_500_000):
+    """Factory owning the broadcast-vs-shuffle attach policy for a side
+    consumed by SEVERAL pair tables: returns ``attach(pairs_ds,
+    key_col, out_suffix, pairs_schema)``. On the broadcast path the
+    side is fetched, key-sorted, and ``ray.put`` ONCE here and every
+    call reuses the ref; above the thresholds each call is a
+    threshold-guarded shuffling :func:`attach_payload`. Inner-join
+    semantics."""
+    if side_schema is None:
+        s = side_ds.schema()
+        side_schema = getattr(s, "base_schema", s)
+    payload_types = {c: side_schema.field(c).type for c in payload_cols}
+
+    if _broadcast_fits(side_ds, broadcast_threshold_rows):
+        ref = _prepare_broadcast_side(side_ds, side_key, payload_cols)
+
+        def attach(pairs_ds, key_col, out_suffix, pairs_schema):
+            return _attach_broadcast(
+                pairs_ds, key_col, side_ds, side_key, payload_cols,
+                out_suffix, "inner", list(pairs_schema.names),
+                payload_types, ref=ref)
+    else:
+        def attach(pairs_ds, key_col, out_suffix, pairs_schema):
+            return attach_payload(
+                pairs_ds, key_col, side_ds, side_key, payload_cols,
+                out_suffix, num_parts=num_parts,
+                pairs_schema=pairs_schema, side_schema=side_schema)
+
+    return attach
+
+
 def attach_payload_both(pairs_ds, side_ds, side_key: str,
                         payload_cols: tuple,
                         num_parts: int = 16,
@@ -413,44 +450,26 @@ def attach_payload_both(pairs_ds, side_ds, side_key: str,
                         keys=(("lo", "lo"), ("hi", "hi")),
                         broadcast_threshold_rows: int = 1_500_000):
     """Attach the SAME side payload to two key columns of a pair table
-    (the (lo, hi) text/sketch fetch). On the broadcast path the side
-    is fetched, key-sorted, and ``ray.put`` ONCE and reused for both
-    lookups — two plain :func:`attach_payload` calls would hold a
-    duplicate full payload copy in the object store and double the
-    driver concat+sort. Above the thresholds it falls back to two
-    threshold-guarded shuffling attach_payload calls. Inner-join
-    semantics on BOTH keys (a pair missing either side is dropped).
-    """
+    (the (lo, hi) text/sketch fetch) — :func:`prepared_attacher`
+    applied twice to one table, so the broadcast copy is shared.
+    Inner-join semantics on BOTH keys (a pair missing either side is
+    dropped)."""
     if side_schema is None:
         s = side_ds.schema()
         side_schema = getattr(s, "base_schema", s)
-    payload_types = {c: side_schema.field(c).type for c in payload_cols}
-
-    if _broadcast_fits(side_ds, broadcast_threshold_rows):
-        ref = _prepare_broadcast_side(side_ds, side_key, payload_cols)
-        if pairs_schema is None:
-            s = pairs_ds.schema()
-            pairs_schema = getattr(s, "base_schema", s)
-        names = list(pairs_schema.names)
-        out = pairs_ds
-        for key_col, suffix in keys:
-            out = _attach_broadcast(out, key_col, side_ds, side_key,
-                                    payload_cols, suffix, "inner",
-                                    names, payload_types, ref=ref)
-            names = names + [f"{c}_{suffix}" for c in payload_cols]
-        return out
-
+    if pairs_schema is None:
+        s = pairs_ds.schema()
+        pairs_schema = getattr(s, "base_schema", s)
+    att = prepared_attacher(side_ds, side_key, payload_cols, num_parts,
+                            side_schema, broadcast_threshold_rows)
     out = pairs_ds
     schema = pairs_schema
     for key_col, suffix in keys:
-        out = attach_payload(out, key_col, side_ds, side_key,
-                             payload_cols, suffix, num_parts=num_parts,
-                             pairs_schema=schema, side_schema=side_schema)
-        if schema is not None:
-            schema = pa.schema(
-                list(schema) + [pa.field(f"{c}_{suffix}",
-                                         payload_types[c])
-                                for c in payload_cols])
+        out = att(out, key_col, suffix, schema)
+        schema = pa.schema(
+            list(schema) + [pa.field(f"{c}_{suffix}",
+                                     side_schema.field(c).type)
+                            for c in payload_cols])
     return out
 
 
@@ -489,11 +508,11 @@ def grouped_mode(ds, key_col: str, val_col: str, num_parts: int,
         first = np.ones(len(k_s), dtype=bool)
         if len(k_s) > 1:
             first[1:] = k_s[1:] != k_s[:-1]
-        sel = pa.array(order[first], pa.int64())
+        sel = order[first]
         return pa.table({
-            out_key: pa.array(k_s[np.asarray(first)], pa.int64()),
-            out_val: t.column(val_col).take(sel),
-            out_n: pa.array(n[np.asarray(sel)], pa.int64()),
+            out_key: pa.array(k[sel], pa.int64()),
+            out_val: t.column(val_col).take(pa.array(sel, pa.int64())),
+            out_n: pa.array(n[sel], pa.int64()),
         })
 
     return ds.map_batches(partial, batch_format="pyarrow",

@@ -905,9 +905,7 @@ def knn_label_agreement(ds, k: int = 5, id_col: str = "vec_id",
     narrow label attach and a partition-local vectorized vote —
     the ev_user_mode shuffle shape.
     """
-    from mhray.rayutil import (_attach_broadcast, _broadcast_fits,
-                               _prepare_broadcast_side, attach_payload,
-                               grouped_mode)
+    from mhray.rayutil import grouped_mode, prepared_attacher
 
     g = knn_graph(ds, k=k, id_col=id_col, emb_col=emb_col)
     labels_side = ds.select_columns([id_col, label_col]).map_batches(
@@ -915,34 +913,24 @@ def knn_label_agreement(ds, k: int = 5, id_col: str = "vec_id",
             id_col: b.column(id_col).cast(pa.int64()),
             "label": b.column(label_col).cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
-    side_schema = pa.schema([(id_col, pa.int64()), ("label", pa.int64())])
-    g_names = ["query_id", "neighbor_id", "rank", "sim_sc"]
-    v_names = ["query_id", "voted_label", "votes"]
-    types = {"label": pa.int64()}
 
     # the labels side feeds TWO different pair tables (neighbor labels
-    # before the vote, own labels after), so prepare the broadcast
-    # copy ONCE and reuse the ref; the shuffle fallback runs two
-    # threshold-guarded attaches
-    if _broadcast_fits(labels_side, 1_500_000):
-        ref = _prepare_broadcast_side(labels_side, id_col, ("label",))
+    # before the vote, own labels after): prepared_attacher shares one
+    # broadcast copy across both (shuffle fallback above the caps)
+    attach = prepared_attacher(
+        labels_side, id_col, ("label",), num_parts=num_parts,
+        side_schema=pa.schema([(id_col, pa.int64()),
+                               ("label", pa.int64())]))
 
-        def attach(pairs, key, suffix, names):
-            return _attach_broadcast(pairs, key, labels_side, id_col,
-                                     ("label",), suffix, "inner",
-                                     names, types, ref=ref)
-    else:
-        def attach(pairs, key, suffix, names):
-            return attach_payload(
-                pairs, key, labels_side, id_col, ("label",), suffix,
-                num_parts=num_parts,
-                pairs_schema=pa.schema([(n, pa.int64()) for n in names]),
-                side_schema=side_schema)
+    def _sch(names):
+        return pa.schema([(n, pa.int64()) for n in names])
 
-    g = attach(g, "neighbor_id", "nb", g_names)
+    g = attach(g, "neighbor_id", "nb",
+               _sch(["query_id", "neighbor_id", "rank", "sim_sc"]))
     voted = grouped_mode(g, "query_id", "label_nb", num_parts,
                          "query_id", "voted_label", "votes")
-    out = attach(voted, "query_id", "own", v_names)
+    out = attach(voted, "query_id", "own",
+                 _sch(["query_id", "voted_label", "votes"]))
 
     def finish(batch: pa.Table) -> pa.Table:
         own = np.asarray(batch.column("label_own"), dtype=np.int64)
