@@ -132,7 +132,10 @@ def local_align_one_skip(sim: np.ndarray, gap_open: float = 0.0,
     if A == 0 or B == 0:
         return 0.0, 0, 0, 0, 0
     go = np.float32(gap_open)
-    simf = (sim + score_offset).astype(np.float32)
+    # cast-first then float32 add — Java casts the similarity to float
+    # BEFORE adding the (float) offset, so matching the rounding ORDER
+    # avoids last-ulp divergence that could flip a max-cell tie
+    simf = sim.astype(np.float32) + np.float32(score_offset)
     D = np.zeros((A + 1, B + 1), dtype=np.float32)
     P = np.zeros((A + 1, B + 1), dtype=np.float32)
     S = np.zeros((A + 1, B + 1), dtype=np.float32)

@@ -434,10 +434,14 @@ def prepared_attacher(side_ds, side_key: str, payload_cols: tuple,
                 payload_types, ref=ref)
     else:
         def attach(pairs_ds, key_col, out_suffix, pairs_schema):
+            # Forward the caller's threshold so attach_payload doesn't
+            # re-broadcast under its own (larger) default after this
+            # factory already decided the side does NOT fit.
             return attach_payload(
                 pairs_ds, key_col, side_ds, side_key, payload_cols,
                 out_suffix, num_parts=num_parts,
-                pairs_schema=pairs_schema, side_schema=side_schema)
+                pairs_schema=pairs_schema, side_schema=side_schema,
+                broadcast_threshold_rows=broadcast_threshold_rows)
 
     return attach
 
@@ -501,7 +505,11 @@ def grouped_mode(ds, key_col: str, val_col: str, num_parts: int,
     def mode(group: pa.Table) -> pa.Table:
         t = group.group_by([key_col, val_col]).aggregate([("n", "sum")])
         k = np.asarray(t.column(key_col), dtype=np.int64)
-        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        # to_pylist -> np.asarray yields a native fixed-width dtype
+        # ('<U' for strings), keeping the lexsort vectorized;
+        # to_numpy(zero_copy_only=False) would give object dtype for
+        # string columns and fall back to per-element comparisons.
+        v = np.asarray(t.column(val_col).to_pylist())
         n = np.asarray(t.column("n_sum"), dtype=np.int64)
         order = np.lexsort((v, -n, k))   # per key: most counts first,
         k_s = k[order]                   # then smallest value

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pyarrow as pa
 
@@ -661,7 +663,8 @@ def pca_project(ds, out_dim: int, id_col: str = "vec_id",
 
 
 def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
-              emb_col: str = "embedding", corpus_cap: int = 2_000_000):
+              emb_col: str = "embedding", corpus_cap: int = 2_000_000,
+              exact: bool = False):
     """Exact cosine kNN GRAPH: top-k neighbors for EVERY row — the
     building block of graph-based dedup/cluster methods. Each streamed
     batch matmuls against the broadcast normalized corpus (one
@@ -680,10 +683,22 @@ def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
     if n > corpus_cap:
         # the exact broadcast baseline stops paying past the cap:
         # route to the IVF-cell graph (same output schema, neighbors
-        # found within a row's coarse cell — recall bound in pytest)
-        print(f"[mhray] knn_graph: {n} rows > {corpus_cap} cap — "
-              "building the per-IVF-cell graph instead of the exact "
-              "broadcast baseline")
+        # found within a row's coarse cell — recall bound in pytest).
+        # SEMANTICS CHANGE past the cap: results become APPROXIMATE,
+        # so the exact SQL oracles (e_knn_graph, e_knn_label_vote)
+        # only hold below corpus_cap; pass exact=True to raise instead
+        # of silently diverging from them.
+        if exact:
+            raise ValueError(
+                f"knn_graph(exact=True): {n} rows > corpus_cap "
+                f"{corpus_cap} — exact broadcast graph refused; raise "
+                "corpus_cap or accept the approximate IVF-cell graph")
+        warnings.warn(
+            f"knn_graph: {n} rows > {corpus_cap} cap — building the "
+            "APPROXIMATE per-IVF-cell graph instead of the exact "
+            "broadcast baseline (neighbors restricted to coarse "
+            "cells; exact SQL oracles no longer apply)",
+            RuntimeWarning, stacklevel=2)
         # size cells so each holds many x k rows (a singleton cell has
         # no neighbors to offer); n is already known here
         n_cells = int(max(1, min(64, n // (8 * max(k, 1)))))

@@ -54,7 +54,7 @@ def brute_one_skip(sim, go=0.0, off=-0.52):
     mi = mj = 0
     for i in range(1, A + 1):
         for j in range(1, B + 1):
-            s = np.float32(sim[i - 1, j - 1] + off)
+            s = np.float32(sim[i - 1, j - 1]) + np.float32(off)
             P[i, j] = max(D[i - 1, j] + np.float32(go),
                           D[i, j - 1] + np.float32(go))
             D[i, j] = S[i - 1, j - 1] + s
