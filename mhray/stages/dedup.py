@@ -379,6 +379,57 @@ def tiered_dedup(ds, cfg: MhapConfig | None = None, text_col: str = "text",
 # exact token-set Jaccard self-join (prefix filtering)
 # ---------------------------------------------------------------------------
 
+def _blob_concat(col):
+    """binary column of packed u64 token sets -> (flat u64 view,
+    element offsets). Zero-copy when the buffer stays 8-aligned."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0]:offs[-1]]
+    if len(flat) % 8 or (offs % 8).any():
+        # misaligned (shouldn't happen: blobs are whole u64s)
+        toks = [np.frombuffer(b, dtype="<u8") for b in col.to_pylist()]
+        lens = np.array([len(t) for t in toks], np.int64)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        return (np.concatenate(toks) if toks else
+                np.empty(0, np.uint64)), off
+    return flat.view("<u8"), (offs - offs[0]) // 8
+
+
+def _rare_prefix_select(th: np.ndarray, offs: np.ndarray, tau: float,
+                        keys_sorted: np.ndarray, vals: np.ndarray):
+    """Prefix-filter token selection for a ragged run of per-doc token
+    sets, fully vectorized: ONE (doc, df, token) lexsort over the
+    concatenated run, then a segmented prefix-take of each doc's first
+    ``|s| - ceil(tau*|s|) + 1`` tokens in global rare-first order
+    (reference analog: the candidate probe of
+    ``impl/MinHashSearch.java:164-181``). ``th`` is the int64 view of
+    the flat token run, ``offs`` the per-doc element offsets
+    (len = n_docs + 1). Returns (selected tokens, doc ordinals)."""
+    counts = np.diff(offs)
+    n_tok = len(th)
+    if n_tok == 0:
+        return th[:0], np.empty(0, np.int64)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    if len(keys_sorted):
+        pos = np.minimum(np.searchsorted(keys_sorted, th),
+                         len(keys_sorted) - 1)
+        df = np.where(keys_sorted[pos] == th, vals[pos], 1)
+    else:
+        df = np.ones(n_tok, np.int64)
+    # rare-first, tie-break by token value (deterministic)
+    order = np.lexsort((th, df, doc_idx))
+    # docs stay contiguous ascending after the sort, so each doc's
+    # segment starts at its input offset; rank-within-doc < prefix len
+    rank = np.arange(n_tok, dtype=np.int64) - np.repeat(offs[:-1], counts)
+    p = counts - np.ceil(tau * counts).astype(np.int64) + 1
+    keep = rank < np.repeat(p, counts)
+    return th[order][keep], doc_idx[keep]
+
+
 def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
                         id_col: str = "doc_id", num_parts: int | None = None,
                         group_cap: int = 100000,
@@ -449,9 +500,7 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
 
     # global token document-frequency (rare-first prefix ordering)
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        blobs = batch.column("tok_blob").to_pylist()
-        toks = [np.frombuffer(b, dtype="<u8") for b in blobs]
-        flat = np.concatenate(toks) if toks else np.empty(0, np.uint64)
+        flat, _ = _blob_concat(batch.column("tok_blob"))
         return pa.table({"tok": pa.array(flat.view(np.int64), pa.int64())})
 
     freq = toks_ds.map_batches(explode_tokens, batch_format="pyarrow") \
@@ -465,34 +514,13 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
     def prefix_explode(batch: pa.Table) -> pa.Table:
         keys_sorted, vals = ray.get(freq_ref)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        blobs = batch.column("tok_blob").to_pylist()
-        out_tok, out_iid = [], []
-        for i, b in enumerate(blobs):
-            th = np.frombuffer(b, dtype="<u8").view(np.int64)
-            s = len(th)
-            if s == 0:
-                continue
-            p = s - math.ceil(tau * s) + 1
-            if len(keys_sorted):
-                pos = np.minimum(np.searchsorted(keys_sorted, th),
-                                 len(keys_sorted) - 1)
-                df = np.where(keys_sorted[pos] == th, vals[pos], 1)
-            else:
-                df = np.ones(s, np.int64)
-            # rare-first, tie-break by token value (deterministic)
-            sel = th[np.lexsort((th, df))][:p]
-            out_tok.append(sel)
-            out_iid.append(np.full(len(sel), ids[i]))
-        if not out_tok:
-            return pa.table({"part": pa.array([], pa.int32()),
-                             "key": pa.array([], pa.int64()),
-                             "iid": pa.array([], pa.int64())})
-        key = np.concatenate(out_tok)
-        iid = np.concatenate(out_iid)
+        flat, offs = _blob_concat(batch.column("tok_blob"))
+        key, doc_sel = _rare_prefix_select(
+            flat.view(np.int64), offs, tau, keys_sorted, vals)
         return pa.table({
             "part": pa.array(_part_of(key, num_parts), pa.int32()),
             "key": pa.array(key, pa.int64()),
-            "iid": pa.array(iid, pa.int64()),
+            "iid": pa.array(ids[doc_sel], pa.int64()),
         })
 
     from mhray.rayutil import scrub_blocks
@@ -532,25 +560,6 @@ def ngram_jaccard_pairs(ds, tau: float, text_col: str = "text",
         right_schema=pa.schema([("_ihi", pa.int64()),
                                 ("blob_hi", pa.binary())]),
     )
-
-    def _blob_concat(col):
-        """binary column of packed u64 token sets -> (flat u64 view,
-        element offsets). Zero-copy when the buffer stays 8-aligned."""
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-            col.offset:col.offset + len(col) + 1].astype(np.int64)
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        flat = data[offs[0]:offs[-1]]
-        if len(flat) % 8 or (offs % 8).any():
-            # misaligned (shouldn't happen: blobs are whole u64s)
-            toks = [np.frombuffer(b, dtype="<u8") for b in col.to_pylist()]
-            lens = np.array([len(t) for t in toks], np.int64)
-            off = np.zeros(len(lens) + 1, np.int64)
-            np.cumsum(lens, out=off[1:])
-            return (np.concatenate(toks) if toks else
-                    np.empty(0, np.uint64)), off
-        return flat.view("<u8"), (offs - offs[0]) // 8
 
     def jaccard_gate(batch: pa.Table) -> pa.Table:
         """All pairs of the block at once: tag every token with its

@@ -235,3 +235,61 @@ def test_phash_band_keys_shape():
     # identical hashes share all 4 band keys
     bands2 = K.phash_band_keys(ph.copy(), 4, 16)
     np.testing.assert_array_equal(bands, bands2)
+
+
+def test_rare_prefix_select_matches_per_doc_loop():
+    """Parity: the segmented (doc, df, token) lexsort prefix-take must
+    reproduce the original per-document loop (rare-first order, token
+    tie-break, prefix length |s| - ceil(tau*|s|) + 1) exactly —
+    including empty docs, all-tie dfs, and an empty frequency map."""
+    import math
+
+    from mhray.stages.dedup import _rare_prefix_select
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        n_docs = int(rng.integers(1, 12))
+        counts = rng.integers(0, 9, n_docs)
+        if trial % 5 == 0:
+            counts[rng.integers(0, n_docs)] = 0  # force empty docs
+        toks = [np.unique(rng.integers(-50, 50, c).astype(np.int64))
+                for c in counts]
+        counts = np.array([len(t) for t in toks], np.int64)
+        offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        th = (np.concatenate(toks) if counts.sum()
+              else np.empty(0, np.int64))
+        if trial % 3 == 0:
+            keys_sorted = np.empty(0, np.int64)
+            vals = np.empty(0, np.int64)
+        else:
+            keys_sorted = np.unique(rng.integers(-50, 50, 30))
+            vals = rng.integers(1, 6, len(keys_sorted)).astype(np.int64)
+        tau = float(rng.choice([0.3, 0.6, 0.8, 1.0]))
+
+        # original per-doc loop (pre-vectorization implementation)
+        exp_tok, exp_doc = [], []
+        for i in range(n_docs):
+            t = th[offs[i]:offs[i + 1]]
+            s = len(t)
+            if s == 0:
+                continue
+            p = s - math.ceil(tau * s) + 1
+            if len(keys_sorted):
+                pos = np.minimum(np.searchsorted(keys_sorted, t),
+                                 len(keys_sorted) - 1)
+                df = np.where(keys_sorted[pos] == t, vals[pos], 1)
+            else:
+                df = np.ones(s, np.int64)
+            sel = t[np.lexsort((t, df))][:p]
+            exp_tok.append(sel)
+            exp_doc.append(np.full(len(sel), i))
+        exp_tok = (np.concatenate(exp_tok) if exp_tok
+                   else np.empty(0, np.int64))
+        exp_doc = (np.concatenate(exp_doc) if exp_doc
+                   else np.empty(0, np.int64))
+
+        got_tok, got_doc = _rare_prefix_select(
+            th, offs, tau, keys_sorted, vals)
+        np.testing.assert_array_equal(got_tok, exp_tok)
+        np.testing.assert_array_equal(got_doc, exp_doc)
