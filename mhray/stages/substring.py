@@ -98,6 +98,48 @@ def longest_common_substring_len(a: str, b: str, at_least: int = 0) -> int:
     return lo
 
 
+def _winnow_select(hashes: np.ndarray, offs: np.ndarray, window: int):
+    """Ragged winnowing across a batch, fully vectorized: ONE
+    sliding-window-minima pass over the concatenated shingle run
+    (windows that would cross a document boundary are dropped by the
+    start-position mask), one ``np.minimum.reduceat`` for documents
+    shorter than the window, then a (doc, value) lexsort + adjacent
+    dedupe for the per-document ``np.unique``. Minima are taken in the
+    raw hash dtype (uint64 order — the int64 reinterpretation happens
+    in the caller, as before). Returns (selected hashes, doc ordinals),
+    docs ascending with values sorted (uint64 order) within each doc —
+    exactly the order the per-document loop emitted."""
+    counts = np.diff(offs)
+    if len(hashes) == 0 or not (counts > 0).any():
+        return hashes[:0], np.empty(0, np.int64)
+    n_docs = len(counts)
+    val_out, doc_out = [], []
+    big = counts > window
+    if big.any():
+        sw = np.lib.stride_tricks.sliding_window_view(
+            hashes, window).min(axis=1)
+        m = counts[big] - window + 1
+        ends = np.cumsum(m)
+        intra = np.arange(ends[-1]) - np.repeat(ends - m, m)
+        val_out.append(sw[np.repeat(offs[:-1][big], m) + intra])
+        doc_out.append(np.repeat(np.flatnonzero(big), m))
+    nz = counts > 0
+    small = nz & ~big
+    if small.any():
+        # empty docs contribute no elements, so reduceat over the
+        # non-empty starts spans exactly each doc's own segment
+        mins = np.minimum.reduceat(hashes, offs[:-1][nz])
+        val_out.append(mins[small[nz]])
+        doc_out.append(np.flatnonzero(small))
+    vals = np.concatenate(val_out)
+    docs = np.concatenate(doc_out)
+    order = np.lexsort((vals, docs))
+    vals, docs = vals[order], docs[order]
+    keep = np.ones(len(vals), bool)
+    keep[1:] = (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])
+    return vals[keep], docs[keep]
+
+
 def substring_pairs(ds, min_len: int = 32, window: int = 8,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_parts: int | None = None, group_cap: int = 2000):
@@ -129,28 +171,12 @@ def substring_pairs(ds, min_len: int = 32, window: int = 8,
         texts = batch.column("text").to_pylist()
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         hashes, offs = shingle_hashes64(texts, gram)
-        out_key, out_iid = [], []
-        for i in range(len(texts)):
-            seg = hashes[offs[i]: offs[i + 1]]
-            if len(seg) == 0:
-                continue
-            if len(seg) <= window:
-                sel = np.array([seg.min()])
-            else:
-                w = np.lib.stride_tricks.sliding_window_view(seg, window)
-                sel = np.unique(w.min(axis=1))
-            out_key.append(sel.view(np.int64))
-            out_iid.append(np.full(len(sel), ids[i]))
-        if not out_key:
-            return pa.table({"part": pa.array([], pa.int32()),
-                             "key": pa.array([], pa.int64()),
-                             "iid": pa.array([], pa.int64())})
-        key = np.concatenate(out_key)
-        iid = np.concatenate(out_iid)
+        sel, doc_sel = _winnow_select(hashes, offs, window)
+        key = sel.view(np.int64)
         return pa.table({
             "part": pa.array(_part_of(key, num_parts), pa.int32()),
             "key": pa.array(key, pa.int64()),
-            "iid": pa.array(iid, pa.int64()),
+            "iid": pa.array(ids[doc_sel], pa.int64()),
         })
 
     from mhray.rayutil import scrub_blocks

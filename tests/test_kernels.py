@@ -293,3 +293,46 @@ def test_rare_prefix_select_matches_per_doc_loop():
             th, offs, tau, keys_sorted, vals)
         np.testing.assert_array_equal(got_tok, exp_tok)
         np.testing.assert_array_equal(got_doc, exp_doc)
+
+
+def test_winnow_select_matches_per_doc_loop():
+    """Parity: the batch-level sliding-minima + reduceat + lexsort
+    winnowing must reproduce the original per-document loop (whole-
+    segment min for short docs, unique sliding-window minima for long
+    ones, uint64 ordering) exactly — including empty docs and window
+    sizes at both edges."""
+    from mhray.stages.substring import _winnow_select
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n_docs = int(rng.integers(1, 10))
+        counts = rng.integers(0, 25, n_docs)
+        if trial % 4 == 0:
+            counts[rng.integers(0, n_docs)] = 0
+        window = int(rng.integers(1, 10))
+        segs = [rng.integers(0, 2**64, c, dtype=np.uint64)
+                for c in counts]
+        offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        flat = (np.concatenate(segs) if counts.sum()
+                else np.empty(0, np.uint64))
+
+        exp_val, exp_doc = [], []
+        for i, seg in enumerate(segs):
+            if len(seg) == 0:
+                continue
+            if len(seg) <= window:
+                sel = np.array([seg.min()], np.uint64)
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(seg, window)
+                sel = np.unique(w.min(axis=1))
+            exp_val.append(sel)
+            exp_doc.append(np.full(len(sel), i))
+        exp_val = (np.concatenate(exp_val) if exp_val
+                   else np.empty(0, np.uint64))
+        exp_doc = (np.concatenate(exp_doc) if exp_doc
+                   else np.empty(0, np.int64))
+
+        got_val, got_doc = _winnow_select(flat, offs, window)
+        np.testing.assert_array_equal(got_val, exp_val)
+        np.testing.assert_array_equal(got_doc, exp_doc)
