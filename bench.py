@@ -173,7 +173,117 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_correctness(sf_dir: str, out_path: str) -> dict:
+    """Run EVERY catalog query vs its DuckDB oracle and write a
+    correctness artifact in the driver's exact format (per query:
+    rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+    err, with ``"no_oracle"`` for rows-only entries). The driver's own
+    gate covers only the first 50 catalog keys; this covers all of
+    them. hash_match here = order-insensitive value equality after
+    sorting columns by name and rows by all columns (floats compared
+    at atol 1e-9 with NaN==NaN), the same criterion the pytest oracle
+    gate applies."""
+    import duckdb
+    import numpy as np
+    import pandas as pd  # noqa: F401 (dtype coercions below)
+    import pyarrow as pa
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from mhray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def to_pandas(result):
+        if isinstance(result, ray.data.Dataset):
+            return result.to_pandas()
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+        return result
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    def values_match(a, b) -> bool:
+        a, b = canon(a), canon(b)
+        for col in a.columns:
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                if not np.allclose(av.astype(np.float64),
+                                   bv.astype(np.float64),
+                                   rtol=0, atol=1e-9, equal_nan=True):
+                    return False
+            elif not ((av == bv).all()
+                      or (av.astype(str) == bv.astype(str)).all()):
+                return False
+        return True
+
+    report = {}
+    for name, fn in QUERIES.items():
+        entry = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": None,
+                 "oracle_rows": None, "err": None}
+        try:
+            df = to_pandas(fn(sf_dir))
+            entry["spark_rows"] = int(len(df))
+            if name not in ORACLE_SQL:
+                entry["err"] = "no_oracle"
+            else:
+                sql_df = con.sql(ORACLE_SQL[name]).df()
+                entry["oracle_rows"] = int(len(sql_df))
+                entry["rows_match"] = len(df) == len(sql_df)
+                entry["schema_match"] = (
+                    sorted(df.columns) == sorted(sql_df.columns))
+                entry["hash_match"] = bool(
+                    entry["rows_match"] and entry["schema_match"]
+                    and values_match(df, sql_df))
+        except Exception as e:  # noqa: BLE001 — recorded, not masked
+            entry["err"] = f"{type(e).__name__}: {e}"[:300]
+        report[name] = entry
+        status = ("no_oracle" if entry["err"] == "no_oracle" else
+                  "ERR" if entry["err"] else
+                  "ok" if entry["hash_match"] else "MISMATCH")
+        print(f"[correctness] {name}: {status}", file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
 def main() -> None:
+    if "--correctness" in sys.argv:
+        sf = os.environ.get("GRAFT_CORRECTNESS_SF", "/root/testdata/sf0.01")
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "CORRECTNESS_full.json")
+        report = run_correctness(sf, out)
+        green = sum(1 for e in report.values() if e["hash_match"])
+        rows_only = sum(1 for e in report.values()
+                        if e["err"] == "no_oracle")
+        bad = sum(1 for e in report.values()
+                  if e["err"] not in (None, "no_oracle")
+                  or e["hash_match"] is False)
+        print(json.dumps({"metric": "full-catalog correctness",
+                          "queries": len(report), "hash_green": green,
+                          "rows_only": rows_only, "failures": bad,
+                          "sf": sf, "out": out}))
+        import ray
+
+        ray.shutdown()
+        return
+
     if "--headline-only" in sys.argv:
         rows = int(os.environ.get("MHRAY_HEADLINE_ROWS", BENCH_ROWS))
         stats = run_headline(NUM_CPUS, rows)

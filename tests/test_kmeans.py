@@ -48,7 +48,8 @@ def test_kmeans_matches_driver_lloyd_on_blobs(ray_session):
 
     # re-derive the SAME init the operator used (hash-bottom sample)
     ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
-    x = ids.view(np.uint64) ^ (np.uint64(13) * np.uint64(0x9E3779B97F4A7C15))
+    x = ids.view(np.uint64) ^ np.uint64(
+        (13 * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
     x ^= x >> np.uint64(33)
     x *= np.uint64(0xFF51AFD7ED558CCD)
     x ^= x >> np.uint64(33)
@@ -123,3 +124,34 @@ def test_pca_project_matches_numpy(ray_session):
     # variance ordering: component 1 explains the most
     v = got.var(axis=0)
     assert np.all(np.diff(v) <= 1e-6)
+
+
+def test_e_kmeans_pinned_hashes_on_driver_testdata(ray_session):
+    """e_kmeans is rows-only for the driver (no SQL engine runs Lloyd),
+    so pin the exact result here instead: on the sf0.001 driver
+    testdata the final centroids and the assignment vector are a pure
+    deterministic function of the input (hash-bottom init, fixed seed,
+    fixed iteration count) — these digests ARE the oracle. Verified
+    invariant to input partitioning (test_kmeans_block_invariance)."""
+    import hashlib
+
+    from mhray.pipelines.queries import QUERIES
+
+    df = QUERIES["e_kmeans"]("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(df) == 500
+    a_hash = hashlib.sha256(
+        df["cluster"].to_numpy(np.int64).tobytes()).hexdigest()[:16]
+    assert a_hash == "46172da392d0d999"
+
+    import ray.data
+
+    from mhray.stages.ann import kmeans
+
+    cent, _ = kmeans(
+        ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                              columns=["vec_id", "embedding"]),
+        n_clusters=8, iters=4, seed=13)
+    c_hash = hashlib.sha256(
+        np.ascontiguousarray(cent).tobytes()).hexdigest()[:16]
+    assert c_hash == "da89f46c8c251164"
