@@ -166,9 +166,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
     # scale) die without ever materializing row pairs.
     def compute_final_pairs():
         from mhray.rayutil import attach_payload
-        from mhray.stages.candidates import (_pair_part, _part_of,
-                                             _upper_triangle_cols,
-                                             make_pair_min)
+        from mhray.stages.candidates import _pair_part, _part_of, make_pair_min
 
         # --- pHash groups: (phash, members=packed (iid, rep_iid)) ----
         def add_ppart(batch: pa.Table) -> pa.Table:
@@ -213,57 +211,42 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
             .groupby("ppart", num_partitions=num_parts).map_groups(pack_groups,
                                          batch_format="pyarrow").materialize()
 
-        def _expand(m1: np.ndarray, m2: np.ndarray, ham: int):
-            """Cartesian row pairs between two member blobs, canonical
-            (lo, hi) by iid."""
-            n1, n2 = len(m1) // 2, len(m2) // 2
-            a = np.repeat(np.arange(n1), n2)
-            b = np.tile(np.arange(n2), n1)
-            ia, ra = m1[0::2][a], m1[1::2][a]
-            ib, rb = m2[0::2][b], m2[1::2][b]
-            swap = ia > ib
-            lo = np.where(swap, ib, ia)
-            hi = np.where(swap, ia, ib)
-            rlo_side = np.where(swap, rb, ra)
-            rhi_side = np.where(swap, ra, rb)
-            return lo, hi, rlo_side, rhi_side, np.full(len(lo), ham, np.int32)
-
-        def _member_views(col):
-            """Zero-copy per-row int64 views of the members column."""
+        def _members_flat(col):
+            """Whole-column zero-copy int64 views of a members column:
+            (iids, reps, member offsets), members interleaved 16 B."""
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-                col.offset:col.offset + len(col) + 1]
+                col.offset:col.offset + len(col) + 1].astype(np.int64)
             data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-            return lambda i: data[offs[i]:offs[i + 1]].view("<i8")
+            flat = data[offs[0]:offs[-1]].view("<i8")
+            return flat[0::2], flat[1::2], (offs - offs[0]) // 16
+
+        _EXP_EMPTY = pa.table({
+            "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+            "rep_lo": pa.array([], pa.int64()),
+            "rep_hi": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int32())})
 
         # --- same-pHash pairs (Hamming 0, bands trivially collide) ----
         def expand_same(batch: pa.Table) -> pa.Table:
-            fetch = _member_views(batch.column("members"))
-            ns = np.asarray(batch.column("n"))
-            out = {"lo": [], "hi": [], "rep_lo": [], "rep_hi": [], "hamming": []}
-            for i in np.flatnonzero(ns >= 2):
-                m = fetch(i)
-                g = len(m) // 2
-                a_idx = np.repeat(np.arange(g), np.arange(g - 1, -1, -1))
-                b_idx = _upper_triangle_cols(g)
-                out["lo"].append(m[0::2][a_idx])
-                out["hi"].append(m[0::2][b_idx])
-                out["rep_lo"].append(m[1::2][a_idx])
-                out["rep_hi"].append(m[1::2][b_idx])
-                out["hamming"].append(np.zeros(len(a_idx), np.int32))
-            if not out["lo"]:
-                return pa.table({
-                    "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
-                    "rep_lo": pa.array([], pa.int64()),
-                    "rep_hi": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int32())})
+            from mhray.stages.candidates import _pairs_within_groups
+
+            iids, reps, moffs = _members_flat(batch.column("members"))
+            if len(iids) == 0:
+                return _EXP_EMPTY
+            # group ordinal per member -> the tested ragged upper-
+            # triangle emission (canonical lo<hi by iid, payload rides)
+            keys = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                             np.diff(moffs))
+            lo, hi, _, _, rlo, rhi = _pairs_within_groups(
+                keys, iids, 1 << 62, payload=reps)
             return pa.table({
-                "lo": pa.array(np.concatenate(out["lo"]), pa.int64()),
-                "hi": pa.array(np.concatenate(out["hi"]), pa.int64()),
-                "rep_lo": pa.array(np.concatenate(out["rep_lo"]), pa.int64()),
-                "rep_hi": pa.array(np.concatenate(out["rep_hi"]), pa.int64()),
-                "hamming": pa.array(np.concatenate(out["hamming"]), pa.int32()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "rep_lo": pa.array(rlo, pa.int64()),
+                "rep_hi": pa.array(rhi, pa.int64()),
+                "hamming": pa.array(np.zeros(len(lo), np.int32), pa.int32()),
             })
 
         same_p = groups.map_batches(expand_same, batch_format="pyarrow",
@@ -303,30 +286,34 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
                             num_parts, pairs_schema=mid, side_schema=g_schema)
 
         def expand_cross(batch: pa.Table) -> pa.Table:
-            fetch_lo = _member_views(batch.column("members_lo"))
-            fetch_hi = _member_views(batch.column("members_hi"))
-            hams = np.asarray(batch.column("hamming"))
-            out = {"lo": [], "hi": [], "rep_lo": [], "rep_hi": [], "hamming": []}
-            for i in range(batch.num_rows):
-                lo, hi, rl, rh, hm = _expand(
-                    fetch_lo(i), fetch_hi(i), int(hams[i]))
-                out["lo"].append(lo)
-                out["hi"].append(hi)
-                out["rep_lo"].append(rl)
-                out["rep_hi"].append(rh)
-                out["hamming"].append(hm)
-            if not out["lo"]:
-                return pa.table({
-                    "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
-                    "rep_lo": pa.array([], pa.int64()),
-                    "rep_hi": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int32())})
+            """Ragged two-blob cartesian: every row pairs each lo-group
+            member with each hi-group member, in ONE vectorized pass
+            over the batch (pair ordinal t of row r maps to members
+            (t // n2[r], t % n2[r]))."""
+            il, rl_all, mo_l = _members_flat(batch.column("members_lo"))
+            ih, rh_all, mo_h = _members_flat(batch.column("members_hi"))
+            hams = np.asarray(batch.column("hamming"), dtype=np.int32)
+            n1, n2 = np.diff(mo_l), np.diff(mo_h)
+            tot = n1 * n2
+            total = int(tot.sum())
+            if total == 0:
+                return _EXP_EMPTY
+            ends = np.cumsum(tot)
+            t = np.arange(total, dtype=np.int64) - np.repeat(ends - tot, tot)
+            n2_rep = np.repeat(n2, tot)
+            a = t // n2_rep
+            b = t - a * n2_rep
+            ga = np.repeat(mo_l[:-1], tot) + a
+            gb = np.repeat(mo_h[:-1], tot) + b
+            ia, ra = il[ga], rl_all[ga]
+            ib, rb = ih[gb], rh_all[gb]
+            swap = ia > ib
             return pa.table({
-                "lo": pa.array(np.concatenate(out["lo"]), pa.int64()),
-                "hi": pa.array(np.concatenate(out["hi"]), pa.int64()),
-                "rep_lo": pa.array(np.concatenate(out["rep_lo"]), pa.int64()),
-                "rep_hi": pa.array(np.concatenate(out["rep_hi"]), pa.int64()),
-                "hamming": pa.array(np.concatenate(out["hamming"]), pa.int32()),
+                "lo": pa.array(np.where(swap, ib, ia), pa.int64()),
+                "hi": pa.array(np.where(swap, ia, ib), pa.int64()),
+                "rep_lo": pa.array(np.where(swap, rb, ra), pa.int64()),
+                "rep_hi": pa.array(np.where(swap, ra, rb), pa.int64()),
+                "hamming": pa.array(np.repeat(hams, tot), pa.int32()),
             })
 
         cross = pp.map_batches(expand_cross, batch_format="pyarrow",

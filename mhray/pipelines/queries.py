@@ -458,8 +458,13 @@ def e_dup_cosine(sf_dir: str):
 
 def e_kmeans(sf_dir: str):
     """Distributed full-corpus Lloyd's k-means assignments (rows-only:
-    iterative ML has no SQL equivalent; exactness vs a driver-side
-    Lloyd with identical init is pytest-asserted on planted blobs)."""
+    iterative ML has no SQL equivalent — the init draws from numpy
+    PCG64, which no SQL engine reproduces). The oracle lives in pytest
+    instead: exactness vs a driver-side Lloyd with identical init on
+    planted blobs, partitioning-invariance of the reduction, and the
+    sha256 digests of the assignment vector + final centroids pinned
+    on the sf0.001 driver testdata
+    (tests/test_kmeans.py::test_e_kmeans_pinned_hashes_on_driver_testdata)."""
     from mhray.stages.ann import kmeans
 
     _, assignments = kmeans(_read(sf_dir, "embeddings",
