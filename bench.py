@@ -185,7 +185,6 @@ def run_correctness(sf_dir: str, out_path: str) -> dict:
     gate applies."""
     import duckdb
     import numpy as np
-    import pandas as pd  # noqa: F401 (dtype coercions below)
     import pyarrow as pa
 
     import ray
@@ -227,9 +226,18 @@ def run_correctness(sf_dir: str, out_path: str) -> dict:
                                    bv.astype(np.float64),
                                    rtol=0, atol=1e-9, equal_nan=True):
                     return False
-            elif not ((av == bv).all()
-                      or (av.astype(str) == bv.astype(str)).all()):
-                return False
+            else:
+                # the str-cast fallback bridges representation-only
+                # gaps (object vs '<U' strings); a numeric column on
+                # one side and a non-numeric on the other is a real
+                # type break and must NOT green via stringification
+                numeric = frozenset("iufb")
+                if ((av.dtype.kind in numeric)
+                        != (bv.dtype.kind in numeric)):
+                    return False
+                if not (np.array_equal(av, bv)
+                        or (av.astype(str) == bv.astype(str)).all()):
+                    return False
         return True
 
     report = {}

@@ -214,13 +214,10 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
         def _members_flat(col):
             """Whole-column zero-copy int64 views of a members column:
             (iids, reps, member offsets), members interleaved 16 B."""
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-                col.offset:col.offset + len(col) + 1].astype(np.int64)
-            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-            flat = data[offs[0]:offs[-1]].view("<i8")
-            return flat[0::2], flat[1::2], (offs - offs[0]) // 16
+            from mhray.rayutil import binary_flat_view
+
+            flat, moffs = binary_flat_view(col, 16, "<i8")
+            return flat[0::2], flat[1::2], moffs
 
         _EXP_EMPTY = pa.table({
             "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),

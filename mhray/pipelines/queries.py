@@ -515,9 +515,11 @@ def e_knn_label_vote(sf_dir: str):
     reuses the e_knn_graph neighbor CTE + a windowed vote."""
     from mhray.stages.ann import knn_label_agreement
 
+    # exact=True for the same reason as e_knn_graph: the oracle is
+    # exact, so raise past corpus_cap instead of diverging silently.
     return knn_label_agreement(
         _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
-        k=5)
+        k=5, exact=True)
 
 
 def q_semi_join(sf_dir: str):
@@ -1584,8 +1586,11 @@ def e_knn_graph(sf_dir: str):
     (:func:`mhray.stages.ann.knn_graph`)."""
     from mhray.stages.ann import knn_graph
 
+    # exact=True: this query is hash-compared against an exact SQL
+    # oracle, so refusing past corpus_cap beats silently diverging to
+    # the approximate IVF-cell graph.
     return knn_graph(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                     k=5)
+                     k=5, exact=True)
 
 
 def d_mixture_sample(sf_dir: str):

@@ -20,6 +20,37 @@ import pyarrow as pa
 import ray.data
 
 
+def binary_flat_view(col, item_bytes: int, dtype: str):
+    """Whole-column view of a binary column of fixed-width packed
+    items: ``(flat, offs)`` where ``flat`` is the concatenated data
+    viewed as ``dtype`` and ``offs[i]:offs[i+1]`` (in units of
+    ``item_bytes``) spans element ``i``. Zero-copy when the Arrow
+    buffer slice stays item-aligned; falls back to a per-row copy
+    otherwise (shouldn't happen: blobs are whole items). Shared by
+    the token-blob (8 B) and cluster-member (16 B) hot paths so the
+    offsets/slicing logic lives in exactly one place."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    flat = data[offs[0]:offs[-1]]
+    if len(flat) % item_bytes or (offs % item_bytes).any():
+        blobs = col.to_pylist()
+        off = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum(np.array([len(b) for b in blobs], np.int64)
+                  // item_bytes, out=off[1:])
+        flat = (np.concatenate(
+            [np.frombuffer(b, dtype=np.uint8) for b in blobs])
+            if blobs else np.empty(0, np.uint8))
+        return flat.view(dtype), off
+    return flat.view(dtype), (offs - offs[0]) // item_bytes
+
+
 def _broadcast_fits(side_ds, threshold_rows: int,
                     threshold_bytes: int = 512 * 1024 * 1024) -> bool:
     """Small side -> broadcast once via ray.put and look up per batch
@@ -505,11 +536,18 @@ def grouped_mode(ds, key_col: str, val_col: str, num_parts: int,
     def mode(group: pa.Table) -> pa.Table:
         t = group.group_by([key_col, val_col]).aggregate([("n", "sum")])
         k = np.asarray(t.column(key_col), dtype=np.int64)
-        # to_pylist -> np.asarray yields a native fixed-width dtype
-        # ('<U' for strings), keeping the lexsort vectorized;
-        # to_numpy(zero_copy_only=False) would give object dtype for
-        # string columns and fall back to per-element comparisons.
-        v = np.asarray(t.column(val_col).to_pylist())
+        # String values: to_pylist -> np.asarray yields a native
+        # fixed-width '<U' dtype, keeping the lexsort vectorized
+        # (to_numpy would give object dtype and per-element compares).
+        # Numeric values: to_numpy keeps the native dtype AND maps
+        # nulls to sortable NaN, where to_pylist -> asarray would
+        # produce an object array that makes lexsort raise on None.
+        vcol = t.column(val_col)
+        if pa.types.is_string(vcol.type) or pa.types.is_large_string(
+                vcol.type):
+            v = np.asarray(vcol.to_pylist())
+        else:
+            v = vcol.to_numpy(zero_copy_only=False)
         n = np.asarray(t.column("n_sum"), dtype=np.int64)
         order = np.lexsort((v, -n, k))   # per key: most counts first,
         k_s = k[order]                   # then smallest value

@@ -911,7 +911,8 @@ def label_centroid_dist(ds, id_col: str = "vec_id",
 def knn_label_agreement(ds, k: int = 5, id_col: str = "vec_id",
                         emb_col: str = "embedding",
                         label_col: str = "label",
-                        num_parts: int = 8):
+                        num_parts: int = 8,
+                        exact: bool = False):
     """(vec_id, label, voted_label, votes, agree): majority label among
     the k nearest cosine neighbors (knn_graph's exact ranks), ties to
     the smallest label — the confident-learning-style label-error
@@ -922,7 +923,7 @@ def knn_label_agreement(ds, k: int = 5, id_col: str = "vec_id",
     """
     from mhray.rayutil import grouped_mode, prepared_attacher
 
-    g = knn_graph(ds, k=k, id_col=id_col, emb_col=emb_col)
+    g = knn_graph(ds, k=k, id_col=id_col, emb_col=emb_col, exact=exact)
     labels_side = ds.select_columns([id_col, label_col]).map_batches(
         lambda b: pa.table({
             id_col: b.column(id_col).cast(pa.int64()),

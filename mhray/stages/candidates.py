@@ -271,17 +271,6 @@ def _pairs_within_groups(keys: np.ndarray, iids: np.ndarray, cap: int,
     return lo, hi, capped, dropped
 
 
-def _upper_triangle_cols(g: int) -> np.ndarray:
-    """Column indices of the strict upper triangle, row-major:
-    g=3 -> [1,2,2]."""
-    reps = np.arange(g - 1, -1, -1)
-    a = np.repeat(np.arange(g), reps)
-    # position within each row block
-    block_start = np.repeat(np.cumsum(np.concatenate(([0], reps[:-1]))), reps)
-    offset = np.arange(len(a)) - block_start
-    return a + 1 + offset
-
-
 def make_emit_pairs(cap: int, with_payload: bool = False,
                     payload_cols: tuple = ("phash",),
                     num_parts: int | None = None):

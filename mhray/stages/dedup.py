@@ -381,21 +381,9 @@ def tiered_dedup(ds, cfg: MhapConfig | None = None, text_col: str = "text",
 def _blob_concat(col):
     """binary column of packed u64 token sets -> (flat u64 view,
     element offsets). Zero-copy when the buffer stays 8-aligned."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-        col.offset:col.offset + len(col) + 1].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    flat = data[offs[0]:offs[-1]]
-    if len(flat) % 8 or (offs % 8).any():
-        # misaligned (shouldn't happen: blobs are whole u64s)
-        toks = [np.frombuffer(b, dtype="<u8") for b in col.to_pylist()]
-        lens = np.array([len(t) for t in toks], np.int64)
-        off = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=off[1:])
-        return (np.concatenate(toks) if toks else
-                np.empty(0, np.uint64)), off
-    return flat.view("<u8"), (offs - offs[0]) // 8
+    from mhray.rayutil import binary_flat_view
+
+    return binary_flat_view(col, 8, "<u8")
 
 
 def _rare_prefix_select(th: np.ndarray, offs: np.ndarray, tau: float,

@@ -218,7 +218,8 @@ def test_m4_export(tmp_path, ray_session):
     write_m4(pairs, out)
     files = sorted(os.listdir(out))
     assert files
-    lines = open(os.path.join(out, files[0])).read().strip().splitlines()
+    with open(os.path.join(out, files[0])) as fh:
+        lines = fh.read().strip().splitlines()
     assert len(lines) >= 1
     parts = lines[0].split()
     assert len(parts) == 12

@@ -117,8 +117,6 @@ def test_rep_collapse_bounds_the_explode(skew_corpus, skew_run):
     assert int((iid == rep).sum()) == n_distinct
     # the hot caption (350 identical rows) collapsed to ONE rep
     ids = s1.column("image_id").to_pylist()
-    hot_reps = {rep[i] for i, c in enumerate(caps)
-                if c == skew_corpus["hot_caption"]}
     # caption order in s1 may differ from the input table: re-key by id
     cap_by_id = dict(zip(skew_corpus["table"].column("image_id").to_pylist(),
                          caps))
