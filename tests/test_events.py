@@ -259,3 +259,35 @@ def test_funnel_missing_step_type_partition(ray_session):
                          ("a", "zzz", "b"), num_parts=2).take_all()
     got = {r["step"]: r["n_keys"] for r in rows}
     assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_grouped_mode_nullable_numeric_values(ray_session):
+    """grouped_mode must handle numeric value columns containing nulls
+    (they become sortable NaN via to_numpy, not an object array that
+    makes np.lexsort raise) and string value columns on the same code
+    path split."""
+    import ray.data
+
+    from mhray.rayutil import grouped_mode
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([5, 5, None, None, 7, None], pa.int64()),
+    })
+    out = grouped_mode(ray.data.from_arrow(t), "k", "v", 2,
+                       "k", "mode_v", "n").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    # k=1: 5 wins (count 2); k=2: 7 vs null tie -> 7 sorts before NaN;
+    # k=3: only a null value -> the null itself is the mode
+    assert out["mode_v"].tolist()[0] == 5
+    assert out["mode_v"].tolist()[1] == 7
+    assert out["n"].tolist() == [2, 1, 1]
+
+    s = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "v": pa.array(["b", "a", "a"], pa.string()),
+    })
+    sout = grouped_mode(ray.data.from_arrow(s), "k", "v", 2,
+                        "k", "mode_v", "n").to_pandas()
+    assert sout["mode_v"].tolist() == ["a"] and sout["n"].tolist() == [2]

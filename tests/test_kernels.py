@@ -336,3 +336,40 @@ def test_winnow_select_matches_per_doc_loop():
         got_val, got_doc = _winnow_select(flat, offs, window)
         np.testing.assert_array_equal(got_val, exp_val)
         np.testing.assert_array_equal(got_doc, exp_doc)
+
+
+def test_binary_flat_view_layouts():
+    """The shared zero-copy blob view must agree with a per-row
+    frombuffer loop across item widths, empty blobs, empty columns,
+    sliced (offset) columns, and chunked columns."""
+    import pyarrow as pa
+
+    from mhray.rayutil import binary_flat_view
+
+    rng = np.random.default_rng(7)
+    for item_bytes, dtype in [(8, "<u8"), (16, "<i8")]:
+        per = item_bytes // 8
+        blobs = [rng.integers(0, 2**62, size=int(n) * per)
+                 .astype("<i8").tobytes()
+                 for n in rng.integers(0, 6, 20)]
+        variants = {
+            "plain": pa.array(blobs, pa.binary()),
+            "sliced": pa.array([b"\x00" * item_bytes] + blobs,
+                               pa.binary()).slice(1, len(blobs)),
+            "chunked": pa.chunked_array(
+                [pa.array(blobs[:7], pa.binary()),
+                 pa.array(blobs[7:], pa.binary())]),
+            "empty": pa.array([], pa.binary()),
+        }
+        for name, col in variants.items():
+            rows = (blobs if name in ("plain", "sliced", "chunked")
+                    else [])
+            exp = [np.frombuffer(b, dtype=dtype) for b in rows]
+            flat, offs = binary_flat_view(col, item_bytes, dtype)
+            lens = np.diff(offs)
+            assert offs[0] == 0 and len(offs) == len(rows) + 1, name
+            scale = item_bytes // np.dtype(dtype).itemsize
+            for i, e in enumerate(exp):
+                got = flat[offs[i] * scale:offs[i + 1] * scale]
+                np.testing.assert_array_equal(got, e, err_msg=name)
+                assert lens[i] == len(e) // scale, name
