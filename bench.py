@@ -214,8 +214,18 @@ def run_correctness(sf_dir: str, out_path: str) -> dict:
         return result
 
     def canon(df):
-        df = df[sorted(df.columns)]
-        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        # sort rows by a float-rounded key so values that differ only
+        # within the compare tolerance order the SAME way in both
+        # frames (raw float sorting could misalign near-equal rows and
+        # report a false mismatch); the comparison itself still runs
+        # on the unrounded values
+        df = df[sorted(df.columns)].reset_index(drop=True)
+        keys = df.copy()
+        for c in keys.columns:
+            if keys[c].dtype.kind == "f":
+                keys[c] = keys[c].round(6)
+        order = keys.sort_values(by=list(keys.columns)).index
+        return df.loc[order].reset_index(drop=True)
 
     def values_match(a, b) -> bool:
         a, b = canon(a), canon(b)

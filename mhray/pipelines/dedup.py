@@ -166,7 +166,7 @@ def run_dedup(images_path: str, out_dir: str, cfg: MhapConfig, *,
     # scale) die without ever materializing row pairs.
     def compute_final_pairs():
         from mhray.rayutil import attach_payload
-        from mhray.stages.candidates import _pair_part, _part_of, make_pair_min
+        from mhray.stages.candidates import _part_of, make_pair_min
 
         # --- pHash groups: (phash, members=packed (iid, rep_iid)) ----
         def add_ppart(batch: pa.Table) -> pa.Table:

@@ -41,9 +41,16 @@ def binary_flat_view(col, item_bytes: int, dtype: str):
     flat = data[offs[0]:offs[-1]]
     if len(flat) % item_bytes or (offs % item_bytes).any():
         blobs = col.to_pylist()
+        lens = np.array([len(b) for b in blobs], np.int64)
+        if (lens % item_bytes).any():
+            # not a buffer-slice alignment quirk but corrupt data:
+            # fail here with the cause, not downstream with a shape
+            # mismatch between flat and offs
+            raise ValueError(
+                f"binary_flat_view: blob lengths not multiples of "
+                f"{item_bytes} bytes (corrupt packed column)")
         off = np.zeros(len(blobs) + 1, np.int64)
-        np.cumsum(np.array([len(b) for b in blobs], np.int64)
-                  // item_bytes, out=off[1:])
+        np.cumsum(lens // item_bytes, out=off[1:])
         flat = (np.concatenate(
             [np.frombuffer(b, dtype=np.uint8) for b in blobs])
             if blobs else np.empty(0, np.uint8))
@@ -538,19 +545,23 @@ def grouped_mode(ds, key_col: str, val_col: str, num_parts: int,
         k = np.asarray(t.column(key_col), dtype=np.int64)
         # String values: to_pylist -> np.asarray yields a native
         # fixed-width '<U' dtype, keeping the lexsort vectorized
-        # (to_numpy would give object dtype and per-element compares).
-        # Numeric values: to_numpy keeps the native dtype AND maps
-        # nulls to sortable NaN, where to_pylist -> asarray would
-        # produce an object array that makes lexsort raise on None.
+        # (to_numpy would give object dtype and per-element compares);
+        # nulls are filled with "" and pushed last via an explicit
+        # null-flag sort key (a None in the object array would make
+        # np.lexsort raise). Numeric values: to_numpy keeps the native
+        # dtype AND maps nulls to NaN, which numpy already sorts last.
         vcol = t.column(val_col)
         if pa.types.is_string(vcol.type) or pa.types.is_large_string(
                 vcol.type):
-            v = np.asarray(vcol.to_pylist())
+            isnull = vcol.is_null().to_numpy(zero_copy_only=False)
+            v = np.asarray(vcol.fill_null("").to_pylist())
         else:
+            isnull = np.zeros(len(vcol), dtype=bool)
             v = vcol.to_numpy(zero_copy_only=False)
         n = np.asarray(t.column("n_sum"), dtype=np.int64)
-        order = np.lexsort((v, -n, k))   # per key: most counts first,
-        k_s = k[order]                   # then smallest value
+        # per key: most counts first, then smallest value (nulls last)
+        order = np.lexsort((v, isnull, -n, k))
+        k_s = k[order]
         first = np.ones(len(k_s), dtype=bool)
         if len(k_s) > 1:
             first[1:] = k_s[1:] != k_s[:-1]

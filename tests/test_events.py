@@ -285,9 +285,14 @@ def test_grouped_mode_nullable_numeric_values(ray_session):
     assert out["n"].tolist() == [2, 1, 1]
 
     s = pa.table({
-        "k": pa.array([1, 1, 1], pa.int64()),
-        "v": pa.array(["b", "a", "a"], pa.string()),
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array(["b", "a", "a", None, "z", None], pa.string()),
     })
     sout = grouped_mode(ray.data.from_arrow(s), "k", "v", 2,
                         "k", "mode_v", "n").to_pandas()
-    assert sout["mode_v"].tolist() == ["a"] and sout["n"].tolist() == [2]
+    sout = sout.sort_values("k").reset_index(drop=True)
+    # k=1: "a" (count 2); k=2: "z" vs null tie -> non-null sorts
+    # first; k=3: only a null value -> the null itself is the mode
+    assert sout["mode_v"].tolist()[:2] == ["a", "z"]
+    assert sout["mode_v"].isna().tolist() == [False, False, True]
+    assert sout["n"].tolist() == [2, 1, 1]
