@@ -207,6 +207,9 @@ def q_events_hourly(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def d_exact_dedup(sf_dir: str):
+    """Exact duplicate detection by full-text hash: one group per
+    identical text, each non-min member reported with its keeper
+    (:func:`mhray.stages.dedup.exact_dedup` — one narrow hash shuffle)."""
     from mhray.stages.dedup import exact_dedup
 
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -214,6 +217,11 @@ def d_exact_dedup(sf_dir: str):
 
 
 def d_jaccard_pairs(sf_dir: str):
+    """Exact token-set Jaccard near-dup pairs (tau=0.8) via rare-first
+    prefix filtering — the PPJoin-style candidate probe analog of the
+    reference's MinHash prefix lookup (impl/MinHashSearch.java:164-181)
+    but integer-exact, so a full SQL oracle exists
+    (:func:`mhray.stages.dedup.ngram_jaccard_pairs`)."""
     from mhray.stages.dedup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), tau=0.8)
@@ -221,6 +229,8 @@ def d_jaccard_pairs(sf_dir: str):
 
 
 def d_token_stats(sf_dir: str):
+    """Per-doc whitespace token counts + mean token length
+    (:func:`mhray.stages.text.token_stats`, one vectorized pass)."""
     from mhray.stages.text import token_stats
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -228,6 +238,9 @@ def d_token_stats(sf_dir: str):
 
 
 def d_bpe_token_count(sf_dir: str):
+    """Per-doc BPE-ish subword token count (regex word/number/space
+    splitting, ceil(len/4) subwords per long word —
+    :func:`mhray.stages.text.bpe_token_count`)."""
     from mhray.stages.text import bpe_token_count
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -235,6 +248,8 @@ def d_bpe_token_count(sf_dir: str):
 
 
 def d_lang_count(sf_dir: str):
+    """Document counts per language tag — the A4 exact grouped counter
+    over the documents table."""
     ds = _read(sf_dir, "documents", ["lang"])
     agg = ds.groupby("lang").aggregate(Count(alias_name="cnt"))
     return agg.map_batches(
@@ -259,6 +274,10 @@ def d_minhash_pairs(sf_dir: str):
 
 
 def d_simhash_pairs(sf_dir: str):
+    """64-bit SimHash near-dup pairs at Hamming distance <= 4 via
+    16-bit band buckets (F4; sketch/SimHash.java:40-87) — full SQL
+    oracle through the murmur-in-SQL builders
+    (:func:`mhray.stages.dedup.simhash_pairs`)."""
     from mhray.stages.dedup import simhash_pairs
 
     return simhash_pairs(
@@ -267,6 +286,9 @@ def d_simhash_pairs(sf_dir: str):
 
 
 def d_lang_id(sf_dir: str):
+    """Character-n-gram language identification per document
+    (:func:`mhray.stages.text.lang_id` — vectorized profile cosine
+    against fixed per-language trigram tables)."""
     from mhray.stages.text import lang_id
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -274,6 +296,9 @@ def d_lang_id(sf_dir: str):
 
 
 def d_quality(sf_dir: str):
+    """Per-doc quality scoring in integer per-mille units (length,
+    punctuation, stopword, alpha ratios —
+    :func:`mhray.stages.text.quality_score`)."""
     from mhray.stages.text import quality_score
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -403,6 +428,9 @@ def d_fingerprints(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def e_knn_brute(sf_dir: str):
+    """Exact cosine top-5 neighbors for 10 query vectors: the query
+    matrix broadcasts once, every corpus batch scores against it —
+    no shuffle at all (:func:`mhray.stages.ann.knn_brute`)."""
     from mhray.stages.ann import knn_brute
 
     return knn_brute(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
