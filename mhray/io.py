@@ -58,6 +58,8 @@ def _sniff_fmt(path: str) -> tuple[str, str | None]:
         return "csv", compression
     if low.endswith(".lance"):
         return "lance", compression
+    if low.endswith((".arrow", ".feather", ".ipc")):
+        return "ipc", compression
     return "parquet", compression
 
 
@@ -78,10 +80,37 @@ def codec_kwargs(fmt: str, compression: str | None,
     return kw
 
 
+def _read_ipc(path: str, **reader_kwargs) -> "ray.data.Dataset":
+    """Arrow IPC / Feather-v2 ingestion: Ray Data ships no native IPC
+    reader, so files are read as binary and parsed with pyarrow — one
+    block per file (IPC is an interchange format; convert to parquet /
+    lance for scan-heavy workloads where row-group parallelism and
+    column pruning at the read matter). Both the random-access file
+    format (.arrow / .feather) and the stream format (.ipc) parse."""
+    import pyarrow as pa
+
+    files = ray.data.read_binary_files(path, file_extensions=None,
+                                       **reader_kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for blob in batch.column("bytes").to_pylist():
+            buf = pa.BufferReader(blob)
+            try:
+                tables.append(pa.ipc.open_file(buf).read_all())
+            except pa.ArrowInvalid:
+                buf.seek(0)
+                tables.append(pa.ipc.open_stream(buf).read_all())
+        return pa.concat_tables(tables)
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
 def read_documents(path: str, fmt: str | None = None,
                    id_col: str = "doc_id", text_col: str = "text",
                    **reader_kwargs) -> "ray.data.Dataset":
-    """Read a documents table from parquet / lance / JSONL / CSV into
+    """Read a documents table from parquet / lance / JSONL / CSV /
+    Arrow IPC into
     the canonical (doc_id int64, text string) shape every text
     operator consumes. Format is sniffed from the extension unless
     ``fmt`` forces it. JSONL/CSV rows without an id column get a
@@ -106,6 +135,8 @@ def read_documents(path: str, fmt: str | None = None,
         ds = ray.data.read_csv(path, **reader_kwargs)
     elif fmt == "lance":
         ds = ray.data.read_lance(path, **reader_kwargs)
+    elif fmt == "ipc":
+        ds = _read_ipc(path, **reader_kwargs)
     else:
         ds = ray.data.read_parquet(path, **reader_kwargs)
 
@@ -188,5 +219,11 @@ def write_documents(ds: "ray.data.Dataset", path: str,
             raise NotImplementedError(
                 "lance writes need the optional 'lance' dependency")
         ds.write_lance(path, **writer_kwargs)
+    elif fmt == "ipc":
+        # silently writing parquet under an .arrow name would poison a
+        # later IPC read — refuse with the conversion path instead
+        raise NotImplementedError(
+            "Arrow IPC writes are not supported; write parquet and "
+            "convert with pyarrow.feather if an IPC file is required")
     else:
         ds.write_parquet(path, **writer_kwargs)

@@ -421,3 +421,42 @@ def test_read_documents_compressed(tmp_path, ray_session):
                         arrow_open_stream_args={"compression": "gzip"})
     got = {(r["doc_id"], r["text"]) for r in ds.take_all()}
     assert got == want
+
+
+def test_read_documents_arrow_ipc(tmp_path, ray_session):
+    """.arrow / .feather (random-access file) and .ipc (stream) route
+    to the pyarrow IPC parser — one block per file — with the same
+    canonical (doc_id, text) output as every other source; an id-less
+    IPC source gets stable content-hash ids like JSONL/CSV. IPC writes
+    refuse (writing parquet under an .arrow name would poison a later
+    read)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pytest as _pytest
+
+    import ray.data
+    from mhray.io import read_documents, write_documents
+
+    rows = [(i, f"ipc doc {i} body") for i in range(30)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    feather.write_feather(t, str(tmp_path / "d.arrow"))
+    feather.write_feather(t, str(tmp_path / "d.feather"))
+    with pa.ipc.new_stream(str(tmp_path / "d.ipc"), t.schema) as w:
+        w.write_table(t)
+
+    want = set(rows)
+    for name in ("d.arrow", "d.feather", "d.ipc"):
+        got = {(r["doc_id"], r["text"])
+               for r in read_documents(str(tmp_path / name)).take_all()}
+        assert got == want, name
+
+    # id-less IPC source: stable content-hash ids, one row per id
+    feather.write_feather(t.select(["text"]), str(tmp_path / "n.arrow"))
+    out = read_documents(str(tmp_path / "n.arrow")).take_all()
+    assert len(out) == len(rows)
+    assert {r["text"] for r in out} == {r[1] for r in rows}
+    assert all(r["doc_id"] >= 0 for r in out)
+
+    with _pytest.raises(NotImplementedError):
+        write_documents(ray.data.from_arrow(t), str(tmp_path / "o.arrow"))
