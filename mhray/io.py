@@ -56,10 +56,16 @@ def _sniff_fmt(path: str) -> tuple[str, str | None]:
         return "jsonl", compression
     if low.endswith(".csv"):
         return "csv", compression
+    if low.endswith(".tsv"):
+        return "tsv", compression
     if low.endswith(".lance"):
         return "lance", compression
     if low.endswith((".arrow", ".feather", ".ipc")):
         return "ipc", compression
+    if low.endswith(".orc"):
+        return "orc", compression
+    if low.endswith(".txt"):
+        return "txt", compression
     return "parquet", compression
 
 
@@ -72,7 +78,7 @@ def codec_kwargs(fmt: str, compression: str | None,
     ``file_extensions=None`` keeps Ray's default extension filter from
     dropping the .gz/.bz2 path (it must apply even when the caller
     supplies its own ``arrow_open_stream_args``)."""
-    if compression is None or fmt not in ("jsonl", "csv"):
+    if compression is None or fmt not in ("jsonl", "csv", "tsv"):
         return {}
     kw: dict = {"arrow_open_stream_args": {"compression": compression}}
     if read:
@@ -106,11 +112,53 @@ def _read_ipc(path: str, **reader_kwargs) -> "ray.data.Dataset":
     return files.map_batches(parse, batch_format="pyarrow")
 
 
+def _read_txt(path: str, text_col: str,
+              **reader_kwargs) -> "ray.data.Dataset":
+    """Plain-text ingestion, ONE DOCUMENT PER FILE (book/article corpus
+    layout — ``ray.data.read_text`` would instead yield one row per
+    LINE). Files stream as binary with Arrow's extension-inferred
+    decompression (.txt.gz/.bz2 arrive decompressed); UTF-8 decode
+    happens inside the batch transform."""
+    import pyarrow as pa
+
+    files = ray.data.read_binary_files(path, file_extensions=None,
+                                       **reader_kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            text_col: pa.array(
+                [b.decode("utf-8", errors="replace")
+                 for b in batch.column("bytes").to_pylist()],
+                pa.string())})
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def _read_orc(path: str, **reader_kwargs) -> "ray.data.Dataset":
+    """ORC ingestion (Hadoop-ecosystem corpora): Ray Data ships no ORC
+    reader, so files parse via pyarrow.orc from binary — one block per
+    file, same caveat as the IPC path (convert to parquet/lance for
+    scan-heavy workloads)."""
+    import pyarrow as pa
+
+    files = ray.data.read_binary_files(path, file_extensions=None,
+                                       **reader_kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        return pa.concat_tables(
+            [orc.ORCFile(pa.BufferReader(b)).read()
+             for b in batch.column("bytes").to_pylist()])
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
 def read_documents(path: str, fmt: str | None = None,
                    id_col: str = "doc_id", text_col: str = "text",
                    **reader_kwargs) -> "ray.data.Dataset":
     """Read a documents table from parquet / lance / JSONL / CSV /
-    Arrow IPC into
+    TSV / Arrow IPC / ORC / plain-text-per-file into
     the canonical (doc_id int64, text string) shape every text
     operator consumes. Format is sniffed from the extension unless
     ``fmt`` forces it. JSONL/CSV rows without an id column get a
@@ -133,10 +181,20 @@ def read_documents(path: str, fmt: str | None = None,
         ds = ray.data.read_json(path, **reader_kwargs)
     elif fmt == "csv":
         ds = ray.data.read_csv(path, **reader_kwargs)
+    elif fmt == "tsv":
+        import pyarrow.csv as pcsv
+
+        reader_kwargs.setdefault(
+            "parse_options", pcsv.ParseOptions(delimiter="\t"))
+        ds = ray.data.read_csv(path, **reader_kwargs)
     elif fmt == "lance":
         ds = ray.data.read_lance(path, **reader_kwargs)
     elif fmt == "ipc":
         ds = _read_ipc(path, **reader_kwargs)
+    elif fmt == "orc":
+        ds = _read_orc(path, **reader_kwargs)
+    elif fmt == "txt":
+        ds = _read_txt(path, text_col, **reader_kwargs)
     else:
         ds = ray.data.read_parquet(path, **reader_kwargs)
 
@@ -219,11 +277,13 @@ def write_documents(ds: "ray.data.Dataset", path: str,
             raise NotImplementedError(
                 "lance writes need the optional 'lance' dependency")
         ds.write_lance(path, **writer_kwargs)
-    elif fmt == "ipc":
-        # silently writing parquet under an .arrow name would poison a
-        # later IPC read — refuse with the conversion path instead
+    elif fmt in ("ipc", "orc", "tsv", "txt"):
+        # silently writing parquet under an .arrow/.orc/.tsv/.txt name
+        # would poison a later format-sniffed read — refuse with the
+        # conversion path instead (these are ingestion formats; the
+        # resumable sink formats are parquet / JSONL / CSV / lance)
         raise NotImplementedError(
-            "Arrow IPC writes are not supported; write parquet and "
-            "convert with pyarrow.feather if an IPC file is required")
+            f"{fmt} writes are not supported; write parquet (or JSONL/"
+            f"CSV) and convert with pyarrow if a {fmt} file is required")
     else:
         ds.write_parquet(path, **writer_kwargs)

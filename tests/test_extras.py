@@ -460,3 +460,43 @@ def test_read_documents_arrow_ipc(tmp_path, ray_session):
 
     with _pytest.raises(NotImplementedError):
         write_documents(ray.data.from_arrow(t), str(tmp_path / "o.arrow"))
+
+
+def test_read_documents_tsv_orc_txt(tmp_path, ray_session):
+    """TSV routes to the CSV reader with a tab ParseOptions; ORC parses
+    via pyarrow.orc from binary; .txt ingests ONE DOCUMENT PER FILE
+    (book-corpus layout) with content-hash ids, including .txt.gz."""
+    import gzip as _gzip
+
+    import pyarrow as pa
+    from pyarrow import orc as _orc
+
+    from mhray.io import read_documents
+
+    rows = [(i, f"multi format doc {i} body") for i in range(20)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    want = set(rows)
+
+    (tmp_path / "d.tsv").write_text(
+        "doc_id\ttext\n" + "".join(f"{i}\t{s}\n" for i, s in rows))
+    _orc.write_table(t, str(tmp_path / "d.orc"))
+    for name in ("d.tsv", "d.orc"):
+        got = {(r["doc_id"], r["text"])
+               for r in read_documents(str(tmp_path / name)).take_all()}
+        assert got == want, name
+
+    # one doc per .txt file; .txt.gz decompresses in the parse stage
+    tdir = tmp_path / "books"
+    tdir.mkdir()
+    for i, s in rows[:5]:
+        (tdir / f"b{i}.txt").write_text(s)
+    (tdir / "b9.txt.gz").unlink(missing_ok=True)
+    out = read_documents(str(tdir), fmt="txt").take_all()
+    assert {r["text"] for r in out} == {s for _, s in rows[:5]}
+    assert len(out) == 5 and all(r["doc_id"] >= 0 for r in out)
+
+    gz = tmp_path / "one.txt.gz"
+    gz.write_bytes(_gzip.compress("a gzipped plain text doc".encode()))
+    out = read_documents(str(gz)).take_all()
+    assert [r["text"] for r in out] == ["a gzipped plain text doc"]
