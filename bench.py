@@ -217,14 +217,22 @@ def run_correctness(sf_dir: str, out_path: str) -> dict:
         # sort rows by a float-rounded key so values that differ only
         # within the compare tolerance order the SAME way in both
         # frames (raw float sorting could misalign near-equal rows and
-        # report a false mismatch); the comparison itself still runs
-        # on the unrounded values
+        # report a false mismatch); the raw unrounded columns follow
+        # as FINAL tie-break keys so rows that collide at the rounding
+        # boundary yet differ beyond atol still order deterministically
+        # in both frames; the comparison itself runs on the unrounded
+        # values
+        import pandas as pd
+
         df = df[sorted(df.columns)].reset_index(drop=True)
         keys = df.copy()
         for c in keys.columns:
             if keys[c].dtype.kind == "f":
                 keys[c] = keys[c].round(6)
-        order = keys.sort_values(by=list(keys.columns)).index
+        raw = df.add_suffix("__raw")
+        both = pd.concat([keys, raw], axis=1)
+        order = both.sort_values(
+            by=list(keys.columns) + list(raw.columns)).index
         return df.loc[order].reset_index(drop=True)
 
     def values_match(a, b) -> bool:

@@ -95,8 +95,8 @@ def _read_ipc(path: str, **reader_kwargs) -> "ray.data.Dataset":
     format (.arrow / .feather) and the stream format (.ipc) parse."""
     import pyarrow as pa
 
-    files = ray.data.read_binary_files(path, file_extensions=None,
-                                       **reader_kwargs)
+    reader_kwargs.setdefault("file_extensions", None)
+    files = ray.data.read_binary_files(path, **reader_kwargs)
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
@@ -107,7 +107,7 @@ def _read_ipc(path: str, **reader_kwargs) -> "ray.data.Dataset":
             except pa.ArrowInvalid:
                 buf.seek(0)
                 tables.append(pa.ipc.open_stream(buf).read_all())
-        return pa.concat_tables(tables)
+        return pa.concat_tables(tables, promote_options="default")
 
     return files.map_batches(parse, batch_format="pyarrow")
 
@@ -121,8 +121,8 @@ def _read_txt(path: str, text_col: str,
     happens inside the batch transform."""
     import pyarrow as pa
 
-    files = ray.data.read_binary_files(path, file_extensions=None,
-                                       **reader_kwargs)
+    reader_kwargs.setdefault("file_extensions", None)
+    files = ray.data.read_binary_files(path, **reader_kwargs)
 
     def parse(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -141,15 +141,16 @@ def _read_orc(path: str, **reader_kwargs) -> "ray.data.Dataset":
     scan-heavy workloads)."""
     import pyarrow as pa
 
-    files = ray.data.read_binary_files(path, file_extensions=None,
-                                       **reader_kwargs)
+    reader_kwargs.setdefault("file_extensions", None)
+    files = ray.data.read_binary_files(path, **reader_kwargs)
 
     def parse(batch: pa.Table) -> pa.Table:
         from pyarrow import orc
 
         return pa.concat_tables(
             [orc.ORCFile(pa.BufferReader(b)).read()
-             for b in batch.column("bytes").to_pylist()])
+             for b in batch.column("bytes").to_pylist()],
+            promote_options="default")
 
     return files.map_batches(parse, batch_format="pyarrow")
 

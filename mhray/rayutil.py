@@ -33,8 +33,20 @@ def binary_flat_view(col, item_bytes: int, dtype: str):
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # offsets buffer width depends on the Arrow type: binary stores
+    # int32 offsets, large_binary int64. Anything else (a list type, a
+    # fixed-size binary with no offsets buffer) must fail loudly here
+    # rather than silently parse garbage offsets.
+    if pa.types.is_binary(col.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_binary(col.type):
+        off_dtype = np.int64
+    else:
+        raise TypeError(
+            f"binary_flat_view: expected binary/large_binary column, "
+            f"got {col.type}")
     bufs = col.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
         col.offset:col.offset + len(col) + 1].astype(np.int64)
     data = (np.frombuffer(bufs[2], dtype=np.uint8)
             if bufs[2] is not None else np.empty(0, np.uint8))

@@ -500,3 +500,37 @@ def test_read_documents_tsv_orc_txt(tmp_path, ray_session):
     gz.write_bytes(_gzip.compress("a gzipped plain text doc".encode()))
     out = read_documents(str(gz)).take_all()
     assert [r["text"] for r in out] == ["a gzipped plain text doc"]
+
+
+def test_read_documents_ipc_mixed_nullability(tmp_path, ray_session):
+    """Multiple IPC files whose schemas differ only in nullability /
+    field order must unify under promote_options="default" instead of
+    failing the batch concat; a caller-supplied file_extensions kwarg
+    must override the helper's default rather than raising 'got
+    multiple values' (ADVICE r4, io.py:89/98)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from mhray.io import read_documents
+
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["a a a", "b b b"], pa.string())})
+    # same columns, opposite field order and non-nullable fields
+    schema2 = pa.schema([pa.field("text", pa.string(), nullable=False),
+                         pa.field("doc_id", pa.int64(), nullable=False)])
+    t2 = pa.table({"text": pa.array(["c c c", "d d d"], pa.string()),
+                   "doc_id": pa.array([3, 4], pa.int64())}).cast(schema2)
+    feather.write_feather(t1, str(tmp_path / "a.arrow"))
+    feather.write_feather(t2, str(tmp_path / "b.arrow"))
+
+    # one read over the directory sees both files in (potentially) one
+    # binary batch -> exercises the concat path
+    got = {(r["doc_id"], r["text"])
+           for r in read_documents(str(tmp_path), fmt="ipc").take_all()}
+    assert got == {(1, "a a a"), (2, "b b b"), (3, "c c c"), (4, "d d d")}
+
+    # explicit file_extensions passes through as an override
+    got2 = {(r["doc_id"], r["text"])
+            for r in read_documents(str(tmp_path), fmt="ipc",
+                                    file_extensions=["arrow"]).take_all()}
+    assert got2 == got

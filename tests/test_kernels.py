@@ -373,3 +373,26 @@ def test_binary_flat_view_layouts():
                 got = flat[offs[i] * scale:offs[i + 1] * scale]
                 np.testing.assert_array_equal(got, e, err_msg=name)
                 assert lens[i] == len(e) // scale, name
+
+
+def test_binary_flat_view_large_binary_and_type_guard():
+    """large_binary (int64 offsets) must parse identically to binary,
+    and a non-binary column must raise TypeError instead of reading
+    garbage offsets (ADVICE r4, rayutil.py:23)."""
+    import pyarrow as pa
+    import pytest
+
+    from mhray.rayutil import binary_flat_view
+
+    blobs = [np.arange(i, dtype="<u8").tobytes() for i in range(5)]
+    small = pa.array(blobs, pa.binary())
+    large = pa.array(blobs, pa.large_binary())
+    fs, os_ = binary_flat_view(small, 8, "<u8")
+    fl, ol = binary_flat_view(large, 8, "<u8")
+    np.testing.assert_array_equal(fs, fl)
+    np.testing.assert_array_equal(os_, ol)
+
+    with pytest.raises(TypeError):
+        binary_flat_view(pa.array([[1, 2]], pa.list_(pa.int64())), 8, "<u8")
+    with pytest.raises(TypeError):
+        binary_flat_view(pa.array(["ab"], pa.string()), 8, "<u8")
