@@ -109,11 +109,8 @@ class SketchStage:
         # framing (SequenceSketch.java:123-148 analog) so joins can
         # carry it as a flat payload
         h32, off32 = K.shingle_hashes32(caption_col, cfg.ordered_kmer_size)
-        bs_blob = []
-        for i in range(n):
-            seg = h32[off32[i]: off32[i + 1]]
-            bh, bp = K.bottom_sketch(seg, cfg.ordered_sketch_size)
-            bs_blob.append(K.pack_bottom_sketch(bh, bp, len(seg)))
+        bs_blob = K.bottom_sketch_batch_pack(
+            h32, off32, cfg.ordered_sketch_size)
 
         caption_hash = K.hash_strings64(caption_col)
 
@@ -145,7 +142,7 @@ class SketchStage:
             "image_id": pa.array(image_ids, pa.string()),
             "iid": pa.array(iids, pa.int64()),
             "minhash": _binary_from_matrix(sig),
-            "bs_blob": pa.array(bs_blob, pa.binary()),
+            "bs_blob": bs_blob,
             "caption_len": pa.array(caption_lens, pa.int32()),
             "caption_hash": pa.array(caption_hash, pa.int64()),
             "phash": pa.array(phash, pa.int64()),

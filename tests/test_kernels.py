@@ -166,6 +166,57 @@ def test_bottom_sketch_sorted_stable():
     assert bs_p.tolist() == [1, 4, 3, 0]  # ties keep ascending position
 
 
+def test_bottom_sketch_batch_pack_parity():
+    """The batched lexsort kernel is bit-identical to the per-row
+    argsort + pack path across edge shapes: empty segments, segments
+    shorter than k, duplicate hash values (tie order), negative int32
+    hashes, and a whole-batch empty tail."""
+    rng = np.random.default_rng(7)
+    seg_lens = [0, 1, 3, 17, 64, 200, 0, 5, 1000, 2]
+    segs = []
+    for ln in seg_lens:
+        # narrow value range forces duplicate hashes (tie handling)
+        segs.append(rng.integers(-50, 50, size=ln).astype(np.int32))
+    h32 = np.concatenate(segs) if segs else np.empty(0, np.int32)
+    off32 = np.concatenate([[0], np.cumsum(seg_lens)]).astype(np.int64)
+    for k in (4, 64, 2000):
+        batched = K.bottom_sketch_batch_pack(h32, off32, k)
+        assert len(batched) == len(seg_lens)
+        for i, seg in enumerate(segs):
+            bh, bp = K.bottom_sketch(seg, k)
+            expect = K.pack_bottom_sketch(bh, bp, len(seg))
+            assert batched[i].as_py() == expect, (i, k)
+    # unpack round-trip on the batched output
+    bh, bp, L = K.unpack_bottom_sketch(
+        K.bottom_sketch_batch_pack(h32, off32, 8)[3].as_py())
+    eh, ep = K.bottom_sketch(segs[3], 8)
+    assert bh.tolist() == eh.tolist()
+    assert bp.tolist() == ep.tolist()
+    assert L == len(segs[3])
+
+
+def test_bottom_sketch_batch_pack_empty_batch():
+    out = K.bottom_sketch_batch_pack(
+        np.empty(0, np.int32), np.zeros(1, np.int64), 16)
+    assert len(out) == 0
+
+
+def test_bottom_sketch_batch_pack_long_segment_fallback():
+    """A segment longer than 2^16 shingles takes the stable-sort
+    fallback (position no longer fits the packed key) — parity must
+    hold there too."""
+    rng = np.random.default_rng(3)
+    seg_lens = [70_000, 10]
+    segs = [rng.integers(-9, 9, size=ln).astype(np.int32)
+            for ln in seg_lens]  # heavy ties stress the stability
+    h32 = np.concatenate(segs)
+    off32 = np.concatenate([[0], np.cumsum(seg_lens)]).astype(np.int64)
+    batched = K.bottom_sketch_batch_pack(h32, off32, 32)
+    for i, seg in enumerate(segs):
+        bh, bp = K.bottom_sketch(seg, 32)
+        assert batched[i].as_py() == K.pack_bottom_sketch(bh, bp, len(seg))
+
+
 def _sketch(text, k=6, size=64):
     h, off = K.shingle_hashes32([text], k)
     bs_h, bs_p = K.bottom_sketch(h, size)
