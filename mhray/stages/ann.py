@@ -39,6 +39,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _select_ids(ds, ids, id_col: str):
+    """Broadcast id-set semi-join: keep rows whose ``id_col`` is in
+    ``ids``. The id set ships to the object store ONCE (``ray.put``)
+    and every batch masks with a sorted ``np.isin`` — unlike a
+    ``filter(expr="id in [...]")`` string, which breaks on expression
+    size once the caller passes thousands of ids."""
+    import ray
+
+    wanted = np.unique(np.asarray(list(ids), dtype=np.int64))
+    ref = ray.put(wanted)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        col = np.asarray(batch.column(id_col), dtype=np.int64)
+        return batch.filter(pa.array(np.isin(col, w)))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def knn_brute(ds, query_ids: list[int], k: int = 5,
               id_col: str = "vec_id", emb_col: str = "embedding"):
     """Exact top-k cosine neighbors for the given query ids.
@@ -46,9 +66,7 @@ def knn_brute(ds, query_ids: list[int], k: int = 5,
     Returns (query_id, neighbor_id, rank) with rank 1..k by descending
     cosine similarity (self excluded); ties broken by neighbor id.
     """
-    q_rows = ds.filter(
-        expr=f"{id_col} in {[int(q) for q in query_ids]}"
-    ).take_all()
+    q_rows = _select_ids(ds, query_ids, id_col).take_all()
     if not q_rows:  # absent query ids -> empty result, not an AxisError
         return ray.data.from_arrow(pa.table({
             "query_id": pa.array([], pa.int64()),
@@ -452,7 +470,7 @@ def ivf_knn(ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     n_cells = len(cent)
     cent_ref = ray.put(cent)
 
-    q_rows = ds.filter(expr=f"{id_col} in {[int(q) for q in query_ids]}").take_all()
+    q_rows = _select_ids(ds, query_ids, id_col).take_all()
     if not q_rows:  # absent query ids -> empty result
         return ray.data.from_arrow(_EMPTY)
     qid = np.array([r[id_col] for r in q_rows], dtype=np.int64)

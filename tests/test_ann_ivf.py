@@ -46,6 +46,31 @@ def test_ivf_recall_on_clustered_sorted_corpus(ray_session):
     assert len({q for q, _ in ivf}) == len(qs)
 
 
+def test_knn_brute_many_query_ids(ray_session):
+    """Thousands of query ids must work — the id selection is a
+    broadcast np.isin semi-join, not a filter-expression string (which
+    breaks on expression size at this scale)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.ann import knn_brute
+
+    rng = np.random.default_rng(2)
+    n, d = 3000, 4
+    m = rng.normal(size=(n, d))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m]),
+    })
+    qs = list(range(0, n, 2)) + [10 ** 9]  # 1500 ids + one absent
+    out = knn_brute(ray.data.from_arrow(tbl).repartition(4),
+                    qs, k=3).take_all()
+    answered = {r["query_id"] for r in out}
+    assert answered == set(range(0, n, 2))  # absent id silently empty
+    assert all(r["rank"] in (1, 2, 3) for r in out)
+
+
 def test_knn_graph_vs_bruteforce(ray_session):
     """knn_graph equals the numpy brute force for every row (rank
     order by -sim with id tie-break on a seeded corpus)."""
