@@ -83,3 +83,11 @@ PRESETS: dict[str, MhapConfig] = {
     "captions": MhapConfig(min_olap_length=20, num_hashes=256,
                            ordered_sketch_size=512, threshold=0.78),
 }
+
+# the reference's --settings sensitive deltas (threshold 0.73, 768
+# hashes, min matches 2 — main/MhapMain.java:137-198) applied to the
+# caption-text base: the recall-tuning preset for caption corpora,
+# where the genomic sensitive preset's min_olap_length=116 would drop
+# nearly every row. See CALIBRATION.md for the measured recall curve.
+PRESETS["captions_sensitive"] = PRESETS["captions"].with_(
+    threshold=0.73, num_hashes=768, num_min_matches=2)

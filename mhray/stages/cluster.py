@@ -21,7 +21,8 @@ import ray.data
 
 def cluster_edges(pairs_ds, max_rounds: int = 50,
                   num_partitions: int = 16,
-                  driver_threshold: int = 2_000_000) -> "ray.data.Dataset":
+                  driver_threshold: int = 2_000_000,
+                  stats: dict | None = None) -> "ray.data.Dataset":
     """pairs(lo, hi) -> (iid, cluster_id) for every node in a pair.
 
     Label propagation with path-halving via a label->label join each
@@ -32,16 +33,28 @@ def cluster_edges(pairs_ds, max_rounds: int = 50,
     verified duplicate pairs), so below ``driver_threshold`` edges the
     union-find runs driver-side in one pass — the distributed rounds
     remain the scale path (force with driver_threshold=0).
+
+    Pass ``stats={}`` to receive run telemetry: ``path`` ("driver" or
+    "distributed"), ``edges``, and for the distributed path ``rounds``
+    (propagation rounds until fixpoint).
     """
     edges = pairs_ds.select_columns(["lo", "hi"]).materialize()
     n_edges = edges.count()
+    if stats is not None:
+        stats["edges"] = n_edges
     if n_edges == 0:
+        if stats is not None:
+            stats["path"] = "empty"
         return ray.data.from_arrow(pa.table({
             "iid": pa.array([], pa.int64()),
             "cluster_id": pa.array([], pa.int64()),
         }))
     if n_edges <= driver_threshold:
+        if stats is not None:
+            stats["path"] = "driver"
         return _cluster_driver_side(edges)
+    if stats is not None:
+        stats["path"] = "distributed"
 
     # undirected: both directions, so min-label flows both ways
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -67,7 +80,9 @@ def cluster_edges(pairs_ds, max_rounds: int = 50,
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         # propagate: each node's candidate = min over neighbors' labels
         msgs = directed.join(
             labels, join_type="inner", num_partitions=num_partitions,
@@ -113,6 +128,8 @@ def cluster_edges(pairs_ds, max_rounds: int = 50,
             batch_format="pyarrow",
         ).materialize()
 
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.rename_columns({"node": "iid", "label": "cluster_id"})
 
 

@@ -71,12 +71,20 @@ def test_distributed_cluster_path_matches_driver(pipeline_run, ray_session):
     from mhray.stages.cluster import cluster_edges
 
     pairs = pipeline_run["res"]["pairs"]
+    st_fast: dict = {}
+    st_dist: dict = {}
     fast = {r["iid"]: r["cluster_id"]
-            for r in cluster_edges(pairs, driver_threshold=10**9).take_all()}
+            for r in cluster_edges(pairs, driver_threshold=10**9,
+                                   stats=st_fast).take_all()}
     dist = {r["iid"]: r["cluster_id"]
             for r in cluster_edges(pairs, driver_threshold=0,
-                                   num_partitions=4).take_all()}
+                                   num_partitions=4,
+                                   stats=st_dist).take_all()}
     assert fast == dist
+    assert st_fast["path"] == "driver"
+    assert st_dist["path"] == "distributed"
+    assert st_dist["edges"] == st_fast["edges"] > 0
+    assert 1 <= st_dist["rounds"] <= 50
 
 
 def test_input_change_invalidates_chain(small_corpus, ray_session,
