@@ -660,6 +660,21 @@ def d_substring_pairs(sf_dir: str):
     return substring_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), min_len=40)
 
 
+def d_suffix_pairs(sf_dir: str):
+    """Exact long-substring dup pairs via the generalized SUFFIX-ARRAY
+    engine (the north-star's third leg): winnowed fingerprints key the
+    co-grouping, one per-group suffix array + adjacent-LCP run-sweep
+    emits candidates, the collision-proof LCS kernel verifies.
+    Rows-only check — LCS is not ANSI-SQL-expressible; exact
+    table-for-table parity with d_substring_pairs (an independent
+    detection engine over the same contract) is pytest-asserted
+    (tests/test_suffixarray.py)."""
+    from mhray.stages.suffixarray import suffix_array_pairs
+
+    return suffix_array_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              min_len=40, num_parts=_doc_parts(sf_dir))
+
+
 def d_sketch_align(sf_dir: str):
     """Overlap COORDINATES for the exact-substring dup pairs: each
     pair's shared region located by the one-skip sketch alignment
@@ -1752,6 +1767,7 @@ QUERIES = {
     "e_dup_lsh": e_dup_lsh,
     "e_knn_ivf": e_knn_ivf,
     "d_substring_pairs": d_substring_pairs,
+    "d_suffix_pairs": d_suffix_pairs,
     "d_incremental_pairs": d_incremental_pairs,
     "d_tiered_dedup": d_tiered_dedup,
     "e_kmeans": e_kmeans,
@@ -2462,6 +2478,8 @@ ORACLE_SQL = {
     #   q_approx_distinct / q_approx_percentiles: approximate sketches
     #     (HLL / equi-depth merge), exactness bounds pytest-asserted
     #   d_substring_pairs: winnow + LCS verify (imperative two-pointer)
+    #   d_suffix_pairs: same contract via the suffix-array engine; the
+    #     two independent engines are pytest-asserted table-identical
     #   d_sketch_align: float32 one-skip DP over window sketches
     #     (Aligner.java:226-341) — no SQL form; DP parity vs a direct
     #     transcription is pytest-asserted

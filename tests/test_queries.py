@@ -80,6 +80,7 @@ ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_dup_clusters", "ev_motif",
              "d_minhash_pairs",
              "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
+             "d_suffix_pairs",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
              "q_approx_distinct", "e_semdedup"]
 
