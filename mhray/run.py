@@ -22,8 +22,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mhray.run")
     ap.add_argument("--input", required=True, help="images table (parquet dir)")
     ap.add_argument("--out", required=True, help="run/checkpoint directory")
+    from mhray.config import PRESETS
+
     ap.add_argument("--preset", default="captions",
-                    choices=["default", "fast", "sensitive", "captions"])
+                    choices=sorted(PRESETS))
     ap.add_argument("--num-parts", type=int, default=32)
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--no-decode", action="store_true",
@@ -68,7 +70,6 @@ def main(argv=None) -> int:
             ray.init(address="local", ignore_reinit_error=True)
     import pyarrow.parquet as pq
 
-    from mhray.config import PRESETS
     from mhray.pipelines.dedup import pairs_with_ids, run_dedup
 
     cfg = PRESETS[args.preset]
