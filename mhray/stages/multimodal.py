@@ -3,8 +3,9 @@ opaque binary + typed metadata, processed by actor-pool map_batches.
 
 REAL decode paths (no external libs): images ppm/png
 (mhray.imageops), audio PCM WAV (stdlib ``wave`` + numpy FFT
-features), video 'ppmv' (concatenated P6 frames; sampling + per-frame
-pHash). Every OTHER codec is a declared STUB (deterministic fake
+features), video 'ppmv' (concatenated P6 frames) and uncompressed
+RIFF/AVI (BI_RGB DIB frames; sampling + per-frame pHash for both).
+Every OTHER codec is a declared STUB (deterministic fake
 flagged ``stub=true``, or NotImplementedError under ``strict``) — the
 Ray-side plumbing is identical, so a production codec drops into the
 same seam.
@@ -230,12 +231,119 @@ def split_ppmv(b: bytes) -> list[bytes]:
     return frames
 
 
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) over the RIFF
+    chunks in b[pos:end]; chunks are word-aligned (odd sizes carry a
+    pad byte)."""
+    while pos + 8 <= end:
+        fourcc = b[pos:pos + 4]
+        (size,) = _struct.unpack_from("<I", b, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def split_avi_rgb(b: bytes) -> list[np.ndarray]:
+    """Parse an uncompressed RIFF/AVI (BI_RGB 24/32-bit DIB frames,
+    biCompression=0 — the one AVI profile decodable without external
+    codecs) into HxWx3 uint8 RGB frames. Pure struct + numpy: walks
+    hdrl/strl for the 'vids' BITMAPINFOHEADER, then the movi LIST for
+    the stream-0 '..db'/'..dc' frame chunks; rows are bottom-up BGR
+    with 4-byte stride padding per the DIB spec."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    w = h = bits = None
+    frames_raw: list[bytes] = []
+    for fcc, start, size in _riff_chunks(b, 12, len(b)):
+        if fcc != b"LIST":
+            continue
+        kind = b[start:start + 4]
+        if kind == b"hdrl":
+            for f2, s2, z2 in _riff_chunks(b, start + 4, start + size):
+                if f2 != b"LIST" or b[s2:s2 + 4] != b"strl":
+                    continue
+                is_vids, strf = False, None
+                for f3, s3, z3 in _riff_chunks(b, s2 + 4, s2 + z2):
+                    if f3 == b"strh":
+                        is_vids = b[s3:s3 + 4] == b"vids"
+                    elif f3 == b"strf":
+                        strf = (s3, z3)
+                if is_vids and strf is not None:
+                    s3, z3 = strf
+                    if z3 < 20:
+                        raise ValueError("truncated BITMAPINFOHEADER")
+                    _, bw, bh, _, bc, comp = _struct.unpack_from(
+                        "<IiiHHI", b, s3)
+                    if comp != 0 or bc not in (24, 32):
+                        raise ValueError(
+                            f"AVI codec not decodable here (compression="
+                            f"{comp}, bits={bc}); only BI_RGB 24/32")
+                    w, h, bits = bw, bh, bc
+        elif kind == b"movi":
+            for f2, s2, z2 in _riff_chunks(b, start + 4, start + size):
+                if f2[:2] == b"00" and f2[2:4] in (b"db", b"dc"):
+                    frames_raw.append(b[s2:s2 + z2])
+    if w is None:
+        raise ValueError("no uncompressed 'vids' stream found")
+    bpp = bits // 8
+    stride = ((w * bpp + 3) // 4) * 4
+    rows = abs(h)
+    out = []
+    for raw in frames_raw:
+        if len(raw) < stride * rows:
+            raise ValueError("truncated AVI frame")
+        px = np.frombuffer(raw, np.uint8)[: stride * rows] \
+            .reshape(rows, stride)[:, : w * bpp].reshape(rows, w, bpp)
+        rgb = px[:, :, 2::-1]  # BGR(X) -> RGB
+        if h > 0:              # positive height = bottom-up rows
+            rgb = rgb[::-1]
+        out.append(np.ascontiguousarray(rgb))
+    return out
+
+
+def encode_avi_rgb(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI writer (BI_RGB 24-bit, bottom-up DIB
+    '00db' chunks) — the test/synthesis counterpart of split_avi_rgb;
+    deterministic, stdlib struct only."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    bpp, stride = 3, ((w * 3 + 3) // 4) * 4
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        return fcc + _struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    frame_bytes = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("frames must share one size")
+        row = np.zeros((h, stride), np.uint8)
+        row[:, : w * bpp] = f[::-1, :, ::-1].reshape(h, w * bpp)
+        frame_bytes.append(row.tobytes())
+    avih = _struct.pack("<14I", 10 ** 6 // fps, stride * h * fps, 0, 0x10,
+                        len(frames), 0, 1, stride * h, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                                             fps, 0, len(frames),
+                                             stride * h, 0, 0)
+            + _struct.pack("<4H", 0, 0, w, h))
+    strf = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                        0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 class VideoFrameSampleStage:
     """Actor-pool stage: REAL frame sampling for the 'ppmv' container
-    (concatenated P6 frames — parse, pick ``n_frames`` evenly spaced,
-    decode each, emit (video_id, frame_index, phash, w, h)); any other
-    format remains a declared STUB emitting index-only rows
-    (``stub=true``; ``strict=True`` raises)."""
+    (concatenated P6 frames) and for uncompressed RIFF/AVI ('avi',
+    BI_RGB 24/32-bit) — parse, pick ``n_frames`` evenly spaced, decode
+    each, emit (video_id, frame_index, phash, w, h); any other format
+    remains a declared STUB emitting index-only rows (``stub=true``;
+    ``strict=True`` raises)."""
 
     def __init__(self, n_frames: int = 4, strict: bool = False):
         self.n_frames = n_frames
@@ -250,13 +358,20 @@ class VideoFrameSampleStage:
         out = {"video_id": [], "frame_index": [], "phash": [],
                "w": [], "h": [], "stub": []}
         for vid, b, fmt in zip(ids, raw, fmts):
-            if fmt == "ppmv" and b:
-                frames = split_ppmv(bytes(b))
+            if fmt in ("ppmv", "avi") and b:
+                if fmt == "ppmv":
+                    slices = split_ppmv(bytes(b))
+                    get = lambda fi: decode_image(slices[fi], "ppm")  # noqa: E731
+                    count = len(slices)
+                else:
+                    decoded = split_avi_rgb(bytes(b))
+                    get = decoded.__getitem__
+                    count = len(decoded)
                 take = np.unique(np.linspace(
-                    0, len(frames) - 1, min(self.n_frames, len(frames)),
+                    0, count - 1, min(self.n_frames, count),
                     dtype=np.int64))
                 for fi in take:
-                    img = decode_image(frames[int(fi)], "ppm")
+                    img = get(int(fi))
                     out["video_id"].append(vid)
                     out["frame_index"].append(int(fi))
                     out["phash"].append(int(phash64(img)))

@@ -197,6 +197,45 @@ def test_video_ppmv_frame_sampling():
         VideoFrameSampleStage(strict=True)(vb2)
 
 
+def test_video_avi_rgb_decode():
+    """Uncompressed RIFF/AVI (BI_RGB) is a REAL decode path: writer ->
+    parser roundtrip is pixel-exact, the stage samples it like ppmv,
+    and identical frames in either container hash identically."""
+    from mhray.imageops import encode_image
+    from mhray.stages.multimodal import (VideoFrameSampleStage,
+                                         encode_avi_rgb, split_avi_rgb)
+
+    rng = np.random.default_rng(9)
+    # 9x7 exercises the 4-byte DIB row padding (7*3=21 -> stride 24)
+    frames = [rng.integers(0, 255, (9, 7, 3)).astype(np.uint8)
+              for _ in range(6)]
+    blob = encode_avi_rgb(frames, fps=5)
+    back = split_avi_rgb(blob)
+    assert len(back) == 6
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a, b)
+
+    vb = pa.table({"video_id": ["a1"], "bytes": [blob], "fmt": ["avi"]})
+    out = VideoFrameSampleStage(n_frames=3)(vb)
+    assert out.num_rows == 3
+    assert out.column("stub").to_pylist() == [False] * 3
+    assert out.column("frame_index").to_pylist() == [0, 2, 5]
+    assert out.column("w").to_pylist() == [7, 7, 7]
+
+    # same frames via the ppmv container -> identical per-frame pHash
+    ppmv = b"".join(encode_image(f, "ppm") for f in frames)
+    vp = pa.table({"video_id": ["a1"], "bytes": [ppmv], "fmt": ["ppmv"]})
+    out_p = VideoFrameSampleStage(n_frames=3)(vp)
+    assert out.column("phash").to_pylist() == out_p.column("phash").to_pylist()
+
+    # compressed AVI stays out of scope, loudly
+    bad = bytearray(blob)
+    comp_off = blob.find(b"strf") + 8 + 16  # biCompression field
+    bad[comp_off:comp_off + 4] = b"MJPG"
+    with pytest.raises(ValueError, match="not decodable"):
+        split_avi_rgb(bytes(bad))
+
+
 # ---------------------------------------------------------------------------
 # export + histogram
 # ---------------------------------------------------------------------------
