@@ -7,6 +7,8 @@ engine carries two self-contained deterministic codecs:
 - ``png``: a minimal, spec-conformant PNG subset (8-bit RGB, filter
   types 0-2, zlib), enough to exercise a real decode path with
   compression in the sketch actors
+- ``bmp``: BI_RGB 24/32-bit DIB (bottom-up BGR, 4-byte stride) —
+  shares its row math with the uncompressed-AVI video frame path
 
 Other formats (jpeg/webp/...) are STUBS by design: ``decode_image``
 raises ``UnsupportedFormatError`` with the Ray-side plumbing (schema,
@@ -131,11 +133,50 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# BMP (BI_RGB 24/32-bit DIB — same row math as the AVI frame path)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return head + info + pix
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a bmp")
+    (off,) = struct.unpack_from("<I", data, 10)
+    size, w, h, _, bits, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if size < 40 or comp != 0 or bits not in (24, 32):
+        raise UnsupportedFormatError(
+            f"bmp subset: BI_RGB 24/32-bit only (compression={comp}, "
+            f"bits={bits})")
+    bpp = bits // 8
+    rows = abs(h)
+    stride = ((w * bpp + 3) // 4) * 4
+    if len(data) < off + stride * rows:
+        raise ValueError("truncated bmp")
+    px = np.frombuffer(data, np.uint8, count=stride * rows, offset=off) \
+        .reshape(rows, stride)[:, : w * bpp].reshape(rows, w, bpp)
+    rgb = px[:, :, 2::-1]  # BGR(X) -> RGB
+    if h > 0:              # positive height = bottom-up rows
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
-_DECODERS = {"ppm": decode_ppm, "png": decode_png}
-_ENCODERS = {"ppm": encode_ppm, "png": encode_png}
+_DECODERS = {"ppm": decode_ppm, "png": decode_png, "bmp": decode_bmp}
+_ENCODERS = {"ppm": encode_ppm, "png": encode_png, "bmp": encode_bmp}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

@@ -24,6 +24,20 @@ def test_png_roundtrip():
     np.testing.assert_array_equal(I.decode_png(data), img)
 
 
+def test_bmp_roundtrip():
+    # odd width exercises the 4-byte DIB stride padding
+    img = _img(7)[:, :29, :]
+    data = I.encode_bmp(img)
+    np.testing.assert_array_equal(I.decode_bmp(data), img)
+    # same pixels -> same pHash regardless of container
+    assert I.phash64(I.decode_image(data, "bmp")) == I.phash64(img)
+    # compressed / paletted BMPs stay out of scope, loudly
+    bad = bytearray(data)
+    bad[30:34] = (1).to_bytes(4, "little")  # biCompression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        I.decode_bmp(bytes(bad))
+
+
 def test_decode_dispatch_and_stub():
     img = _img(3)
     np.testing.assert_array_equal(I.decode_image(I.encode_png(img), "png"), img)
