@@ -359,26 +359,38 @@ class VideoFrameSampleStage:
                "w": [], "h": [], "stub": []}
         for vid, b, fmt in zip(ids, raw, fmts):
             if fmt in ("ppmv", "avi") and b:
-                if fmt == "ppmv":
-                    slices = split_ppmv(bytes(b))
-                    get = lambda fi: decode_image(slices[fi], "ppm")  # noqa: E731
-                    count = len(slices)
-                else:
-                    decoded = split_avi_rgb(bytes(b))
-                    get = decoded.__getitem__
-                    count = len(decoded)
-                take = np.unique(np.linspace(
-                    0, count - 1, min(self.n_frames, count),
-                    dtype=np.int64))
-                for fi in take:
-                    img = get(int(fi))
-                    out["video_id"].append(vid)
-                    out["frame_index"].append(int(fi))
-                    out["phash"].append(int(phash64(img)))
-                    out["w"].append(img.shape[1])
-                    out["h"].append(img.shape[0])
-                    out["stub"].append(False)
-                continue
+                # a malformed payload falls through to the stub rows
+                # (never crashes the task) unless strict
+                try:
+                    if fmt == "ppmv":
+                        slices = split_ppmv(bytes(b))
+                        decoded = None
+                        count = len(slices)
+                    else:
+                        decoded = split_avi_rgb(bytes(b))
+                        count = len(decoded)
+                    take = np.unique(np.linspace(
+                        0, count - 1, min(self.n_frames, count),
+                        dtype=np.int64))
+                    rows = []
+                    for fi in take:
+                        img = decoded[int(fi)] if decoded is not None \
+                            else decode_image(slices[int(fi)], "ppm")
+                        rows.append((int(fi), int(phash64(img)),
+                                     img.shape[1], img.shape[0]))
+                except DECODE_ERRORS:
+                    if self.strict:
+                        raise
+                    rows = None
+                if rows is not None:
+                    for fi, ph, w, h in rows:
+                        out["video_id"].append(vid)
+                        out["frame_index"].append(fi)
+                        out["phash"].append(ph)
+                        out["w"].append(w)
+                        out["h"].append(h)
+                        out["stub"].append(False)
+                    continue
             if self.strict:
                 raise NotImplementedError(
                     f"video decode for {fmt!r} requires external libs "

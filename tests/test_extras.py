@@ -235,6 +235,21 @@ def test_video_avi_rgb_decode():
     with pytest.raises(ValueError, match="not decodable"):
         split_avi_rgb(bytes(bad))
 
+    # a malformed payload never crashes the task: stub rows out
+    vbad = pa.table({"video_id": ["x1", "x2"],
+                     "bytes": [bytes(bad), blob[:40]],
+                     "fmt": ["avi", "avi"]})
+    out_bad = VideoFrameSampleStage(n_frames=2)(vbad)
+    assert out_bad.num_rows == 4
+    assert all(out_bad.column("stub").to_pylist())
+    with pytest.raises(ValueError):
+        VideoFrameSampleStage(n_frames=2, strict=True)(vbad)
+    # truncated ppmv likewise degrades to stub rows
+    vtr = pa.table({"video_id": ["x3"], "bytes": [ppmv[:50]],
+                    "fmt": ["ppmv"]})
+    out_tr = VideoFrameSampleStage(n_frames=2)(vtr)
+    assert all(out_tr.column("stub").to_pylist())
+
 
 # ---------------------------------------------------------------------------
 # export + histogram
