@@ -38,6 +38,28 @@ def test_bmp_roundtrip():
         I.decode_bmp(bytes(bad))
 
 
+def test_dib_roundtrip_shapes_fuzz():
+    """BMP and AVI share the DIB row math; fuzz the shape space where
+    stride padding and bottom-up flips bite (1-pixel dims, every
+    width mod 4)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mhray.stages.multimodal import encode_avi_rgb, split_avi_rgb
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 13), st.integers(1, 13), st.integers(0, 2 ** 31))
+    def check(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 255, (h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(I.decode_bmp(I.encode_bmp(img)), img)
+        back = split_avi_rgb(encode_avi_rgb([img, img[::-1]]))
+        np.testing.assert_array_equal(back[0], img)
+        np.testing.assert_array_equal(back[1], img[::-1])
+
+    check()
+
+
 def test_decode_dispatch_and_stub():
     img = _img(3)
     np.testing.assert_array_equal(I.decode_image(I.encode_png(img), "png"), img)
