@@ -121,9 +121,8 @@ def decode_png(data: bytes) -> np.ndarray:
         f = filters[y]
         if f == 0:
             continue
-        if f == 1:  # Sub
-            for x in range(1, w):
-                out[y, x] = (out[y, x] + out[y, x - 1]) & 0xFF
+        if f == 1:  # Sub: out[x] = sum(raw[0..x]) mod 256 per channel
+            out[y] = np.cumsum(out[y], axis=0, dtype=np.int64) & 0xFF
         elif f == 2:  # Up
             if y > 0:
                 out[y] = (out[y] + out[y - 1]) & 0xFF

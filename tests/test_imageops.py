@@ -24,6 +24,32 @@ def test_png_roundtrip():
     np.testing.assert_array_equal(I.decode_png(data), img)
 
 
+def test_png_sub_and_up_filters():
+    """decode_png must invert filter types 1 (Sub) and 2 (Up), which
+    our own encoder never emits — build the filtered scanlines by
+    hand per the PNG spec and check pixel-exact recovery."""
+    import struct
+    import zlib
+
+    img = _img(11)[:6, :5, :]
+    h, w, _ = img.shape
+    flat = img.reshape(h, w * 3).astype(np.int16)
+    lines = []
+    for y in range(h):
+        if y % 2 == 0:  # Sub: raw[x] = cur[x] - cur[x-3]
+            prev = np.concatenate([np.zeros(3, np.int16), flat[y][:-3]])
+            lines.append(b"\x01" + ((flat[y] - prev) & 0xFF)
+                         .astype(np.uint8).tobytes())
+        else:           # Up: raw[x] = cur[x] - above[x]
+            lines.append(b"\x02" + ((flat[y] - flat[y - 1]) & 0xFF)
+                         .astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (I._PNG_SIG + I._chunk(b"IHDR", ihdr)
+            + I._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + I._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(I.decode_png(data), img)
+
+
 def test_bmp_roundtrip():
     # odd width exercises the 4-byte DIB stride padding
     img = _img(7)[:, :29, :]
