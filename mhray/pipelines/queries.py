@@ -654,7 +654,8 @@ def ev_user_topk(sf_dir: str):
 
 def d_substring_pairs(sf_dir: str):
     """Exact long-substring dup pairs (winnowed fingerprints + LCS
-    verify; rows-only check — LCS is not ANSI-SQL-expressible)."""
+    verify). Full-oracle check: LCS length == max diagonal window-run
+    + 39 (the gaps-and-islands SQL in _SQL_LCS_PAIRS)."""
     from mhray.stages.substring import substring_pairs
 
     return substring_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), min_len=40)
@@ -665,10 +666,10 @@ def d_suffix_pairs(sf_dir: str):
     engine (the north-star's third leg): winnowed fingerprints key the
     co-grouping, one per-group suffix array + adjacent-LCP run-sweep
     emits candidates, the collision-proof LCS kernel verifies.
-    Rows-only check — LCS is not ANSI-SQL-expressible; exact
-    table-for-table parity with d_substring_pairs (an independent
-    detection engine over the same contract) is pytest-asserted
-    (tests/test_suffixarray.py)."""
+    Full-oracle check via the diagonal-run LCS SQL (_SQL_LCS_PAIRS);
+    exact table-for-table parity with d_substring_pairs (an
+    independent detection engine over the same contract) is also
+    pytest-asserted (tests/test_suffixarray.py)."""
     from mhray.stages.suffixarray import suffix_array_pairs
 
     return suffix_array_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -2477,9 +2478,6 @@ ORACLE_SQL = {
     #     (Lloyd / greedy prune / trained quantizer / eigh)
     #   q_approx_distinct / q_approx_percentiles: approximate sketches
     #     (HLL / equi-depth merge), exactness bounds pytest-asserted
-    #   d_substring_pairs: winnow + LCS verify (imperative two-pointer)
-    #   d_suffix_pairs: same contract via the suffix-array engine; the
-    #     two independent engines are pytest-asserted table-identical
     #   d_sketch_align: float32 one-skip DP over window sketches
     #     (Aligner.java:226-341) — no SQL form; DP parity vs a direct
     #     transcription is pytest-asserted
@@ -2488,8 +2486,45 @@ ORACLE_SQL = {
     #     ~continuous scores has no stable cross-engine hash
     # (d_bloom_new also graduated: the ragged-murmur recursive CTE
     # below hashes full variable-length texts, and bloom membership is
-    # deterministic given the hashes)
+    # deterministic given the hashes; d_substring_pairs / d_suffix_pairs
+    # graduated in round 5 via the diagonal-run LCS oracle below)
 }
+
+# Exact longest-common-substring oracle for the two substring engines.
+# A common substring of length L >= 40 shares a 40-char window at every
+# start offset, i.e. it appears as a run of L-39 consecutive window
+# matches on one (pos_a - pos_b) diagonal; conversely any diagonal run
+# of r consecutive matches witnesses a common substring of length r+39.
+# So max(diagonal run)+39 == the true LCS length whenever LCS >= 40 —
+# the classic gaps-and-islands formulation makes it pure ANSI SQL.
+# (Engine lengths are UTF-16 code units; the test corpus is ASCII, so
+# SQL code-point positions coincide — asserted pure-ASCII in the tests.)
+_SQL_LCS_PAIRS = """
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 39)) AS i
+        FROM documents
+    ),
+    w AS (SELECT doc_id, i, substr(text, i::INT, 40) AS win FROM pos),
+    m AS (
+        SELECT a.doc_id AS lo, b.doc_id AS hi, a.i AS ia,
+               a.i - b.i AS diag
+        FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT lo, hi, diag,
+               ia - ROW_NUMBER() OVER (
+                   PARTITION BY lo, hi, diag ORDER BY ia) AS grp
+        FROM m
+    ),
+    lens AS (
+        SELECT lo, hi, COUNT(*) + 39 AS lcs_len
+        FROM runs GROUP BY lo, hi, diag, grp
+    )
+    SELECT lo, hi, MAX(lcs_len) AS lcs_len FROM lens GROUP BY lo, hi
+"""
+ORACLE_SQL["d_substring_pairs"] = _SQL_LCS_PAIRS
+ORACLE_SQL["d_suffix_pairs"] = _SQL_LCS_PAIRS
 
 # composed from the d_quality oracle so the quality definition lives in
 # exactly one place; NTILE over the distinct (quality_pm, doc_id) key

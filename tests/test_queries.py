@@ -74,15 +74,25 @@ ORACLE_CHECKED = [
     "d_mixture_sample", "d_simhash_pairs", "d_fingerprints",
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
     "e_centroid_dist", "e_knn_label_vote",
+    "d_substring_pairs", "d_suffix_pairs",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
              "d_dup_clusters", "ev_motif",
              "d_minhash_pairs",
-             "e_dup_lsh", "e_knn_ivf", "d_substring_pairs",
-             "d_suffix_pairs",
+             "e_dup_lsh", "e_knn_ivf",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
              "q_approx_distinct", "e_semdedup"]
+
+
+def test_lcs_oracle_ascii_precondition(duck):
+    """The diagonal-run LCS oracle equates SQL code-point positions
+    with the engines' UTF-16 code units; valid because the corpus is
+    pure ASCII. Fails loudly if the testdata ever grows non-ASCII."""
+    n = duck.sql(
+        "SELECT COUNT(*) FROM documents "
+        "WHERE regexp_matches(text, '[^\\x00-\\x7F]')").fetchone()[0]
+    assert n == 0
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
