@@ -613,11 +613,13 @@ def q_hash_sample(sf_dir: str):
 
 
 def q_approx_distinct(sf_dir: str):
-    """Approximate COUNT(DISTINCT l_partkey) via HyperLogLog (rows-only:
-    the estimate is deterministic but intentionally not exact; pytest
-    bounds its relative error against the exact count). The scale
-    answer to q_distinct_parts — per-block 16 KiB sketches merged by
-    max instead of an all-to-all distinct shuffle."""
+    """Approximate COUNT(DISTINCT l_partkey) via HyperLogLog. The
+    estimate is approximate vs the true count but fully deterministic,
+    so it has a FULL hash-compared oracle (the splitmix64+HLL-in-SQL
+    below); pytest additionally bounds its relative error against the
+    exact count. The scale answer to q_distinct_parts — per-block
+    16 KiB sketches merged by max instead of an all-to-all distinct
+    shuffle."""
     from mhray.stages.freqjob import hll_distinct
 
     est = hll_distinct(_read(sf_dir, "lineitem", ["l_partkey"]),
@@ -2476,8 +2478,11 @@ ORACLE_SQL = {
     #   e_dup_lsh: PCG64-drawn hyperplanes (see its docstring)
     #   e_kmeans / e_semdedup / e_knn_ivf / e_pca: iterative ML
     #     (Lloyd / greedy prune / trained quantizer / eigh)
-    #   q_approx_distinct / q_approx_percentiles: approximate sketches
-    #     (HLL / equi-depth merge), exactness bounds pytest-asserted
+    #   q_approx_percentiles: the equi-depth summary merge is
+    #     block-partitioning-dependent (compression order), so no
+    #     stable cross-engine value; error bounds pytest-asserted
+    #     (q_approx_distinct graduated in round 5: the HLL estimate is
+    #     deterministic given splitmix64, see its oracle below)
     #   d_sketch_align: float32 one-skip DP over window sketches
     #     (Aligner.java:226-341) — no SQL form; DP parity vs a direct
     #     transcription is pytest-asserted
@@ -3046,4 +3051,50 @@ ORACLE_SQL["d_bloom_new"] = f"""{_sql_text_hash64()},
     WHERE p.is_new
     GROUP BY p.doc_id
     HAVING COUNT(*) FILTER (WHERE s.pos IS NULL) > 0
+"""
+
+# q_approx_distinct's HLL is approximate-by-construction but fully
+# DETERMINISTIC: splitmix64 of each l_partkey, p=14 index bits, rank =
+# min(clz(suffix), 50) + 1 maxed per register, and the standard
+# alpha_m estimator with the linear-counting small-range branch
+# (stages/freqjob.py:126-199). Every step is integer-exact in SQL —
+# clz via 64 - length(bin(w)) (bin() trims leading zeros, and w = 0
+# gives length 1 -> 63, exactly numpy's halving ladder) — so DuckDB
+# reproduces the estimate bit-for-bit and the entry graduates from
+# rows-only to a full hash-compared oracle.
+ORACLE_SQL["q_approx_distinct"] = f"""
+    WITH k0 AS (SELECT CAST(l_partkey AS HUGEINT) AS k FROM lineitem),
+    s0 AS (SELECT (k + {0x9E3779B97F4A7C15}) % {_M64} AS x FROM k0),
+    s1 AS (SELECT {_sql_xor64('x', f'x // {1 << 30}')} AS x FROM s0),
+    s2 AS (SELECT {_sql_mul64('x', 0xBF58476D1CE4E5B9)} AS x FROM s1),
+    s3 AS (SELECT {_sql_xor64('x', f'x // {1 << 27}')} AS x FROM s2),
+    s4 AS (SELECT {_sql_mul64('x', 0x94D049BB133111EB)} AS x FROM s3),
+    hx AS (SELECT {_sql_xor64('x', f'x // {1 << 31}')} AS h FROM s4),
+    reg AS (
+        SELECT h // {1 << 50} AS idx,
+               MAX(LEAST(64 - length(bin(
+                   CAST(h % {1 << 50} * {1 << 14} AS UBIGINT))), 50) + 1)
+                   AS r
+        FROM hx GROUP BY idx
+    ),
+    est AS (
+        SELECT COUNT(*) AS npres,
+               SUM(power(CAST(2 AS DOUBLE), -r)) AS sp
+        FROM reg
+    ),
+    fin AS (
+        SELECT (16384 - npres) AS zeros,
+               (CAST(0.7213 AS DOUBLE)
+                / (CAST(1.0 AS DOUBLE)
+                   + CAST(1.079 AS DOUBLE) / CAST(16384.0 AS DOUBLE)))
+               * CAST(16384.0 AS DOUBLE) * CAST(16384.0 AS DOUBLE)
+               / (sp + (16384 - npres)) AS rawe
+        FROM est
+    )
+    SELECT CAST(ROUND(
+        CASE WHEN rawe <= CAST(40960.0 AS DOUBLE) AND zeros > 0
+             THEN CAST(16384.0 AS DOUBLE)
+                  * ln(CAST(16384.0 AS DOUBLE) / zeros)
+             ELSE rawe END, 0) AS BIGINT) AS approx_distinct_parts
+    FROM fin
 """

@@ -74,7 +74,7 @@ ORACLE_CHECKED = [
     "d_mixture_sample", "d_simhash_pairs", "d_fingerprints",
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
     "e_centroid_dist", "e_knn_label_vote",
-    "d_substring_pairs", "d_suffix_pairs",
+    "d_substring_pairs", "d_suffix_pairs", "q_approx_distinct",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
@@ -82,7 +82,7 @@ ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_minhash_pairs",
              "e_dup_lsh", "e_knn_ivf",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
-             "q_approx_distinct", "e_semdedup"]
+             "e_semdedup"]
 
 
 def test_lcs_oracle_ascii_precondition(duck):
