@@ -511,12 +511,11 @@ def e_knn_ivf(sf_dir: str):
 
 
 def e_dup_lsh(sf_dir: str):
-    """LSH-bucketed variant (the scale path). Rows-only BY NECESSITY:
-    the sign-LSH hyperplanes come from numpy PCG64 standard_normal
-    draws, which no SQL engine reproduces — and the bucketing (hence
-    which cosine>=tau pairs are recalled) depends on those exact
-    floats. Recall and in-bucket rescore exactness are pytest-bound
-    instead (tests/test_extras.py)."""
+    """LSH-bucketed variant (the scale path). Full oracle since round
+    5: the PCG64 hyperplanes are deterministic given the seeds, so the
+    oracle draws them once at import and inlines them as SQL double
+    literals (_sql_lsh_dup below); recall and in-bucket rescore
+    exactness are additionally pytest-bound (tests/test_extras.py)."""
     from mhray.stages.ann import embedding_dup_pairs
 
     return embedding_dup_pairs(_read(sf_dir, "embeddings",
@@ -2475,7 +2474,6 @@ ORACLE_SQL = {
     #     sketch median-shift two-pass) is an imperative algorithm
     #     with no SQL form; pipeline-vs-reference-oracle exactness is
     #     pytest-asserted (tests/test_pipeline_e2e.py etc.)
-    #   e_dup_lsh: PCG64-drawn hyperplanes (see its docstring)
     #   e_kmeans / e_semdedup / e_knn_ivf / e_pca: iterative ML
     #     (Lloyd / greedy prune / trained quantizer / eigh)
     #   q_approx_percentiles: the equi-depth summary merge is
@@ -3098,3 +3096,46 @@ ORACLE_SQL["q_approx_distinct"] = f"""
              ELSE rawe END, 0) AS BIGINT) AS approx_distinct_parts
     FROM fin
 """
+
+# e_dup_lsh graduates in round 5: the PCG64 hyperplanes are
+# deterministic given the seeds, so they are DRAWN ONCE AT IMPORT and
+# inlined into the SQL as double literals (%.17e forces a DOUBLE
+# parse). Bucket bit j for table t is sign(dot(embedding, plane_tj)) —
+# normalization never changes the sign, so the raw inner product
+# suffices — and the rescore is the same cosine>=0.4 predicate the
+# already-green e_dup_cosine oracle uses. Preconditions (pytest-
+# guarded): the corpus embedding dim is 64 and the corpus row count
+# stays below the 5000-id bucket cap, so the engine's cap never fires.
+def _sql_lsh_dup(n_bits: int = 6, n_tables: int = 4, dim: int = 64,
+                 tau: float = 0.4) -> str:
+    import numpy as np
+
+    selects = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(7 + 101 * t)
+        h = rng.standard_normal((n_bits, dim))
+        h /= np.linalg.norm(h, axis=1, keepdims=True)
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST([{', '.join(f'{w:.17e}' for w in h[j])}] AS DOUBLE[]))"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_bits))
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings")
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH b AS ({union}),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS lo, y.vec_id AS hi
+        FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                         AND x.vec_id < y.vec_id
+    )
+    SELECT c.lo, c.hi FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.lo
+    JOIN embeddings eb ON eb.vec_id = c.hi
+    WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(eb.embedding AS DOUBLE[])) >= {tau}
+    """
+
+
+ORACLE_SQL["e_dup_lsh"] = _sql_lsh_dup()

@@ -75,14 +75,26 @@ ORACLE_CHECKED = [
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
     "e_centroid_dist", "e_knn_label_vote",
     "d_substring_pairs", "d_suffix_pairs", "q_approx_distinct",
+    "e_dup_lsh",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
              "d_dup_clusters", "ev_motif",
              "d_minhash_pairs",
-             "e_dup_lsh", "e_knn_ivf",
+             "e_knn_ivf",
              "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
              "e_semdedup"]
+
+
+def test_lsh_oracle_preconditions(duck):
+    """The inlined-hyperplane LSH oracle assumes dim-64 embeddings and
+    a corpus smaller than the engine's 5000-id bucket cap (so the cap
+    can never drop a pair the SQL would keep)."""
+    n, lo, hi = duck.sql(
+        "SELECT COUNT(*), MIN(len(embedding)), MAX(len(embedding)) "
+        "FROM embeddings").fetchone()
+    assert (lo, hi) == (64, 64)
+    assert n < 5000
 
 
 def test_lcs_oracle_ascii_precondition(duck):
