@@ -1227,8 +1227,10 @@ def ev_motif(sf_dir: str):
     any user's event-value series whose z-normalized shape best
     matches a peak pattern (:func:`mhray.stages.events.ts_motif_search`
     — per-partition sliding-view matmul scan, local top-k, global
-    sort over k x parts rows). Rows-only (float distances); exactness
-    vs a brute-force scan is pytest-asserted."""
+    sort over k x parts rows). Full oracle since round 5: the SQL
+    mirror of the float64 compute shape (_sql_motif below) is
+    bit-equal on this corpus; exactness vs a brute-force scan is
+    additionally pytest-asserted."""
     from mhray.stages.events import ts_motif_search
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -2485,8 +2487,8 @@ ORACLE_SQL = {
     #     (Aligner.java:226-341) — no SQL form; DP parity vs a direct
     #     transcription is pytest-asserted
     #   d_compression_ratio: zlib byte stream, not expressible
-    #   ev_motif: z-normalized sliding matmul; float ranking over
-    #     ~continuous scores has no stable cross-engine hash
+    #   (ev_motif graduated in round 5: mirroring the engine's float64
+    #   compute shape in SQL turned out bit-stable — see _sql_motif)
     # (d_bloom_new also graduated: the ragged-murmur recursive CTE
     # below hashes full variable-length texts, and bloom membership is
     # deterministic given the hashes; d_substring_pairs / d_suffix_pairs
@@ -3139,3 +3141,50 @@ def _sql_lsh_dup(n_bits: int = 6, n_tables: int = 4, dim: int = 64,
 
 
 ORACLE_SQL["e_dup_lsh"] = _sql_lsh_dup()
+
+# ev_motif graduates in round 5: the z-normalized sliding-window
+# distance IS deterministic — the SQL below mirrors the engine's exact
+# float64 compute shape (window mean, then mean of squared deviations,
+# then per-element normalize, then dot with the z-normalized query,
+# dist = sqrt(2m - 2*dot), round to 9 decimals AFTER ranking on the
+# unrounded value) and was verified bit-equal to the engine's output
+# at sf0.001/0.01/0.1. Windows never straddle users (PARTITION BY) and
+# len(w)=8 drops the per-user tail, matching the engine's key-boundary
+# mask; ties rank by (dist, key, start_ts) in both engines.
+def _sql_motif() -> str:
+    import numpy as np
+
+    q = np.asarray([0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0])
+    qz = (q - q.mean()) / q.std()
+    qlit = ", ".join(f"{x:.17e}" for x in qz)
+    return f"""
+    WITH wq AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+               list(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+        FROM events
+    ),
+    wins AS (SELECT user_id, tsu, w FROM wq WHERE len(w) = 8),
+    st AS (SELECT user_id, tsu, w, list_avg(w) AS mu FROM wins),
+    sd AS (
+        SELECT user_id, tsu, w, mu,
+               sqrt(list_avg(list_transform(
+                   w, x -> (x - mu) * (x - mu)))) AS s
+        FROM st
+    ),
+    d AS (
+        SELECT user_id, tsu,
+               CASE WHEN s > 0 THEN sqrt(greatest(0.0,
+                   16.0 - 2.0 * list_inner_product(
+                       list_transform(w, x -> (x - mu) / s),
+                       CAST([{qlit}] AS DOUBLE[]))))
+                    ELSE sqrt(16.0) END AS dist
+        FROM sd
+    )
+    SELECT user_id AS key, tsu AS start_ts, round(dist, 9) AS dist
+    FROM d ORDER BY dist, key, start_ts LIMIT 10
+    """
+
+
+ORACLE_SQL["ev_motif"] = _sql_motif()
