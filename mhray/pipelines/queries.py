@@ -485,13 +485,13 @@ def e_dup_cosine(sf_dir: str):
 
 
 def e_kmeans(sf_dir: str):
-    """Distributed full-corpus Lloyd's k-means assignments (rows-only:
-    iterative ML has no SQL equivalent — the init draws from numpy
-    PCG64, which no SQL engine reproduces). The oracle lives in pytest
-    instead: exactness vs a driver-side Lloyd with identical init on
-    planted blobs, partitioning-invariance of the reduction, and the
-    sha256 digests of the assignment vector + final centroids pinned
-    on the sf0.001 driver testdata
+    """Distributed full-corpus Lloyd's k-means assignments. Full
+    oracle since round 5: the fixed 4-round iteration unrolls into
+    chained SQL CTEs and the PCG64 init positions inline as literals
+    (_sql_kmeans below). Pytest additionally asserts exactness vs a
+    driver-side Lloyd with identical init on planted blobs,
+    partitioning-invariance of the reduction, and pinned sha256
+    digests of the sf0.001 assignments
     (tests/test_kmeans.py::test_e_kmeans_pinned_hashes_on_driver_testdata)."""
     from mhray.stages.ann import kmeans
 
@@ -2476,8 +2476,11 @@ ORACLE_SQL = {
     #     sketch median-shift two-pass) is an imperative algorithm
     #     with no SQL form; pipeline-vs-reference-oracle exactness is
     #     pytest-asserted (tests/test_pipeline_e2e.py etc.)
-    #   e_kmeans / e_semdedup / e_knn_ivf / e_pca: iterative ML
-    #     (Lloyd / greedy prune / trained quantizer / eigh)
+    #   e_semdedup / e_knn_ivf / e_pca: iterative ML with float state
+    #     that has no SQL form (greedy prune over a kmeans-clustered
+    #     corpus / trained quantizer / eigh); e_kmeans itself
+    #     graduated in round 5 by unrolling the fixed Lloyd rounds
+    #     into CTEs (see _sql_kmeans)
     #   q_approx_percentiles: the equi-depth summary merge is
     #     block-partitioning-dependent (compression order), so no
     #     stable cross-engine value; error bounds pytest-asserted
@@ -3188,3 +3191,92 @@ def _sql_motif() -> str:
 
 
 ORACLE_SQL["ev_motif"] = _sql_motif()
+
+# e_kmeans graduates in round 5: "iterative ML" turns out to be
+# SQL-expressible when the iteration count is fixed — the 4 Lloyd
+# rounds UNROLL into chained CTEs (assign = row_number over
+# dot - |c|^2/2 descending with ties to the low cluster index, exactly
+# np.argmax; new centroid = per-dim SUM/COUNT; empty clusters keep the
+# previous centroid). The init is deterministic given the corpus: the
+# engine samples the bottom-256 rows by a seed-mixed fingerprint of
+# vec_id (stages/ann.py:_hash_bottom_sample, reproduced with the
+# 32-bit-split multiply idiom and a signed-view CASE) and then indexes
+# that ordering at PCG64-drawn positions that depend only on the seed
+# and sample size — so the draw happens ONCE AT IMPORT and the
+# positions inline as literals. Verified assignment-for-assignment at
+# sf0.001/0.01/0.1. Preconditions (pytest-guarded): corpus >= 256 rows
+# (the sample is full) and nonnegative vec_ids (signed/unsigned view).
+def _sql_kmeans(n_clusters: int = 8, iters: int = 4, seed: int = 13,
+                n_sample: int = 256) -> str:
+    import numpy as np
+
+    seed_mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    idx = np.random.default_rng(seed).choice(
+        n_sample, size=n_clusters, replace=False)
+    m64 = 1 << 64
+    h0 = _sql_xor64("CAST(vec_id AS HUGEINT)", seed_mix)
+    h1 = _sql_xor64(f"({h0})", f"({h0}) // {1 << 33}")
+    h2 = _sql_mul64(f"({h1})", 0xFF51AFD7ED558CCD)
+    h3 = _sql_xor64(f"({h2})", f"({h2}) // {1 << 33}")
+    init_cases = " ".join(f"WHEN {int(p)} THEN {j}"
+                          for j, p in enumerate(idx))
+    init_list = ", ".join(str(int(p)) for p in idx)
+    ctes = [f"""
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+    hs AS (
+        SELECT vec_id, e,
+               CASE WHEN ({h3}) >= {1 << 63} THEN ({h3}) - {m64}
+                    ELSE ({h3}) END AS h
+        FROM emb
+    ),
+    samp AS (
+        SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h) - 1 AS pos
+        FROM hs QUALIFY pos < {n_sample}
+    ),
+    cent0 AS (
+        SELECT CASE pos {init_cases} END AS cluster, e AS vals
+        FROM samp WHERE pos IN ({init_list})
+    )"""]
+    for t in range(iters):
+        ctes.append(f"""
+    sc{t} AS (
+        SELECT v.vec_id, c.cluster,
+               list_inner_product(v.e, c.vals)
+               - 0.5 * list_inner_product(c.vals, c.vals) AS s
+        FROM emb v, cent{t} c
+    ),
+    as{t} AS (
+        SELECT vec_id, cluster FROM sc{t}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY s DESC, cluster ASC) = 1
+    ),
+    nm{t} AS (
+        SELECT a.cluster, f.dim, SUM(f.val) / COUNT(*) AS m
+        FROM as{t} a JOIN (
+            SELECT vec_id, generate_subscripts(e, 1) AS dim,
+                   unnest(e) AS val
+            FROM emb) f USING (vec_id)
+        GROUP BY a.cluster, f.dim
+    ),
+    cent{t + 1} AS (
+        SELECT cluster, list(m ORDER BY dim) AS vals
+        FROM nm{t} GROUP BY cluster
+        UNION ALL
+        SELECT c.cluster, c.vals FROM cent{t} c
+        WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM as{t})
+    )""")
+    return "WITH " + ",".join(ctes) + f""",
+    scF AS (
+        SELECT v.vec_id, c.cluster,
+               list_inner_product(v.e, c.vals)
+               - 0.5 * list_inner_product(c.vals, c.vals) AS s
+        FROM emb v, cent{iters} c
+    )
+    SELECT vec_id, cluster FROM scF
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY s DESC, cluster ASC) = 1
+    """
+
+
+ORACLE_SQL["e_kmeans"] = _sql_kmeans()

@@ -75,15 +75,26 @@ ORACLE_CHECKED = [
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
     "e_centroid_dist", "e_knn_label_vote",
     "d_substring_pairs", "d_suffix_pairs", "q_approx_distinct",
-    "e_dup_lsh", "ev_motif",
+    "e_dup_lsh", "ev_motif", "e_kmeans",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
              "d_dup_clusters",
              "d_minhash_pairs",
              "e_knn_ivf",
-             "d_incremental_pairs", "d_tiered_dedup", "e_kmeans",
+             "d_incremental_pairs", "d_tiered_dedup",
              "e_semdedup"]
+
+
+def test_kmeans_oracle_preconditions(duck):
+    """The unrolled-Lloyd oracle assumes the hash-bottom sample is
+    full (corpus >= 256 rows, so the PCG64 positions drawn at import
+    index the same ordering) and nonnegative vec_ids (the SQL mirrors
+    numpy's signed view of the unsigned fingerprint)."""
+    n, lo = duck.sql(
+        "SELECT COUNT(*), MIN(vec_id) FROM embeddings").fetchone()
+    assert n >= 256
+    assert lo >= 0
 
 
 def test_lsh_oracle_preconditions(duck):
