@@ -502,8 +502,10 @@ def e_kmeans(sf_dir: str):
 
 
 def e_knn_ivf(sf_dir: str):
-    """IVF approximate top-k (rows-only; recall vs brute checked in
-    tests/test_ann_ivf.py)."""
+    """IVF approximate top-k. Full oracle since round 5: the coarse
+    quantizer's fixed Lloyd rounds unroll into CTEs and the init
+    positions inline per reachable sample size (_sql_ivf_knn below);
+    recall vs brute is additionally checked in tests/test_ann_ivf.py."""
     from mhray.stages.ann import ivf_knn
 
     return ivf_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -2476,11 +2478,13 @@ ORACLE_SQL = {
     #     sketch median-shift two-pass) is an imperative algorithm
     #     with no SQL form; pipeline-vs-reference-oracle exactness is
     #     pytest-asserted (tests/test_pipeline_e2e.py etc.)
-    #   e_semdedup / e_knn_ivf / e_pca: iterative ML with float state
-    #     that has no SQL form (greedy prune over a kmeans-clustered
-    #     corpus / trained quantizer / eigh); e_kmeans itself
-    #     graduated in round 5 by unrolling the fixed Lloyd rounds
-    #     into CTEs (see _sql_kmeans)
+    #   e_semdedup: the greedy per-cluster prune is an unbounded
+    #     sequential dependency chain (keep iff max cosine to every
+    #     PREVIOUSLY kept row < threshold) — no fixed unroll depth
+    #   e_pca: eigendecomposition has no SQL form
+    #     (e_kmeans and e_knn_ivf graduated in round 5 by unrolling
+    #     their FIXED iteration counts into CTEs — see _sql_kmeans /
+    #     _sql_ivf_knn; the greedy prune has no such fixed depth)
     #   q_approx_percentiles: the equi-depth summary merge is
     #     block-partitioning-dependent (compression order), so no
     #     stable cross-engine value; error bounds pytest-asserted
@@ -3280,3 +3284,127 @@ def _sql_kmeans(n_clusters: int = 8, iters: int = 4, seed: int = 13,
 
 
 ORACLE_SQL["e_kmeans"] = _sql_kmeans()
+
+# e_knn_ivf graduates in round 5 with the same unrolling: the coarse
+# quantizer's 2 Lloyd rounds over the cosine-normalized hash-bottom
+# sample become chained CTEs (normalize-after-mean mirrored, empty or
+# zero-norm cells keep the previous centroid), cell assignment and
+# query probing are row_number ties-to-low-cluster argmaxes, and the
+# final per-query top-5 ranks by (sim DESC, neighbor ASC) exactly as
+# _make_final_topk's lexsort. The sample size is min(512, corpus), so
+# the PCG64 init positions depend on the corpus count: both reachable
+# position sets (n=500 for the sf0.001/0.01 corpora, n=512 once the
+# corpus exceeds the sample cap) are drawn at import and keyed by a
+# VALUES map the SQL selects with LEAST(COUNT(*), 512). Verified
+# row-for-row at sf0.001/0.01/0.1; the count-in-{500, >=512}
+# precondition is pytest-guarded.
+def _sql_ivf_knn(n_cells: int = 16, nprobe: int = 4, k: int = 5,
+                 lloyd_iters: int = 2, seed: int = 13,
+                 n_sample: int = 512) -> str:
+    import numpy as np
+
+    seed_mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    m64 = 1 << 64
+    h0 = _sql_xor64("CAST(vec_id AS HUGEINT)", seed_mix)
+    h1 = _sql_xor64(f"({h0})", f"({h0}) // {1 << 33}")
+    h2 = _sql_mul64(f"({h1})", 0xFF51AFD7ED558CCD)
+    h3 = _sql_xor64(f"({h2})", f"({h2}) // {1 << 33}")
+    vals = []
+    for ns in (500, n_sample):
+        pos = np.random.default_rng(seed).choice(
+            ns, size=n_cells, replace=False)
+        vals += [f"({ns}, {j}, {int(p)})" for j, p in enumerate(pos)]
+    pos_values = ", ".join(vals)
+
+    def norm_expr(src: str) -> str:
+        return (f"CASE WHEN sqrt(list_inner_product({src}, {src})) = 0 "
+                f"THEN {src} ELSE list_transform({src}, "
+                f"x -> x / sqrt(list_inner_product({src}, {src}))) END")
+
+    ctes = [f"""
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+    nrm AS (SELECT vec_id, {norm_expr('e')} AS v FROM emb),
+    hs AS (
+        SELECT vec_id, e,
+               CASE WHEN ({h3}) >= {1 << 63} THEN ({h3}) - {m64}
+                    ELSE ({h3}) END AS h
+        FROM emb
+    ),
+    samp AS (
+        SELECT {norm_expr('e')} AS v,
+               ROW_NUMBER() OVER (ORDER BY h) - 1 AS pos
+        FROM hs QUALIFY pos < {n_sample}
+    ),
+    ns AS (SELECT LEAST(COUNT(*), {n_sample}) AS n FROM emb),
+    posmap(n, cluster, pos) AS (VALUES {pos_values}),
+    cent0 AS (
+        SELECT pm.cluster, s.v AS vals
+        FROM posmap pm JOIN ns ON pm.n = ns.n
+                       JOIN samp s ON s.pos = pm.pos
+    )"""]
+    for t in range(lloyd_iters):
+        ctes.append(f"""
+    scS{t} AS (
+        SELECT s.pos, c.cluster, list_inner_product(s.v, c.vals) AS sc
+        FROM samp s, cent{t} c
+    ),
+    asS{t} AS (
+        SELECT pos, cluster FROM scS{t}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY pos
+                                   ORDER BY sc DESC, cluster ASC) = 1
+    ),
+    nmS{t} AS (
+        SELECT a.cluster, f.dim, SUM(f.val) / COUNT(*) AS m
+        FROM asS{t} a JOIN (
+            SELECT pos, generate_subscripts(v, 1) AS dim,
+                   unnest(v) AS val
+            FROM samp) f USING (pos)
+        GROUP BY a.cluster, f.dim
+    ),
+    mv{t} AS (
+        SELECT cluster, list(m ORDER BY dim) AS mu
+        FROM nmS{t} GROUP BY cluster
+    ),
+    cent{t + 1} AS (
+        SELECT c.cluster,
+               CASE WHEN mv.cluster IS NOT NULL
+                         AND sqrt(list_inner_product(mv.mu, mv.mu)) > 0
+                    THEN list_transform(mv.mu,
+                         x -> x / sqrt(list_inner_product(mv.mu, mv.mu)))
+                    ELSE c.vals END AS vals
+        FROM cent{t} c LEFT JOIN mv{t} mv USING (cluster)
+    )""")
+    return "WITH " + ",".join(ctes) + f""",
+    cell AS (
+        SELECT n.vec_id, c.cluster AS cell, n.v
+        FROM nrm n, cent{lloyd_iters} c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+            ORDER BY list_inner_product(n.v, c.vals) DESC,
+                     c.cluster ASC) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM nrm
+          WHERE vec_id BETWEEN 0 AND 9),
+    qc AS (
+        SELECT q.query_id, c.cluster AS cell
+        FROM q, cent{lloyd_iters} c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+            ORDER BY list_inner_product(q.qv, c.vals) DESC,
+                     c.cluster ASC) <= {nprobe}
+    ),
+    cand AS (
+        SELECT q.query_id, r.vec_id AS neighbor_id,
+               list_inner_product(q.qv, r.v) AS sim
+        FROM q JOIN qc ON qc.query_id = q.query_id
+               JOIN cell r ON r.cell = qc.cell
+                          AND r.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM cand
+    QUALIFY rank <= {k}
+    """
+
+
+ORACLE_SQL["e_knn_ivf"] = _sql_ivf_knn()

@@ -75,13 +75,12 @@ ORACLE_CHECKED = [
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
     "e_centroid_dist", "e_knn_label_vote",
     "d_substring_pairs", "d_suffix_pairs", "q_approx_distinct",
-    "e_dup_lsh", "ev_motif", "e_kmeans",
+    "e_dup_lsh", "ev_motif", "e_kmeans", "e_knn_ivf",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
              "d_dup_clusters",
              "d_minhash_pairs",
-             "e_knn_ivf",
              "d_incremental_pairs", "d_tiered_dedup",
              "e_semdedup"]
 
@@ -95,6 +94,9 @@ def test_kmeans_oracle_preconditions(duck):
         "SELECT COUNT(*), MIN(vec_id) FROM embeddings").fetchone()
     assert n >= 256
     assert lo >= 0
+    # e_knn_ivf additionally inlines init positions for exactly the
+    # two reachable sample sizes min(512, n): n == 500 or n >= 512
+    assert n == 500 or n >= 512
 
 
 def test_lsh_oracle_preconditions(duck):
