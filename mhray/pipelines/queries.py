@@ -1141,10 +1141,12 @@ def d_lm_score(sf_dir: str):
 def e_semdedup(sf_dir: str):
     """Semantic dedup (SemDeDup, arXiv:2303.09540): k-means clusters
     over the embedding space, greedy within-cluster cosine pruning at
-    tau — rows-only (k-means is iterative, not SQL-expressible);
-    pytest asserts the keep/prune invariants directly. tau=0.45: the
-    random testdata's cosine ceiling is ~0.51 (same reason e_dup_cosine
-    uses 0.4), so a production-style 0.95 would prune nothing here."""
+    tau. Full oracle since round 5: the Lloyd rounds unroll into CTEs
+    and the greedy chain becomes a conflict-list positional recursion
+    (_sql_semdedup below); pytest additionally asserts the keep/prune
+    invariants directly. tau=0.45: the random testdata's cosine
+    ceiling is ~0.51 (same reason e_dup_cosine uses 0.4), so a
+    production-style 0.95 would prune nothing here."""
     from mhray.stages.ann import semdedup
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2478,13 +2480,11 @@ ORACLE_SQL = {
     #     sketch median-shift two-pass) is an imperative algorithm
     #     with no SQL form; pipeline-vs-reference-oracle exactness is
     #     pytest-asserted (tests/test_pipeline_e2e.py etc.)
-    #   e_semdedup: the greedy per-cluster prune is an unbounded
-    #     sequential dependency chain (keep iff max cosine to every
-    #     PREVIOUSLY kept row < threshold) — no fixed unroll depth
     #   e_pca: eigendecomposition has no SQL form
-    #     (e_kmeans and e_knn_ivf graduated in round 5 by unrolling
-    #     their FIXED iteration counts into CTEs — see _sql_kmeans /
-    #     _sql_ivf_knn; the greedy prune has no such fixed depth)
+    #     (e_kmeans / e_knn_ivf / e_semdedup all graduated in round 5:
+    #     fixed iteration counts unroll into CTEs, and the semdedup
+    #     greedy chain becomes a conflict-list positional recursion —
+    #     see _sql_kmeans / _sql_ivf_knn / _sql_semdedup)
     #   q_approx_percentiles: the equi-depth summary merge is
     #     block-partitioning-dependent (compression order), so no
     #     stable cross-engine value; error bounds pytest-asserted
@@ -3210,8 +3210,14 @@ ORACLE_SQL["ev_motif"] = _sql_motif()
 # positions inline as literals. Verified assignment-for-assignment at
 # sf0.001/0.01/0.1. Preconditions (pytest-guarded): corpus >= 256 rows
 # (the sample is full) and nonnegative vec_ids (signed/unsigned view).
-def _sql_kmeans(n_clusters: int = 8, iters: int = 4, seed: int = 13,
-                n_sample: int = 256) -> str:
+def _sql_lloyd_chain(emb_def: str, n_clusters: int, iters: int,
+                     seed: int, n_sample: int) -> list[str]:
+    """Shared unrolled-Lloyd CTE chain: ``emb_def`` must define a CTE
+    ``emb(vec_id, e DOUBLE[])`` (raw for e_kmeans, cosine-normalized
+    for e_semdedup); the returned CTE list ends with
+    ``cent{iters}(cluster, vals)``. Init = PCG64 positions (drawn at
+    import) into the hash-bottom-``n_sample`` ordering of the
+    seed-mixed vec_id fingerprint."""
     import numpy as np
 
     seed_mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
@@ -3226,8 +3232,7 @@ def _sql_kmeans(n_clusters: int = 8, iters: int = 4, seed: int = 13,
                           for j, p in enumerate(idx))
     init_list = ", ".join(str(int(p)) for p in idx)
     ctes = [f"""
-    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings),
+    {emb_def},
     hs AS (
         SELECT vec_id, e,
                CASE WHEN ({h3}) >= {1 << 63} THEN ({h3}) - {m64}
@@ -3270,6 +3275,14 @@ def _sql_kmeans(n_clusters: int = 8, iters: int = 4, seed: int = 13,
         SELECT c.cluster, c.vals FROM cent{t} c
         WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM as{t})
     )""")
+    return ctes
+
+
+def _sql_kmeans(n_clusters: int = 8, iters: int = 4, seed: int = 13,
+                n_sample: int = 256) -> str:
+    ctes = _sql_lloyd_chain(
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings)", n_clusters, iters, seed, n_sample)
     return "WITH " + ",".join(ctes) + f""",
     scF AS (
         SELECT v.vec_id, c.cluster,
@@ -3408,3 +3421,86 @@ def _sql_ivf_knn(n_cells: int = 16, nprobe: int = 4, k: int = 5,
 
 
 ORACLE_SQL["e_knn_ivf"] = _sql_ivf_knn()
+
+# e_semdedup graduates in round 5 — the last embedding operator. Its
+# one non-SQL-looking piece, the greedy per-cluster leader pass (keep
+# a member iff its cosine to every PREVIOUSLY kept member is < tau,
+# visiting in (centroid-similarity ASC, id) order), reduces to a pure
+# positional recursion once each row's CONFLICT LIST (earlier
+# positions with cosine >= tau) is precomputed in plain CTEs: the
+# recursive CTE carries only the kept-position list per cluster and
+# steps one position per round with list_has_any — no aggregates or
+# correlated subqueries in the recursive term, so DuckDB 1.0 handles
+# it. The k-means front-end (k=16, 3 rounds, over cosine-normalized
+# vectors) reuses _sql_lloyd_chain. Recursion depth = the largest
+# cluster (~150 rows at the driver scale); the engine's 20000-member
+# cluster cap can never fire below 20k corpus rows (precondition
+# shares the e_kmeans/e_dup_lsh pytest guards). Verified
+# keep-for-keep at sf0.001/0.01/0.1.
+def _sql_semdedup(n_clusters: int = 16, iters: int = 3, seed: int = 13,
+                  n_sample: int = 256, tau: float = 0.45) -> str:
+    def norm_expr(src: str) -> str:
+        return (f"CASE WHEN sqrt(list_inner_product({src}, {src})) = 0 "
+                f"THEN {src} ELSE list_transform({src}, "
+                f"x -> x / sqrt(list_inner_product({src}, {src}))) END")
+
+    emb_def = (
+        "emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 "
+        "FROM embeddings),\n    "
+        f"emb AS (SELECT vec_id, {norm_expr('e0')} AS e FROM emb0)")
+    ctes = _sql_lloyd_chain(emb_def, n_clusters, iters, seed, n_sample)
+    return "WITH " + ",".join(ctes) + f""",
+    cn AS (SELECT cluster, {norm_expr('vals')} AS nv, vals
+           FROM cent{iters}),
+    asg AS (
+        SELECT v.vec_id, v.e, c.cluster, c.nv
+        FROM emb v, cn c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY list_inner_product(v.e, c.vals)
+                     - 0.5 * list_inner_product(c.vals, c.vals) DESC,
+                     c.cluster ASC) = 1
+    ),
+    gx AS (
+        SELECT vec_id, cluster, e, list_inner_product(e, nv) AS csim
+        FROM asg
+    ),
+    g AS (
+        SELECT vec_id, cluster, e, csim,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY csim, vec_id) AS p
+        FROM gx
+    ),
+    pc AS (
+        SELECT x.cluster, x.p AS pa_, y.p AS pb
+        FROM g x JOIN g y ON x.cluster = y.cluster AND y.p < x.p
+        WHERE list_inner_product(x.e, y.e) >= {tau}
+    ),
+    conf AS (SELECT cluster, pa_ AS p, list(pb) AS cf
+             FROM pc GROUP BY cluster, pa_),
+    g2 AS (
+        SELECT g.vec_id, g.cluster, g.p,
+               COALESCE(conf.cf, CAST([] AS BIGINT[])) AS cf
+        FROM g LEFT JOIN conf USING (cluster, p)
+    ),
+    rec AS (
+        WITH RECURSIVE r(cluster, step, kept) AS (
+            SELECT cluster, CAST(1 AS BIGINT), [p] FROM g2 WHERE p = 1
+            UNION ALL
+            SELECT r.cluster, r.step + 1,
+                   CASE WHEN list_has_any(x.cf, r.kept) THEN r.kept
+                        ELSE list_append(r.kept, x.p) END
+            FROM r JOIN g2 x ON x.cluster = r.cluster
+                            AND x.p = r.step + 1
+        ) SELECT * FROM r
+    ),
+    fin AS (
+        SELECT cluster, kept FROM rec
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                                   ORDER BY step DESC) = 1
+    )
+    SELECT g2.vec_id, g2.cluster, list_contains(f.kept, g2.p) AS keep
+    FROM g2 JOIN fin f USING (cluster)
+    """
+
+
+ORACLE_SQL["e_semdedup"] = _sql_semdedup()

@@ -75,14 +75,13 @@ ORACLE_CHECKED = [
     "e_knn_graph", "d_pack_sequences", "d_lm_score", "d_bloom_new",
     "e_centroid_dist", "e_knn_label_vote",
     "d_substring_pairs", "d_suffix_pairs", "q_approx_distinct",
-    "e_dup_lsh", "ev_motif", "e_kmeans", "e_knn_ivf",
+    "e_dup_lsh", "ev_motif", "e_kmeans", "e_knn_ivf", "e_semdedup",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
              "d_dup_clusters",
              "d_minhash_pairs",
-             "d_incremental_pairs", "d_tiered_dedup",
-             "e_semdedup"]
+             "d_incremental_pairs", "d_tiered_dedup"]
 
 
 def test_kmeans_oracle_preconditions(duck):
