@@ -1319,6 +1319,41 @@ def q_approx_percentiles(sf_dir: str):
     })
 
 
+def q_sample_percentiles(sf_dir: str):
+    """Deterministic percentiles over l_extendedprice via the
+    bottom-k-by-splitmix64 sample (k=4096) — the partitioning-
+    independent sibling of q_approx_percentiles: sample membership
+    depends only on each row's hashed key, never on block boundaries,
+    so the result is bit-identical across any layout or parallelism
+    level AND SQL-expressible — this entry carries a FULL hash-compared
+    oracle (:func:`mhray.stages.freqjob.sample_percentiles`). The
+    sampled values are copied, never computed, so engine and oracle
+    agree bit-for-bit with no float-parity risk."""
+    import pyarrow.compute as pc
+
+    from mhray.stages.freqjob import sample_percentiles
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(pc.cast(batch.column("l_orderkey"),
+                                         pa.int64()), pa.scalar(8)),
+                     pc.cast(batch.column("l_linenumber"), pa.int64()))
+        return pa.table({"rk": key,
+                         "l_extendedprice":
+                             batch.column("l_extendedprice")})
+
+    res = sample_percentiles(
+        li.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_extendedprice", "rk", qs=(0.1, 0.25, 0.5, 0.75, 0.9))
+    return pa.table({
+        "q": pa.array(sorted(res), pa.float64()),
+        "value": pa.array([res[q] for q in sorted(res)], pa.float64()),
+    })
+
+
 def d_ngram_topk(sf_dir: str):
     """Global top-20 word bigrams (boilerplate/stopword mining) with
     the count pushed below the shuffle — each batch emits pre-counted
@@ -1788,6 +1823,9 @@ QUERIES = {
     "ev_motif": ev_motif,
     "d_compression_ratio": d_compression_ratio,
     "d_sketch_align": d_sketch_align,
+    # round-5 addition (oracle-backed; sits outside the driver's
+    # 50-key window, witnessed by CORRECTNESS_full + pytest)
+    "q_sample_percentiles": q_sample_percentiles,
 }
 
 ORACLE_SQL = {
@@ -2487,7 +2525,12 @@ ORACLE_SQL = {
     #     see _sql_kmeans / _sql_ivf_knn / _sql_semdedup)
     #   q_approx_percentiles: the equi-depth summary merge is
     #     block-partitioning-dependent (compression order), so no
-    #     stable cross-engine value; error bounds pytest-asserted
+    #     stable cross-engine value; error bounds pytest-asserted.
+    #     Its deterministic sibling q_sample_percentiles (bottom-k by
+    #     splitmix64 of the row key — layout-independent by
+    #     construction) DOES carry a full oracle, so the percentile
+    #     shape is hash-witnessed; the equi-depth entry remains as the
+    #     weighted-summary scale path
     #     (q_approx_distinct graduated in round 5: the HLL estimate is
     #     deterministic given splitmix64, see its oracle below)
     #   d_sketch_align: float32 one-skip DP over window sketches
@@ -3104,6 +3147,39 @@ ORACLE_SQL["q_approx_distinct"] = f"""
                   * ln(CAST(16384.0 AS DOUBLE) / zeros)
              ELSE rawe END, 0) AS BIGINT) AS approx_distinct_parts
     FROM fin
+"""
+
+# q_sample_percentiles is deterministic end-to-end: the sample is
+# "bottom 4096 rows by (splitmix64(l_orderkey*8 + l_linenumber),
+# value)" — a pure SELECTION, no arithmetic ever touches the sampled
+# values — so DuckDB reproduces the engine's sample, and therefore
+# every percentile, bit-for-bit. The quantile index ceil(q*n) is the
+# same IEEE double multiply in both engines, and ties at the bottom-k
+# boundary (duplicate keys) can only swap EQUAL values, so the value
+# multiset is layout-independent (stages/freqjob.py sample_percentiles).
+ORACLE_SQL["q_sample_percentiles"] = f"""
+    WITH k0 AS (
+        SELECT CAST(l_orderkey * 8 + l_linenumber AS HUGEINT) AS x,
+               l_extendedprice AS v
+        FROM lineitem
+    ),
+    s0 AS (SELECT (x + {0x9E3779B97F4A7C15}) % {_M64} AS x, v FROM k0),
+    s1 AS (SELECT {_sql_xor64('x', f'x // {1 << 30}')} AS x, v FROM s0),
+    s2 AS (SELECT {_sql_mul64('x', 0xBF58476D1CE4E5B9)} AS x, v FROM s1),
+    s3 AS (SELECT {_sql_xor64('x', f'x // {1 << 27}')} AS x, v FROM s2),
+    s4 AS (SELECT {_sql_mul64('x', 0x94D049BB133111EB)} AS x, v FROM s3),
+    hx AS (SELECT {_sql_xor64('x', f'x // {1 << 31}')} AS h, v FROM s4),
+    samp AS (SELECT v FROM hx ORDER BY h, v LIMIT 4096),
+    sv AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn,
+               (SELECT COUNT(*) FROM samp) AS n
+        FROM samp
+    )
+    SELECT CAST(q AS DOUBLE) AS q, sv.v AS value
+    FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) qs(q)
+    JOIN sv ON sv.rn = LEAST(GREATEST(
+        CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT), 1), n)
+    ORDER BY q
 """
 
 # e_dup_lsh graduates in round 5: the PCG64 hyperplanes are

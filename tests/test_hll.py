@@ -95,6 +95,60 @@ def test_approx_percentiles_empty_and_exact_small(ray_session):
     assert abs(out[0.5] - 50.0) <= 1.0
 
 
+def test_sample_percentiles_layout_independent(ray_session):
+    """The bottom-k-by-hash sample depends only on per-row keys, so
+    the result must be BIT-identical across block layouts, partition
+    counts, and duplicate-key tie orders — the property that makes
+    q_sample_percentiles oracle-comparable where the equi-depth
+    summary is not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.freqjob import sample_percentiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(mean=2.0, sigma=1.0, size=20_000)
+    # duplicate keys on purpose (each key twice, arbitrary values):
+    # boundary ties must not change the sampled value multiset
+    keys = np.concatenate([np.arange(10_000)] * 2).astype(np.int64)
+    t = pa.table({"x": pa.array(vals, pa.float64()),
+                  "k": pa.array(keys, pa.int64())})
+    outs = []
+    for parts, nparts in ((2, 3), (16, 8), (64, 5)):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        outs.append(sample_percentiles(ds, "x", "k",
+                                       qs=(0.1, 0.5, 0.9), k=1024,
+                                       num_parts=nparts))
+    assert outs[0] == outs[1] == outs[2]
+    # rank error within the uniform-sampling bound (~1/sqrt(k)),
+    # 4x safety margin
+    sv = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(sv, outs[0][q]) / len(vals)
+        assert abs(rank - q) < 4 / np.sqrt(1024), (q, rank)
+
+
+def test_sample_percentiles_small_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mhray.stages.freqjob import sample_percentiles
+
+    e = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64()),
+                                      "k": pa.array([], pa.int64())}))
+    out = sample_percentiles(e, "x", "k", qs=(0.5,))
+    assert np.isnan(out[0.5])
+    # corpus smaller than k: the sample is the whole corpus and the
+    # percentile is exact (ceil(q*n)-th smallest)
+    small = ray.data.from_arrow(pa.table({
+        "x": pa.array(np.arange(100, dtype=np.float64)),
+        "k": pa.array(np.arange(100), pa.int64())}))
+    out = sample_percentiles(small, "x", "k", qs=(0.5,), k=4096)
+    assert out[0.5] == 49.0  # ceil(0.5*100)=50 -> 50th smallest = 49.0
+
+
 def test_bloom_no_false_negatives_and_bounded_fpr(ray_session):
     import numpy as np
     import pyarrow as pa
