@@ -160,7 +160,8 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
              "d_repetition", "d_chunk_dedup", "d_quality_buckets",
              "ev_json_extract", "d_containment_pairs", "d_novelty",
              "ev_retention", "ev_anomaly", "d_sketch_align",
-             "e_centroid_dist", "e_knn_label_vote", "d_suffix_pairs"]
+             "e_centroid_dist", "e_knn_label_vote", "d_suffix_pairs",
+             "q_sample_percentiles"]
     out = {}
     for name in names:
         t0 = time.time()
