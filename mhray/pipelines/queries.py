@@ -1262,6 +1262,33 @@ def d_dup_clusters(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def d_cluster_components(sf_dir: str):
+    """Distributed connected components with a FULL hash-compared
+    oracle: edges are the exact token-Jaccard pairs (tau=0.8 — integer
+    set arithmetic, so SQL-expressible), clustering is the same
+    iterative min-label propagation the flagship uses
+    (:func:`mhray.stages.cluster.cluster_edges`) with
+    ``driver_threshold=0`` so the DISTRIBUTED rounds — the 100-TB
+    scale path, normally only exercised above 2M edges — are the code
+    the oracle witnesses. Output: (doc_id, cluster_id) for every doc
+    in any pair, cluster_id = the component's min doc id; the DuckDB
+    oracle computes the same fixpoint as a recursive reach-set CTE."""
+    from mhray.stages.cluster import cluster_edges
+    from mhray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.8)
+    out = cluster_edges(pairs, num_partitions=_doc_parts(sf_dir),
+                        driver_threshold=0)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("iid"),
+                         "cluster_id": b.column("cluster_id")})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def e_pca(sf_dir: str):
     """Distributed PCA projection of the embedding table to 8 dims —
     per-batch (count, sum, X^T X) moment partials, driver-side d x d
@@ -1823,9 +1850,10 @@ QUERIES = {
     "ev_motif": ev_motif,
     "d_compression_ratio": d_compression_ratio,
     "d_sketch_align": d_sketch_align,
-    # round-5 addition (oracle-backed; sits outside the driver's
+    # round-5 additions (oracle-backed; sit outside the driver's
     # 50-key window, witnessed by CORRECTNESS_full + pytest)
     "q_sample_percentiles": q_sample_percentiles,
+    "d_cluster_components": d_cluster_components,
 }
 
 ORACLE_SQL = {
@@ -3180,6 +3208,40 @@ ORACLE_SQL["q_sample_percentiles"] = f"""
     JOIN sv ON sv.rn = LEAST(GREATEST(
         CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT), 1), n)
     ORDER BY q
+"""
+
+# d_cluster_components: connected components as a recursive reach-set
+# CTE — reach(node, anc) closes over the (undirected, so both-
+# direction) Jaccard edge set; MIN(anc) per node is exactly the
+# min-label-propagation fixpoint the distributed rounds converge to
+# (stages/cluster.py). Edge generation reuses the d_jaccard_pairs
+# oracle verbatim, so any mismatch isolates to the clustering stage.
+ORACLE_SQL["d_cluster_components"] = """
+    WITH RECURSIVE pairs AS (
+        WITH t AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS lo, b.doc_id AS hi
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)))
+              >= 0.8
+    ),
+    edges AS (
+        SELECT lo, hi FROM pairs
+        UNION ALL
+        SELECT hi AS lo, lo AS hi FROM pairs
+    ),
+    reach(node, anc) AS (
+        SELECT lo AS node, lo AS anc FROM edges
+        UNION
+        SELECT e.lo AS node, r.anc
+        FROM edges e JOIN reach r ON r.node = e.hi
+    )
+    SELECT node AS doc_id, MIN(anc) AS cluster_id
+    FROM reach GROUP BY node
 """
 
 # e_dup_lsh graduates in round 5: the PCG64 hyperplanes are

@@ -76,7 +76,7 @@ ORACLE_CHECKED = [
     "e_centroid_dist", "e_knn_label_vote",
     "d_substring_pairs", "d_suffix_pairs", "q_approx_distinct",
     "e_dup_lsh", "ev_motif", "e_kmeans", "e_knn_ivf", "e_semdedup",
-    "q_sample_percentiles",
+    "q_sample_percentiles", "d_cluster_components",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
