@@ -1246,9 +1246,12 @@ def d_dup_clusters(sf_dir: str):
     """Connected-component duplicate clusters over the verified
     MinHash near-dup pairs: (doc_id, cluster_id) with cluster_id =
     the component's min doc id (the flagship's clustering operator,
-    stages/cluster.py, surfaced over the documents table). Rows-only;
+    stages/cluster.py, surfaced over the documents table). Rows-only
+    because the EDGES come from the imperative verify kernel;
     label-propagation parity vs driver union-find is pytest-asserted
-    in the flagship e2e tests."""
+    in the flagship e2e tests, and the clustering stage itself is
+    hash-witnessed by :func:`d_cluster_components` (same operator,
+    SQL-expressible edges, full recursive-CTE oracle)."""
     from mhray.stages.cluster import cluster_edges
 
     pairs = d_minhash_pairs(sf_dir)
@@ -2545,7 +2548,9 @@ ORACLE_SQL = {
     #     d_dup_clusters: the MHAP positional verify kernel (bottom
     #     sketch median-shift two-pass) is an imperative algorithm
     #     with no SQL form; pipeline-vs-reference-oracle exactness is
-    #     pytest-asserted (tests/test_pipeline_e2e.py etc.)
+    #     pytest-asserted (tests/test_pipeline_e2e.py etc.); the
+    #     clustering stage downstream of the kernel IS hash-witnessed
+    #     via d_cluster_components (SQL-expressible edges)
     #   e_pca: eigendecomposition has no SQL form
     #     (e_kmeans / e_knn_ivf / e_semdedup all graduated in round 5:
     #     fixed iteration counts unroll into CTEs, and the semdedup
