@@ -157,6 +157,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise UnsupportedFormatError(
             f"bmp subset: BI_RGB 24/32-bit only (compression={comp}, "
             f"bits={bits})")
+    # width must be positive; height may be negative (top-down) but
+    # never zero — a 0/negative-width header is malformed, not an
+    # empty image (an (h,0,3) "decode" poisons downstream stats)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bmp dimensions invalid ({w}x{h})")
     bpp = bits // 8
     rows = abs(h)
     stride = ((w * bpp + 3) // 4) * 4

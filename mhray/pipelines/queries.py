@@ -3333,7 +3333,7 @@ def _sql_motif() -> str:
         FROM sd
     )
     SELECT user_id AS key, tsu AS start_ts, round(dist, 9) AS dist
-    FROM d ORDER BY dist, key, start_ts LIMIT 10
+    FROM d ORDER BY d.dist, d.user_id, d.tsu LIMIT 10
     """
 
 
@@ -3353,6 +3353,30 @@ ORACLE_SQL["ev_motif"] = _sql_motif()
 # positions inline as literals. Verified assignment-for-assignment at
 # sf0.001/0.01/0.1. Preconditions (pytest-guarded): corpus >= 256 rows
 # (the sample is full) and nonnegative vec_ids (signed/unsigned view).
+def _sql_norm(src: str) -> str:
+    """Cosine-normalize a DOUBLE[] expression (zero vectors pass
+    through) — shared by every oracle that mirrors the engines'
+    normalized-embedding space, so the zero-norm branch can never
+    drift between them."""
+    return (f"CASE WHEN sqrt(list_inner_product({src}, {src})) = 0 "
+            f"THEN {src} ELSE list_transform({src}, "
+            f"x -> x / sqrt(list_inner_product({src}, {src}))) END")
+
+
+def _sql_vecid_fingerprint(seed: int) -> str:
+    """SQL transcription of stages/ann.py:_hash_bottom_sample's
+    seed-mixed vec_id fingerprint (xor seed_mix, >>33, mul
+    0xFF51AFD7ED558CCD, >>33) — ONE definition shared by every oracle
+    that reproduces the hash-bottom sample, so the mix constants can
+    never drift between them. Returns the unsigned h expression;
+    callers apply the signed-view CASE."""
+    seed_mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    h0 = _sql_xor64("CAST(vec_id AS HUGEINT)", seed_mix)
+    h1 = _sql_xor64(f"({h0})", f"({h0}) // {1 << 33}")
+    h2 = _sql_mul64(f"({h1})", 0xFF51AFD7ED558CCD)
+    return _sql_xor64(f"({h2})", f"({h2}) // {1 << 33}")
+
+
 def _sql_lloyd_chain(emb_def: str, n_clusters: int, iters: int,
                      seed: int, n_sample: int) -> list[str]:
     """Shared unrolled-Lloyd CTE chain: ``emb_def`` must define a CTE
@@ -3363,14 +3387,10 @@ def _sql_lloyd_chain(emb_def: str, n_clusters: int, iters: int,
     seed-mixed vec_id fingerprint."""
     import numpy as np
 
-    seed_mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
     idx = np.random.default_rng(seed).choice(
         n_sample, size=n_clusters, replace=False)
     m64 = 1 << 64
-    h0 = _sql_xor64("CAST(vec_id AS HUGEINT)", seed_mix)
-    h1 = _sql_xor64(f"({h0})", f"({h0}) // {1 << 33}")
-    h2 = _sql_mul64(f"({h1})", 0xFF51AFD7ED558CCD)
-    h3 = _sql_xor64(f"({h2})", f"({h2}) // {1 << 33}")
+    h3 = _sql_vecid_fingerprint(seed)
     init_cases = " ".join(f"WHEN {int(p)} THEN {j}"
                           for j, p in enumerate(idx))
     init_list = ", ".join(str(int(p)) for p in idx)
@@ -3459,23 +3479,15 @@ def _sql_ivf_knn(n_cells: int = 16, nprobe: int = 4, k: int = 5,
                  n_sample: int = 512) -> str:
     import numpy as np
 
-    seed_mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
     m64 = 1 << 64
-    h0 = _sql_xor64("CAST(vec_id AS HUGEINT)", seed_mix)
-    h1 = _sql_xor64(f"({h0})", f"({h0}) // {1 << 33}")
-    h2 = _sql_mul64(f"({h1})", 0xFF51AFD7ED558CCD)
-    h3 = _sql_xor64(f"({h2})", f"({h2}) // {1 << 33}")
+    h3 = _sql_vecid_fingerprint(seed)
     vals = []
     for ns in (500, n_sample):
         pos = np.random.default_rng(seed).choice(
             ns, size=n_cells, replace=False)
         vals += [f"({ns}, {j}, {int(p)})" for j, p in enumerate(pos)]
     pos_values = ", ".join(vals)
-
-    def norm_expr(src: str) -> str:
-        return (f"CASE WHEN sqrt(list_inner_product({src}, {src})) = 0 "
-                f"THEN {src} ELSE list_transform({src}, "
-                f"x -> x / sqrt(list_inner_product({src}, {src}))) END")
+    norm_expr = _sql_norm
 
     ctes = [f"""
     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -3582,11 +3594,7 @@ ORACLE_SQL["e_knn_ivf"] = _sql_ivf_knn()
 # keep-for-keep at sf0.001/0.01/0.1.
 def _sql_semdedup(n_clusters: int = 16, iters: int = 3, seed: int = 13,
                   n_sample: int = 256, tau: float = 0.45) -> str:
-    def norm_expr(src: str) -> str:
-        return (f"CASE WHEN sqrt(list_inner_product({src}, {src})) = 0 "
-                f"THEN {src} ELSE list_transform({src}, "
-                f"x -> x / sqrt(list_inner_product({src}, {src}))) END")
-
+    norm_expr = _sql_norm
     emb_def = (
         "emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 "
         "FROM embeddings),\n    "

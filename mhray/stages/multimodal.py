@@ -246,18 +246,21 @@ def split_avi_rgb(b: bytes) -> list[np.ndarray]:
     """Parse an uncompressed RIFF/AVI (BI_RGB 24/32-bit DIB frames,
     biCompression=0 — the one AVI profile decodable without external
     codecs) into HxWx3 uint8 RGB frames. Pure struct + numpy: walks
-    hdrl/strl for the 'vids' BITMAPINFOHEADER, then the movi LIST for
-    the stream-0 '..db'/'..dc' frame chunks; rows are bottom-up BGR
-    with 4-byte stride padding per the DIB spec."""
+    hdrl/strl for the 'vids' BITMAPINFOHEADER (streams are numbered by
+    strl order, so the video need not be stream 0), then the movi LIST
+    for THAT stream's 'NNdb'/'NNdc' frame chunks; rows are bottom-up
+    BGR with 4-byte stride padding per the DIB spec."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     w = h = bits = None
-    frames_raw: list[bytes] = []
+    vids_idx = None
+    frames_by_stream: dict[bytes, list[bytes]] = {}
     for fcc, start, size in _riff_chunks(b, 12, len(b)):
         if fcc != b"LIST":
             continue
         kind = b[start:start + 4]
         if kind == b"hdrl":
+            ordinal = 0
             for f2, s2, z2 in _riff_chunks(b, start + 4, start + size):
                 if f2 != b"LIST" or b[s2:s2 + 4] != b"strl":
                     continue
@@ -267,7 +270,9 @@ def split_avi_rgb(b: bytes) -> list[np.ndarray]:
                         is_vids = b[s3:s3 + 4] == b"vids"
                     elif f3 == b"strf":
                         strf = (s3, z3)
-                if is_vids and strf is not None:
+                # first vids stream wins; its strl ordinal is the
+                # 2-digit prefix its frame chunks carry in movi
+                if is_vids and strf is not None and vids_idx is None:
                     s3, z3 = strf
                     if z3 < 20:
                         raise ValueError("truncated BITMAPINFOHEADER")
@@ -277,13 +282,20 @@ def split_avi_rgb(b: bytes) -> list[np.ndarray]:
                         raise ValueError(
                             f"AVI codec not decodable here (compression="
                             f"{comp}, bits={bc}); only BI_RGB 24/32")
+                    if bw <= 0 or bh == 0:
+                        raise ValueError(
+                            f"AVI frame dimensions invalid ({bw}x{bh})")
                     w, h, bits = bw, bh, bc
+                    vids_idx = ordinal
+                ordinal += 1
         elif kind == b"movi":
             for f2, s2, z2 in _riff_chunks(b, start + 4, start + size):
-                if f2[:2] == b"00" and f2[2:4] in (b"db", b"dc"):
-                    frames_raw.append(b[s2:s2 + z2])
+                if f2[:2].isdigit() and f2[2:4] in (b"db", b"dc"):
+                    frames_by_stream.setdefault(f2[:2], []).append(
+                        b[s2:s2 + z2])
     if w is None:
         raise ValueError("no uncompressed 'vids' stream found")
+    frames_raw = frames_by_stream.get(b"%02d" % vids_idx, [])
     bpp = bits // 8
     stride = ((w * bpp + 3) // 4) * 4
     rows = abs(h)
@@ -369,6 +381,11 @@ class VideoFrameSampleStage:
                     else:
                         decoded = split_avi_rgb(bytes(b))
                         count = len(decoded)
+                    if count == 0:
+                        # a frameless container is undecodable, not
+                        # "decoded to nothing" — stub (or raise) like
+                        # any other malformed payload
+                        raise ValueError("video stream has no frames")
                     take = np.unique(np.linspace(
                         0, count - 1, min(self.n_frames, count),
                         dtype=np.int64))

@@ -44,9 +44,49 @@ import pyarrow as pa
 
 from mhray.stages.candidates import (_pairs_within_groups, _part_of,
                                      auto_parts)
-from mhray.stages.substring import (_hash_prep, _window_hashes,
-                                    _winnow_select,
+from mhray.stages.substring import (_hash_prep, _winnow_select,
                                     longest_common_substring_len)
+
+
+def dedupe_member_sets(seth: np.ndarray, sizes: np.ndarray,
+                       members: np.ndarray) -> np.ndarray:
+    """Keep-mask over groups, collapsing groups with IDENTICAL member
+    sets: ``seth`` (one order-free hash per group) provides the
+    adjacency key, ``members`` holds each group's sorted members
+    concatenated in group order (``sizes`` gives the lengths).
+    Hash-adjacent groups are compared EXACTLY on their member arrays,
+    so a hash collision between distinct sets can only keep a
+    redundant group (extra work, deduped by the downstream pair
+    shuffle), never drop one — dropping would be an unrecoverable
+    false negative, since the verify stage only removes false
+    POSITIVES."""
+    from mhray.kernels import _concat_aranges
+
+    vstart = np.cumsum(sizes) - sizes  # group slices within members
+    grp_order = np.lexsort((members[vstart], sizes, seth))
+    seth_s = seth[grp_order]
+    size_s = sizes[grp_order]
+    start_s = vstart[grp_order]
+    cand = np.flatnonzero((seth_s[1:] == seth_s[:-1])
+                          & (size_s[1:] == size_s[:-1]))
+    keep_group = np.ones(len(sizes), bool)
+    if len(cand):
+        szs = size_s[cand]
+        gi = _concat_aranges(szs)
+        li = np.repeat(start_s[cand], szs) + gi
+        ri = np.repeat(start_s[cand + 1], szs) + gi
+        eq = members[li] == members[ri]
+        bounds = np.cumsum(szs) - szs
+        pair_eq = np.logical_and.reduceat(eq, bounds)
+        # equal-to-previous marks duplicates; identical sets sort
+        # adjacent (equal hash, size, first member — and stable order
+        # within ties), so equal runs collapse to their first group —
+        # transitively, since every later member of an equal run
+        # equals its predecessor
+        dup_sorted = np.zeros(len(grp_order), bool)
+        dup_sorted[cand[pair_eq] + 1] = True
+        keep_group[grp_order[dup_sorted]] = False
+    return keep_group
 
 
 def suffix_array(arr: np.ndarray) -> np.ndarray:
@@ -216,8 +256,9 @@ def suffix_array_pairs(ds, min_len: int = 32, window: int = 8,
         if dropped:
             print(f"[mhray] suffix-array group cap: dropped {dropped} "
                   "member docs in one partition")
-        # member-set hash (FNV over the kept sorted iids) to collapse
-        # groups with identical membership inside this partition
+        # collapse groups with identical membership inside this
+        # partition (exact comparison keyed by an order-free set hash
+        # — see dedupe_member_sets for the collision-safety argument)
         from mhray.kernels import _concat_aranges
 
         m_starts, m_kept = starts[multi], kept[multi]
@@ -229,12 +270,7 @@ def suffix_array_pairs(ds, min_len: int = 32, window: int = 8,
             h ^= h >> np.uint64(29)
             seth = np.zeros(len(m_starts), np.uint64)
             np.add.at(seth, gid_ord, h)  # order-free set hash
-            # fold the member count in so different-size sets can
-            # never collide on the 64-bit sum alone
-            seth ^= m_kept.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
-        uniq_first = np.unique(seth, return_index=True)[1]
-        keep_group = np.zeros(len(m_starts), bool)
-        keep_group[uniq_first] = True
+        keep_group = dedupe_member_sets(seth, m_kept, vv)
         sel = keep_group[gid_ord]
         return pa.table({
             "gid": pa.array(k[m_starts][gid_ord[sel]], pa.int64()),

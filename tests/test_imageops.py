@@ -237,3 +237,61 @@ def test_phash_knn_tie_break_deterministic(ray_session):
         out = phash_knn(ray.data.from_arrow(tbl).repartition(parts),
                         ["q"], k=3).to_pandas()
         assert list(out["neighbor_id"]) == ["na", "nb", "nc"], parts
+
+
+def test_avi_vids_not_stream_zero():
+    """An AVI whose video is NOT stream 0 (audio strl first — a common
+    mux layout) must still decode: frame chunks carry the vids strl's
+    ordinal as their 2-digit prefix."""
+    import struct as _struct
+
+    from mhray.stages.multimodal import encode_avi_rgb, split_avi_rgb
+
+    img = _img(6)
+    data = bytearray(encode_avi_rgb([img, img[::-1]]))
+
+    def chunk(fcc, payload):
+        return fcc + _struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    # rebuild: prepend an 'auds' strl, renumber frame chunks 00->01
+    hdrl_start = bytes(data).index(b"hdrl")
+    avih = bytes(data)[hdrl_start + 12: hdrl_start + 12 + 56]
+    strl_start = bytes(data).index(b"strl") - 8
+    strh_sz = _struct.unpack_from("<I", data, strl_start + 16)[0]
+    vids_strl = bytes(data)[strl_start: bytes(data).index(b"movi") - 8]
+    auds_strh = (b"auds" + b"\x00" * 4 + _struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0)
+        + _struct.pack("<4H", 0, 0, 0, 0))
+    auds_strl = lst(b"strl", chunk(b"strh", auds_strh)
+                    + chunk(b"strf", b"\x00" * 16))
+    movi_start = bytes(data).index(b"movi") - 8
+    movi = bytearray(bytes(data)[movi_start:])
+    assert movi.count(b"00db") == 2
+    movi = bytearray(movi.replace(b"00db", b"01db"))
+    new_hdrl = lst(b"hdrl", chunk(b"avih", avih) + auds_strl
+                   + lst(b"strl", vids_strl[12:]))
+    body = b"AVI " + new_hdrl + bytes(movi)
+    avi = chunk(b"RIFF", body)
+
+    frames = split_avi_rgb(avi)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], img)
+    np.testing.assert_array_equal(frames[1], img[::-1])
+    assert strh_sz > 0  # sanity on the parsed original
+
+
+def test_bmp_zero_width_rejected():
+    """A BMP header with width<=0 or height==0 is malformed, not an
+    empty image — it must raise, never 'decode' to an (h,0,3) array
+    that poisons downstream stats with NaN."""
+    data = bytearray(I.encode_bmp(_img(4)))
+    for w, h in ((0, 4), (-3, 4), (4, 0)):
+        bad = bytearray(data)
+        bad[18:22] = (w & 0xFFFFFFFF).to_bytes(4, "little")
+        bad[22:26] = (h & 0xFFFFFFFF).to_bytes(4, "little")
+        with pytest.raises(ValueError):
+            I.decode_bmp(bytes(bad))

@@ -168,3 +168,35 @@ def test_suffix_pairs_min_len_guard(ray_session):
                     "text": pa.array(["abc"])})
     with pytest.raises(ValueError):
         suffix_array_pairs(ray.data.from_arrow(tbl), min_len=3)
+
+
+def test_dedupe_member_sets_collision_safe():
+    """A set-hash collision between DIFFERENT member sets must keep
+    both groups (dropping one silently loses pairs the verify stage
+    can never recover); identical sets must still collapse. Collisions
+    are forced by feeding equal hashes directly."""
+    import numpy as np
+
+    from mhray.stages.suffixarray import dedupe_member_sets
+
+    # groups: {1,2}, {3,4}, {1,2}, {1,5} — all "colliding" (seth=0)
+    seth = np.zeros(4, np.uint64)
+    sizes = np.array([2, 2, 2, 2], np.int64)
+    members = np.array([1, 2, 3, 4, 1, 2, 1, 5], np.int64)
+    keep = dedupe_member_sets(seth, sizes, members)
+    # exactly one of the two {1,2} copies dropped, everything else kept
+    assert keep.sum() == 3
+    assert keep[1] and keep[3]          # distinct sets survive
+    assert bool(keep[0]) != bool(keep[2])  # one {1,2} representative
+
+    # mixed sizes on one hash never compare across sizes
+    seth = np.zeros(2, np.uint64)
+    sizes = np.array([2, 3], np.int64)
+    members = np.array([1, 2, 1, 2, 3], np.int64)
+    assert dedupe_member_sets(seth, sizes, members).all()
+
+    # distinct hashes: no comparisons, all kept
+    seth = np.array([1, 2, 3], np.uint64)
+    sizes = np.array([2, 2, 2], np.int64)
+    members = np.array([1, 2, 1, 2, 1, 2], np.int64)
+    assert dedupe_member_sets(seth, sizes, members).all()
