@@ -1384,6 +1384,60 @@ def q_sample_percentiles(sf_dir: str):
     })
 
 
+def q_ntile(sf_dir: str):
+    """Exact global NTILE(4) over l_extendedprice — the rank-based
+    quantile bucketing every "drop the bottom-quality decile" curation
+    step needs (:func:`mhray.stages.quantile.ntile`: one distributed
+    sort, then bucket boundaries located from block-count METADATA
+    with <= n_buckets-1 single-block reads — driver cost independent
+    of corpus size). Ties are broken by the unique row key, so the
+    bucket of every row is engine-independent and the oracle
+    hash-compares per row."""
+    from mhray.stages.quantile import ntile
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        rk = pc.add(pc.multiply(pc.cast(batch.column("l_orderkey"),
+                                        pa.int64()), pa.scalar(8)),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()))
+        return pa.table({"rk": rk, "v": batch.column("l_extendedprice")})
+
+    ds = li.map_batches(add_key, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = ntile(ds, 4, "v", "rk", bucket_col="bucket")
+    return out.select_columns(["rk", "bucket"])
+
+
+def q_outer_join(sf_dir: str):
+    """Per-customer order count INCLUDING zero-order customers — the
+    left-outer-join shape, composed scale-first: aggregate the fact
+    side down to one row per key BEFORE the join (fact rows never
+    reach the join operator), then a threshold-guarded broadcast/
+    shuffle left-attach (:func:`mhray.rayutil.attach_payload`,
+    how='left') with a vectorized zero-fill for the unmatched keys."""
+    from mhray.rayutil import attach_payload
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cnts = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="cnt")).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("o_custkey"),
+                            "cnt": b.column("cnt").cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = attach_payload(
+        cust, "c_custkey", cnts, "o_custkey", ("cnt",), "o", how="left",
+        pairs_schema=pa.schema([("c_custkey", pa.int64())]),
+        side_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("cnt", pa.int64())]))
+    return joined.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "order_cnt": pc.fill_null(b.column("cnt_o"), 0),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def d_ngram_topk(sf_dir: str):
     """Global top-20 word bigrams (boilerplate/stopword mining) with
     the count pushed below the shuffle — each batch emits pre-counted
@@ -1857,6 +1911,8 @@ QUERIES = {
     # 50-key window, witnessed by CORRECTNESS_full + pytest)
     "q_sample_percentiles": q_sample_percentiles,
     "d_cluster_components": d_cluster_components,
+    "q_ntile": q_ntile,
+    "q_outer_join": q_outer_join,
 }
 
 ORACLE_SQL = {
@@ -3247,6 +3303,20 @@ ORACLE_SQL["d_cluster_components"] = """
     )
     SELECT node AS doc_id, MIN(anc) AS cluster_id
     FROM reach GROUP BY node
+"""
+
+ORACLE_SQL["q_ntile"] = """
+    SELECT l_orderkey * 8 + l_linenumber AS rk,
+           NTILE(4) OVER (ORDER BY l_extendedprice,
+                          l_orderkey * 8 + l_linenumber) AS bucket
+    FROM lineitem
+"""
+
+ORACLE_SQL["q_outer_join"] = """
+    SELECT c.c_custkey AS c_custkey,
+           COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
 """
 
 # e_dup_lsh graduates in round 5: the PCG64 hyperplanes are
