@@ -1438,6 +1438,151 @@ def q_outer_join(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def m_image_features(sf_dir: str):
+    """REAL image decode end-to-end with a hash oracle: each doc_id
+    deterministically synthesizes an 8x8 PPM (pixel channels are
+    closed-form functions of (doc_id, row, col)), the actor-pool
+    :class:`mhray.stages.multimodal.ImageFeatureStage` decodes it with
+    the repo codec and computes the luma mean, and the DuckDB oracle
+    recomputes the same closed form over generate_series — so the
+    encode -> decode -> vectorized-feature path is externally
+    bit-witnessed, not just pytest-witnessed. Per-payload Python in
+    the synth/decode loop is inherent to codecs (same as the stage)."""
+    from mhray.imageops import encode_image
+    from mhray.stages.multimodal import image_features
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        blobs = []
+        for d in ids:
+            img = np.stack([(d * 31 + rr * 17 + cc * 7) % 256,
+                            (d * 13 + rr * 5 + cc * 11) % 256,
+                            (d * 7 + rr * 3 + cc * 13) % 256],
+                           axis=2).astype(np.uint8)
+            blobs.append(encode_image(img, "ppm"))
+        n = len(ids)
+        return pa.table({
+            "image_id": pa.array(ids, pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["ppm"] * n),
+            "w": pa.array(np.full(n, 8, np.int32)),
+            "h": pa.array(np.full(n, 8, np.int32)),
+            "phash": pa.array(np.zeros(n, np.int64)),
+        })
+
+    ds = docs.map_batches(synth, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return image_features(ds).select_columns(
+        ["image_id", "mean_luma", "decode_ok"])
+
+
+def m_audio_features(sf_dir: str):
+    """REAL PCM-WAV decode end-to-end with an INTEGER-exact oracle:
+    each doc_id synthesizes a square-wave WAV whose amplitude is a
+    power of two and whose length is a whole number of seconds, so the
+    stage's float features (duration, rms, zero-crossing rate) are
+    exactly representable and project to integers with no rounding
+    risk; the oracle recomputes them in closed form from doc_id.
+    Witnesses synth -> stdlib ``wave`` decode ->
+    :class:`mhray.stages.multimodal.AudioFeatureStage` -> projection."""
+    from mhray.stages.multimodal import AudioFeatureStage
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        blobs = []
+        for d in ids:
+            sr = 8000
+            n = sr * (1 + int(d) % 3)
+            amp = 1 << (7 + int(d) % 8)
+            x = np.where(np.arange(n) % 2 == 0, amp, -amp).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(x.tobytes())
+            blobs.append(buf.getvalue())
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["wav"] * len(ids)),
+        })
+
+    ds = docs.map_batches(synth, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    feats = ds.map_batches(AudioFeatureStage, fn_constructor_kwargs={},
+                           batch_size=64, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=(1, 4))
+
+    def project(b: pa.Table) -> pa.Table:
+        emb = b.column("audio_embedding")
+        dur = pc.list_element(emb, 0)
+        rms = pc.list_element(emb, 1)
+        zcr = pc.list_element(emb, 2)
+        return pa.table({
+            "id": b.column("id"),
+            "dur_s": pc.cast(dur, pa.int64()),
+            "rms_num": pc.cast(pc.multiply(
+                pc.cast(rms, pa.float64()), pa.scalar(32768.0)), pa.int64()),
+            "zcr_pm": pc.cast(pc.multiply(
+                pc.cast(zcr, pa.float64()), pa.scalar(1000.0)), pa.int64()),
+            "stub": b.column("stub"),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def m_video_frames(sf_dir: str):
+    """REAL uncompressed-AVI decode end-to-end with a hash oracle:
+    each doc_id synthesizes a two-frame 16x16 BI_RGB AVI, the
+    actor-pool :class:`mhray.stages.multimodal.VideoFrameSampleStage`
+    parses the RIFF container, picks evenly spaced frames and decodes
+    each DIB; frame indices and decoded dimensions are closed-form, so
+    the oracle is exact (pHash is projected out — no SQL form)."""
+    from mhray.stages.multimodal import VideoFrameSampleStage, encode_avi_rgb
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        blobs = []
+        for d in ids:
+            base = np.full((16, 16, 3), int(d) % 251, np.uint8)
+            blobs.append(encode_avi_rgb([base, 255 - base]))
+        return pa.table({
+            "video_id": pa.array(ids, pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["avi"] * len(ids)),
+        })
+
+    ds = docs.map_batches(synth, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    frames = ds.map_batches(VideoFrameSampleStage, fn_constructor_kwargs={},
+                            batch_size=32, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 4))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "video_id": b.column("video_id"),
+            "frame_index": b.column("frame_index").cast(pa.int64()),
+            "w": b.column("w").cast(pa.int64()),
+            "h": b.column("h").cast(pa.int64()),
+            "stub": b.column("stub"),
+        })
+
+    return frames.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def d_ngram_topk(sf_dir: str):
     """Global top-20 word bigrams (boilerplate/stopword mining) with
     the count pushed below the shuffle — each batch emits pre-counted
@@ -1913,6 +2058,9 @@ QUERIES = {
     "d_cluster_components": d_cluster_components,
     "q_ntile": q_ntile,
     "q_outer_join": q_outer_join,
+    "m_image_features": m_image_features,
+    "m_audio_features": m_audio_features,
+    "m_video_frames": m_video_frames,
 }
 
 ORACLE_SQL = {
@@ -3317,6 +3465,46 @@ ORACLE_SQL["q_outer_join"] = """
            COUNT(o.o_orderkey) AS order_cnt
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
+"""
+
+# Multimodal oracles: the engine runs the REAL codec paths (PPM
+# encode/decode, stdlib-wave PCM, RIFF/AVI DIB) over payloads
+# synthesized in closed form from doc_id; the SQL recomputes the same
+# closed form. m_audio/m_video are integer-exact by construction
+# (power-of-two amplitudes, whole-second durations, fixed frame
+# geometry); m_image's luma mean is float64 — AVG order can differ
+# from numpy's pairwise mean by ulps, but both sides round to 3
+# decimals and the deterministic corpus pins the values (verified
+# hash-equal at sf0.001/0.01; a boundary landing within 1e-12 of a
+# .0005 would be visible immediately, not intermittently).
+ORACLE_SQL["m_image_features"] = """
+    WITH px AS (
+        SELECT d.doc_id,
+               CAST((d.doc_id*31 + r.r*17 + c.c*7) % 256 AS DOUBLE) AS rr,
+               CAST((d.doc_id*13 + r.r*5 + c.c*11) % 256 AS DOUBLE) AS gg,
+               CAST((d.doc_id*7 + r.r*3 + c.c*13) % 256 AS DOUBLE) AS bb
+        FROM documents d,
+             generate_series(0, 7) r(r), generate_series(0, 7) c(c)
+    )
+    SELECT doc_id AS image_id,
+           round(AVG(0.299*rr + 0.587*gg + 0.114*bb), 3) AS mean_luma,
+           TRUE AS decode_ok
+    FROM px GROUP BY doc_id
+"""
+
+ORACLE_SQL["m_audio_features"] = """
+    SELECT doc_id AS id,
+           1 + doc_id % 3 AS dur_s,
+           (1::BIGINT << (7 + CAST(doc_id % 8 AS INT))) AS rms_num,
+           1000 AS zcr_pm,
+           FALSE AS stub
+    FROM documents
+"""
+
+ORACLE_SQL["m_video_frames"] = """
+    SELECT doc_id AS video_id, f AS frame_index,
+           16 AS w, 16 AS h, FALSE AS stub
+    FROM documents, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) t(f)
 """
 
 # e_dup_lsh graduates in round 5: the PCG64 hyperplanes are

@@ -77,7 +77,8 @@ ORACLE_CHECKED = [
     "d_substring_pairs", "d_suffix_pairs", "q_approx_distinct",
     "e_dup_lsh", "ev_motif", "e_kmeans", "e_knn_ivf", "e_semdedup",
     "q_sample_percentiles", "d_cluster_components", "q_ntile",
-    "q_outer_join",
+    "q_outer_join", "m_image_features", "m_audio_features",
+    "m_video_frames",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
