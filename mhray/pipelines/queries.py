@@ -1541,6 +1541,50 @@ def m_audio_features(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def m_image_resize(sf_dir: str):
+    """REAL resize path end-to-end with a hash oracle: the same
+    synthesized 8x8 PPMs as :func:`m_image_features` run through the
+    actor-pool :class:`mhray.stages.multimodal.ImageResizeStage`
+    (decode -> nearest-resample to 4x4 -> re-encode) and THEN through
+    the feature stage, so decode->resample->encode->decode->luma is
+    one externally witnessed chain; nearest-neighbor indices are
+    closed-form (src = 2*dst for 8->4), so the oracle evaluates the
+    pixel formula at the resampled grid."""
+    from mhray.imageops import encode_image
+    from mhray.stages.multimodal import ImageResizeStage, image_features
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        blobs = []
+        for d in ids:
+            img = np.stack([(d * 31 + rr * 17 + cc * 7) % 256,
+                            (d * 13 + rr * 5 + cc * 11) % 256,
+                            (d * 7 + rr * 3 + cc * 13) % 256],
+                           axis=2).astype(np.uint8)
+            blobs.append(encode_image(img, "ppm"))
+        n = len(ids)
+        return pa.table({
+            "image_id": pa.array(ids, pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(["ppm"] * n),
+            "w": pa.array(np.full(n, 8, np.int32)),
+            "h": pa.array(np.full(n, 8, np.int32)),
+        })
+
+    ds = docs.map_batches(synth, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    small = ds.map_batches(ImageResizeStage,
+                           fn_constructor_kwargs={"side": 4,
+                                                  "out_fmt": "ppm"},
+                           batch_size=64, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=(1, 4))
+    return image_features(small).select_columns(
+        ["image_id", "mean_luma", "decode_ok"])
+
+
 def m_video_frames(sf_dir: str):
     """REAL uncompressed-AVI decode end-to-end with a hash oracle:
     each doc_id synthesizes a two-frame 16x16 BI_RGB AVI, the
@@ -2061,6 +2105,7 @@ QUERIES = {
     "m_image_features": m_image_features,
     "m_audio_features": m_audio_features,
     "m_video_frames": m_video_frames,
+    "m_image_resize": m_image_resize,
 }
 
 ORACLE_SQL = {
@@ -3499,6 +3544,24 @@ ORACLE_SQL["m_audio_features"] = """
            1000 AS zcr_pm,
            FALSE AS stub
     FROM documents
+"""
+
+ORACLE_SQL["m_image_resize"] = """
+    WITH px AS (
+        SELECT d.doc_id,
+               CAST((d.doc_id*31 + (r.r*2)*17 + (c.c*2)*7) % 256
+                    AS DOUBLE) AS rr,
+               CAST((d.doc_id*13 + (r.r*2)*5 + (c.c*2)*11) % 256
+                    AS DOUBLE) AS gg,
+               CAST((d.doc_id*7 + (r.r*2)*3 + (c.c*2)*13) % 256
+                    AS DOUBLE) AS bb
+        FROM documents d,
+             generate_series(0, 3) r(r), generate_series(0, 3) c(c)
+    )
+    SELECT doc_id AS image_id,
+           round(AVG(0.299*rr + 0.587*gg + 0.114*bb), 3) AS mean_luma,
+           TRUE AS decode_ok
+    FROM px GROUP BY doc_id
 """
 
 ORACLE_SQL["m_video_frames"] = """
