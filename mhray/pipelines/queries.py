@@ -1385,14 +1385,18 @@ def q_sample_percentiles(sf_dir: str):
 
 
 def q_ntile(sf_dir: str):
-    """Exact global NTILE(4) over l_extendedprice — the rank-based
-    quantile bucketing every "drop the bottom-quality decile" curation
-    step needs (:func:`mhray.stages.quantile.ntile`: one distributed
-    sort, then bucket boundaries located from block-count METADATA
-    with <= n_buckets-1 single-block reads — driver cost independent
-    of corpus size). Ties are broken by the unique row key, so the
-    bucket of every row is engine-independent and the oracle
-    hash-compares per row."""
+    """Exact global NTILE(4) over the DISTINCT (row key, price) pairs
+    — the rank-based quantile bucketing every "drop the bottom-quality
+    decile" curation step needs (:func:`mhray.stages.quantile.ntile`:
+    one distributed sort, then bucket boundaries located from
+    block-count METADATA with <= n_buckets-1 single-block reads —
+    driver cost independent of corpus size). ntile's precondition is a
+    UNIQUE (value, id) composite per row; (l_orderkey, l_linenumber)
+    is NOT unique in the driver corpus (~20% duplicate keys at sf0.1),
+    so the distinct-pair projection — one hash-shuffle groupby, the
+    d_exact_dedup idiom — restores the precondition BY CONSTRUCTION:
+    distinct pairs are a total order under (v, rk), making every row's
+    bucket engine-independent and per-row hash-comparable."""
     from mhray.stages.quantile import ntile
 
     li = _read(sf_dir, "lineitem",
@@ -1406,7 +1410,9 @@ def q_ntile(sf_dir: str):
 
     ds = li.map_batches(add_key, batch_format="pyarrow",
                         zero_copy_batch=True)
-    out = ntile(ds, 4, "v", "rk", bucket_col="bucket")
+    distinct = ds.groupby(["rk", "v"]).aggregate(
+        Count(alias_name="__c")).drop_columns(["__c"])
+    out = ntile(distinct, 4, "v", "rk", bucket_col="bucket")
     return out.select_columns(["rk", "bucket"])
 
 
@@ -1421,11 +1427,13 @@ def q_outer_join(sf_dir: str):
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
+    # materialize: attach_payload's broadcast-fit probe (count) and the
+    # side fetch would otherwise each execute the scan+shuffle plan
     cnts = orders.groupby("o_custkey").aggregate(
         Count(alias_name="cnt")).map_batches(
         lambda b: pa.table({"o_custkey": b.column("o_custkey"),
                             "cnt": b.column("cnt").cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     joined = attach_payload(
         cust, "c_custkey", cnts, "o_custkey", ("cnt",), "o", how="left",
         pairs_schema=pa.schema([("c_custkey", pa.int64())]),
@@ -1438,42 +1446,46 @@ def q_outer_join(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _synth_ppm_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic 8x8 PPM per doc_id: pixel channels are closed-form
+    functions of (doc_id, row, col) that the m_image_* oracles
+    recompute over generate_series. ONE definition shared by
+    m_image_features and m_image_resize so the Python formula and the
+    two SQL transcriptions can never drift apart."""
+    from mhray.imageops import encode_image
+
+    ids = np.asarray(batch.column("doc_id"), np.int64)
+    rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    blobs = []
+    for d in ids:
+        img = np.stack([(d * 31 + rr * 17 + cc * 7) % 256,
+                        (d * 13 + rr * 5 + cc * 11) % 256,
+                        (d * 7 + rr * 3 + cc * 13) % 256],
+                       axis=2).astype(np.uint8)
+        blobs.append(encode_image(img, "ppm"))
+    n = len(ids)
+    return pa.table({
+        "image_id": pa.array(ids, pa.int64()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "fmt": pa.array(["ppm"] * n),
+        "w": pa.array(np.full(n, 8, np.int32)),
+        "h": pa.array(np.full(n, 8, np.int32)),
+    })
+
+
 def m_image_features(sf_dir: str):
     """REAL image decode end-to-end with a hash oracle: each doc_id
-    deterministically synthesizes an 8x8 PPM (pixel channels are
-    closed-form functions of (doc_id, row, col)), the actor-pool
-    :class:`mhray.stages.multimodal.ImageFeatureStage` decodes it with
-    the repo codec and computes the luma mean, and the DuckDB oracle
-    recomputes the same closed form over generate_series — so the
-    encode -> decode -> vectorized-feature path is externally
+    deterministically synthesizes an 8x8 PPM (:func:`_synth_ppm_batch`),
+    the actor-pool :class:`mhray.stages.multimodal.ImageFeatureStage`
+    decodes it with the repo codec and computes the luma mean, and the
+    DuckDB oracle recomputes the same closed form over generate_series
+    — so the encode -> decode -> vectorized-feature path is externally
     bit-witnessed, not just pytest-witnessed. Per-payload Python in
     the synth/decode loop is inherent to codecs (same as the stage)."""
-    from mhray.imageops import encode_image
     from mhray.stages.multimodal import image_features
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-    rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
-
-    def synth(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id"), np.int64)
-        blobs = []
-        for d in ids:
-            img = np.stack([(d * 31 + rr * 17 + cc * 7) % 256,
-                            (d * 13 + rr * 5 + cc * 11) % 256,
-                            (d * 7 + rr * 3 + cc * 13) % 256],
-                           axis=2).astype(np.uint8)
-            blobs.append(encode_image(img, "ppm"))
-        n = len(ids)
-        return pa.table({
-            "image_id": pa.array(ids, pa.int64()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "fmt": pa.array(["ppm"] * n),
-            "w": pa.array(np.full(n, 8, np.int32)),
-            "h": pa.array(np.full(n, 8, np.int32)),
-            "phash": pa.array(np.zeros(n, np.int64)),
-        })
-
-    ds = docs.map_batches(synth, batch_format="pyarrow",
+    ds = docs.map_batches(_synth_ppm_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
     return image_features(ds).select_columns(
         ["image_id", "mean_luma", "decode_ok"])
@@ -1549,32 +1561,12 @@ def m_image_resize(sf_dir: str):
     the feature stage, so decode->resample->encode->decode->luma is
     one externally witnessed chain; nearest-neighbor indices are
     closed-form (src = 2*dst for 8->4), so the oracle evaluates the
-    pixel formula at the resampled grid."""
-    from mhray.imageops import encode_image
+    pixel formula at the resampled grid. Shares
+    :func:`_synth_ppm_batch` with m_image_features."""
     from mhray.stages.multimodal import ImageResizeStage, image_features
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-    rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
-
-    def synth(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id"), np.int64)
-        blobs = []
-        for d in ids:
-            img = np.stack([(d * 31 + rr * 17 + cc * 7) % 256,
-                            (d * 13 + rr * 5 + cc * 11) % 256,
-                            (d * 7 + rr * 3 + cc * 13) % 256],
-                           axis=2).astype(np.uint8)
-            blobs.append(encode_image(img, "ppm"))
-        n = len(ids)
-        return pa.table({
-            "image_id": pa.array(ids, pa.int64()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "fmt": pa.array(["ppm"] * n),
-            "w": pa.array(np.full(n, 8, np.int32)),
-            "h": pa.array(np.full(n, 8, np.int32)),
-        })
-
-    ds = docs.map_batches(synth, batch_format="pyarrow",
+    ds = docs.map_batches(_synth_ppm_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
     small = ds.map_batches(ImageResizeStage,
                            fn_constructor_kwargs={"side": 4,
@@ -3499,10 +3491,12 @@ ORACLE_SQL["d_cluster_components"] = """
 """
 
 ORACLE_SQL["q_ntile"] = """
-    SELECT l_orderkey * 8 + l_linenumber AS rk,
-           NTILE(4) OVER (ORDER BY l_extendedprice,
-                          l_orderkey * 8 + l_linenumber) AS bucket
-    FROM lineitem
+    WITH d AS (
+        SELECT DISTINCT l_orderkey * 8 + l_linenumber AS rk,
+                        l_extendedprice AS v
+        FROM lineitem
+    )
+    SELECT rk, NTILE(4) OVER (ORDER BY v, rk) AS bucket FROM d
 """
 
 ORACLE_SQL["q_outer_join"] = """
