@@ -200,3 +200,46 @@ def test_dedupe_member_sets_collision_safe():
     sizes = np.array([2, 2, 2], np.int64)
     members = np.array([1, 2, 1, 2, 1, 2], np.int64)
     assert dedupe_member_sets(seth, sizes, members).all()
+
+
+def test_dedupe_member_sets_fuzz_exact():
+    """Property: keep-mask collapses EXACTLY the duplicate member
+    sets — one representative per distinct set, no distinct set lost —
+    under random sizes/members and adversarially colliding hashes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mhray.stages.suffixarray import dedupe_member_sets
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 40), st.integers(0, 2**31 - 1),
+           st.integers(1, 3))
+    def check(n_groups, seed, hash_mode):
+        rng = np.random.default_rng(seed)
+        sizes = rng.integers(2, 6, n_groups).astype(np.int64)
+        members = np.concatenate(
+            [np.sort(rng.choice(20, s, replace=False))
+             for s in sizes]) if n_groups else np.zeros(0, np.int64)
+        vstart = np.cumsum(sizes) - sizes
+        tups = [tuple(members[s:s + z])
+                for s, z in zip(vstart, sizes)]
+        if hash_mode == 1:    # all collide
+            seth = np.zeros(n_groups, np.uint64)
+        elif hash_mode == 2:  # honest set hash
+            seth = np.array([hash(t) & 0xFFFF for t in tups],
+                            np.uint64)
+        else:                 # collide within size classes only
+            seth = sizes.astype(np.uint64)
+        keep = dedupe_member_sets(seth, sizes, members)
+        kept = [t for t, k in zip(tups, keep) if k]
+        # every distinct set survives exactly...
+        assert set(kept) == set(tups)
+        # ...and under a truthful-or-constant hash, exactly once
+        # (hash_mode 2 may split equal sets across different hashes
+        # only if hash() collides across distinct tuples - guard: the
+        # mask never keeps MORE copies than exist)
+        if hash_mode in (1, 3):
+            assert len(kept) == len(set(tups))
+
+    check()
