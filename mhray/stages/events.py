@@ -403,9 +403,10 @@ def ts_motif_search(ds, key_col: str, ts_col: str, val_col: str,
 
     One hash partition by key, per-partition vectorized scan: each
     key's series sorts by time once, every length-m window is scored
-    through a sliding view + one matmul (means/stds via cumsum — no
-    per-window Python), partitions emit only their local top-k, and a
-    final sort+limit over k x parts rows picks the global answer.
+    through a sliding view + one matmul per 64k-window chunk (bounded
+    working set, no per-window Python), partitions emit only their
+    local top-k, and a final sort+limit over k x parts rows picks the
+    global answer.
     Returns (key, start_ts, dist) ascending by (dist, key, start_ts).
     """
     num_parts = auto_parts(num_parts)
@@ -445,14 +446,26 @@ def ts_motif_search(ds, key_col: str, ts_col: str, val_col: str,
         starts = np.flatnonzero(same)
         if len(starts) == 0:
             return empty
-        w = win[starts]
-        mu = w.mean(axis=1, keepdims=True)
-        sd = w.std(axis=1)
-        sd_safe = np.where(sd > 0, sd, 1.0)
-        # z-normalized squared distance: 2m - 2 * (wz . qz)
-        dots = ((w - mu) / sd_safe[:, None]) @ qz_
-        dist = np.sqrt(np.maximum(0.0, 2.0 * m - 2.0 * dots))
-        dist = np.where(sd > 0, dist, np.sqrt(2.0 * m))  # flat windows
+        # chunk the gathered window matrix: win[starts] materializes
+        # O(windows x m) float64, which at multi-million-row
+        # partitions is gigabytes; 64k windows a chunk bounds the
+        # working set at ~64k*m*8 bytes with per-window arithmetic
+        # bit-identical to the unchunked form (every op below is
+        # window-local; only the O(windows) dist vector accumulates)
+        dist_parts = []
+        for s in range(0, len(starts), 1 << 16):
+            w = win[starts[s: s + (1 << 16)]]
+            mu = w.mean(axis=1, keepdims=True)
+            sd = w.std(axis=1)
+            sd_safe = np.where(sd > 0, sd, 1.0)
+            # z-normalized squared distance: 2m - 2 * (wz . qz);
+            # flat windows (sd == 0) have w - mu exactly 0, so dots
+            # is exactly 0 and dist lands on sqrt(2m) with no
+            # special-casing
+            dots = ((w - mu) / sd_safe[:, None]) @ qz_
+            dist_parts.append(
+                np.sqrt(np.maximum(0.0, 2.0 * m - 2.0 * dots)))
+        dist = np.concatenate(dist_parts)
         take = min(top_k, len(starts))
         kk, tt = key[starts], ts[starts]
         top = np.lexsort((tt, kk, dist))[:take]

@@ -83,11 +83,19 @@ class CountMin:
 
     def __init__(self, eps: float = 1e-5, delta: float = 1e-3,
                  seed: int = 11, grid: np.ndarray | None = None):
-        self.width = int(np.ceil(np.e / eps))
-        self.depth = int(np.ceil(np.log(1.0 / delta)))
+        if grid is not None:
+            # dimensions come from the grid itself — round-tripping
+            # them through (eps, delta) floats can reconstruct
+            # width+1 (ceil of an inexact division), leaving
+            # self.width disagreeing with the grid shape: queries
+            # then hash with the wrong modulus or IndexError
+            self.depth, self.width = grid.shape
+            self.grid = grid
+        else:
+            self.width = int(np.ceil(np.e / eps))
+            self.depth = int(np.ceil(np.log(1.0 / delta)))
+            self.grid = np.zeros((self.depth, self.width), dtype=np.int64)
         self.seed = seed
-        self.grid = (grid if grid is not None
-                     else np.zeros((self.depth, self.width), dtype=np.int64))
 
     def _cols(self, keys: np.ndarray) -> np.ndarray:
         x = keys.view(np.uint64)[None, :].repeat(self.depth, axis=0)
@@ -113,8 +121,9 @@ class CountMin:
         return est
 
     def merge(self, other: "CountMin") -> "CountMin":
-        return CountMin(grid=self.grid + other.grid, seed=self.seed,
-                        eps=np.e / self.width, delta=np.exp(-self.depth))
+        if self.grid.shape != other.grid.shape or self.seed != other.seed:
+            raise ValueError("CountMin merge requires identical shape/seed")
+        return CountMin(grid=self.grid + other.grid, seed=self.seed)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +178,10 @@ class HyperLogLog:
 
     def estimate(self) -> float:
         m = float(self.m)
-        alpha = 0.7213 / (1.0 + 1.079 / m)
+        # the asymptotic alpha only holds for m >= 128; the original
+        # paper pins the small-m constants explicitly (p = 4/5/6)
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            self.m, 0.7213 / (1.0 + 1.079 / m))
         e = alpha * m * m / np.sum(np.exp2(-self.reg.astype(np.float64)))
         zeros = int(np.count_nonzero(self.reg == 0))
         if e <= 2.5 * m and zeros > 0:

@@ -31,20 +31,36 @@ import re
 _TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 
 
+def _texts(batch: pa.Table, text_col: str) -> list:
+    """Text column as a Python list with nulls coalesced to "" — one
+    null row must degrade like an empty doc, never AttributeError the
+    whole map_batches task."""
+    return [t if t is not None else ""
+            for t in batch.column(text_col).to_pylist()]
+
+
 def token_stats(batch: pa.Table, text_col: str = "text",
                 id_col: str = "doc_id") -> pa.Table:
     """Whitespace token counts + quality ratios, SQL-matched definitions:
     n_tokens = len(split(text,' ')), n_chars = length(text),
-    stop_ratio = round(#tokens in ('the','a') / n_tokens, 4)."""
-    split = pc.split_pattern(batch.column(text_col), " ")
+    stop_ratio = round(#tokens in ('the','a') / n_tokens, 4).
+    Fully Arrow-vectorized (ONE split; the stopword count reuses it via
+    flatten + is_in + per-list reduceat); nulls degrade like empty."""
+    col = pc.fill_null(batch.column(text_col), "")
+    split = pc.split_pattern(col, " ")
     n_tokens = pc.list_value_length(split).cast(pa.int64())
-    n_chars = pc.utf8_length(batch.column(text_col)).cast(pa.int64())
-    texts = batch.column(text_col).to_pylist()
-    stops = np.fromiter(
-        (sum(1 for t in s.split(" ") if t in _STOPWORDS_EN) for s in texts),
-        np.int64, len(texts),
-    )
-    nt = np.maximum(np.asarray(n_tokens), 1)
+    n_chars = pc.utf8_length(col).cast(pa.int64())
+    lens = np.asarray(n_tokens)
+    if batch.num_rows:
+        stop_mask = pc.is_in(pc.list_flatten(split),
+                             value_set=pa.array(list(_STOPWORDS_EN)))
+        sm = np.asarray(stop_mask).astype(np.int64)
+        # every row has >= 1 token ("" splits to [""]), so no
+        # zero-length reduceat segments
+        stops = np.add.reduceat(sm, np.cumsum(lens) - lens)
+    else:
+        stops = np.zeros(0, np.int64)
+    nt = np.maximum(lens, 1)
     return pa.table({
         id_col: batch.column(id_col),
         "n_tokens": n_tokens,
@@ -57,7 +73,7 @@ def token_stats(batch: pa.Table, text_col: str = "text",
 def bpe_token_count(batch: pa.Table, text_col: str = "text",
                     id_col: str = "doc_id") -> pa.Table:
     """Regex 'BPE-ish' token counting (words / numbers / punctuation)."""
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     counts = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
                          np.int64, len(texts))
     return pa.table({
@@ -78,7 +94,7 @@ def lang_id(batch: pa.Table, text_col: str = "text",
             id_col: str = "doc_id") -> pa.Table:
     """Stopword-profile language heuristic; 'und' (undetermined) when no
     profile scores. Deterministic tie-break by language code."""
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     preds = []
     for t in texts:
         words = set(w for w in _WS_SPLIT_RE.split(t.lower()) if w)
@@ -155,7 +171,7 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     n-grams — negligible, and only nudges ratios upward)."""
     from mhray.stages.decontam import _ngram_keys, _token_hash_stream
 
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     nd = len(texts)
     th, lens = _token_hash_stream(texts)
     nw = lens.astype(np.int64)
@@ -345,6 +361,7 @@ def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
         if len(flat) < n:
             return pa.table({"ngram": pa.array([], pa.string()),
                              "partial": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
                              "tpart": pa.array([], pa.int32())})
         # n-gram start i is valid when tokens i..i+n-1 share a doc
         valid = parent[:len(parent) - n + 1] == parent[n - 1:]
@@ -367,6 +384,10 @@ def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
         return pa.table({
             "ngram": uniq,
             "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            # carry the 64-bit gram hash through the shuffle so
+            # local_topk never re-encodes + re-murmurs every distinct
+            # string (the 'th' pattern top_terms uses)
+            "h": pa.array(h_s[starts_u].view(np.int64), pa.int64()),
             "tpart": pa.array(_part_of(h_s[starts_u], num_parts),
                               pa.int32()),
         })
@@ -375,7 +396,7 @@ def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
         if part.num_rows == 0:
             return pa.table({"ngram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        h = hash_strings64(part.column("ngram"))
+        h = np.asarray(part.column("h"), np.int64)
         p = np.asarray(part.column("partial"), np.int64)
         order = np.argsort(h, kind="stable")
         h_s = h[order]
@@ -427,10 +448,15 @@ def ngram_topk(ds, k: int = 20, n: int = 2, text_col: str = "text",
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    # a phone needs a + prefix or internal separators — a bare digit
-    # run is an id_number, not a phone
+    # a phone needs a + prefix, a parenthesized area code, space-
+    # grouped digits, or dash groups whose MIDDLE run is >= 3 digits —
+    # shapes ISO dates (2026-08-19) and dd-mm-yyyy (2-digit middles,
+    # dash-only) can never take, so dates stop being redacted as
+    # phones; a bare digit run is an id_number, not a phone
     ("phone", r"\+\d[\d\-\s()]{6,}\d"
-              r"|\(?\d{1,4}[\s\-()]+\d{2,4}[\s\-()]+[\d\-\s()]*\d"),
+              r"|\(\d{1,4}\)[\s\-]*\d{2,4}[\d\s\-()]*\d"
+              r"|\d{1,4} \d{2,4} [\d\s]*\d"
+              r"|\d{1,4}-\d{3,4}-\d{3,}"),
     ("id_number", r"\d{6,}"),
 )
 
@@ -473,8 +499,11 @@ def json_extract_int(batch: pa.Table, col: str = "props", key: str = "k",
     object); rows without the key extract as NULL, matching SQL
     ``json_extract`` semantics. ``strict=True`` instead runs a real
     ``json.loads`` per row for producers that emit nested objects
-    where the same key could appear at depth (the fast path would
-    match it); parity of both paths on flat objects is pytest-checked.
+    where the same key could appear at depth, OR string values that
+    embed the quoted ``"key": <int>`` pattern (e.g.
+    ``{"note": "set \\"k\\": 3", "k": 7}`` — the fast path would
+    return the 3 inside the string literal); parity of both paths on
+    flat objects is pytest-checked.
     """
     column = batch.column(col)
     if strict:
@@ -556,7 +585,7 @@ def trigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        keys, _ = _trigram_keys_batch(batch.column(text_col).to_pylist())
+        keys, _ = _trigram_keys_batch(_texts(batch, text_col))
         if len(keys) == 0:
             return pa.table({"key": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
@@ -581,8 +610,7 @@ def trigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                          float(np.log(floor_count / max(total, 1.0)))))
 
     def score(batch: pa.Table) -> pa.Table:
-        keys, doc_idx = _trigram_keys_batch(
-            batch.column(text_col).to_pylist())
+        keys, doc_idx = _trigram_keys_batch(_texts(batch, text_col))
         n = batch.num_rows
         mkeys, mlogp, floor_lp = ray.get(model_ref)
         lp = np.full(len(keys), floor_lp)
@@ -613,7 +641,7 @@ def winnow_fingerprints(batch: pa.Table, k: int = 8, window: int = 4,
     doc. The distributed exact-substring pass groups on fingerprint."""
     from mhray.kernels import shingle_hashes64
 
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     ids = np.asarray(batch.column(id_col))
     hashes, offs = shingle_hashes64(texts, k)
     out_ids, out_fps = [], []
@@ -649,7 +677,7 @@ def compression_ratio(batch: pa.Table, text_col: str = "text",
     """
     import zlib
 
-    texts = batch.column(text_col).to_pylist()
+    texts = _texts(batch, text_col)
     ratios = np.zeros(len(texts), np.int64)
     raw_bytes = np.zeros(len(texts), np.int64)
     for i, t in enumerate(texts):

@@ -588,3 +588,67 @@ def test_read_documents_ipc_mixed_nullability(tmp_path, ray_session):
             for r in read_documents(str(tmp_path), fmt="ipc",
                                     file_extensions=["arrow"]).take_all()}
     assert got2 == got
+
+
+def test_countmin_merge_preserves_grid_shape():
+    """merge must inherit dimensions from the grid, not round-trip
+    them through (eps, delta) floats — ceil of an inexact division
+    reconstructed width+1 for many widths, leaving the merged sketch's
+    modulus disagreeing with its grid (IndexError / wrong cells)."""
+    from mhray.stages.freqjob import CountMin
+
+    a = CountMin(eps=0.0013980199, delta=1e-3)  # width 1945 repro
+    b = CountMin(eps=0.0013980199, delta=1e-3)
+    keys = np.arange(1000, dtype=np.int64)
+    a.add(keys)
+    b.add(keys)
+    m = a.merge(b)
+    assert m.width == a.width and m.grid.shape == a.grid.shape
+    assert (m.query(keys) >= 2).all()
+    m.add(keys)  # previously IndexError on the phantom column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        a.merge(CountMin(eps=0.01, delta=1e-3))
+
+
+def test_scrub_pii_dates_not_phones():
+    """ISO dates, dd-mm-yyyy dates and spaced numeric ranges must
+    survive scrubbing; phone shapes must still be caught."""
+    from mhray.stages.text import scrub_pii
+
+    keep = ["released on 2026-08-19 by", "meet 19-08-2026 ok",
+            "pages 100 - 200 - 300"]
+    redact = ["call +1 (555) 123-4567 now", "ring (0171) 123 4567",
+              "dial 555-123-4567", "tel 0171 123 4567"]
+    out = scrub_pii(pa.table({"text": pa.array(keep + redact)}))
+    scrubbed = out.column("text_scrubbed").to_pylist()
+    n_phone = out.column("n_phone").to_pylist()
+    for i, t in enumerate(keep):
+        assert scrubbed[i] == t and n_phone[i] == 0, t
+    for j in range(len(keep), len(keep) + len(redact)):
+        assert "[PHONE]" in scrubbed[j] and n_phone[j] == 1
+        assert not any(ch.isdigit() for ch in scrubbed[j])
+
+
+def test_text_stages_tolerate_null_text():
+    """A null text row must degrade like an empty doc in every text
+    stage, never AttributeError the whole map_batches task."""
+    from mhray.stages.text import (bpe_token_count, compression_ratio,
+                                   lang_id, token_stats,
+                                   winnow_fingerprints)
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the quick fox", None, ""], pa.string()),
+    })
+    ts = token_stats(batch)
+    assert ts.column("n_tokens").to_pylist()[0] == 3
+    assert ts.column("n_chars").to_pylist()[1] == 0
+    assert ts.column("stop_ratio").to_pylist()[0] == 3333
+    assert bpe_token_count(batch).column("n_bpe_tokens").to_pylist() == \
+        [3, 0, 0]
+    assert lang_id(batch).column("lang_pred").to_pylist()[1] == "und"
+    assert compression_ratio(batch).column("raw_bytes").to_pylist()[1] == 0
+    fp = winnow_fingerprints(batch)
+    assert 1 not in set(fp.column("doc_id").to_pylist())
