@@ -103,8 +103,11 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
     if resume and os.path.exists(marker) and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
-        if digest is None or (manifest.get("config_digest") == digest
-                              and manifest.get("persisted", True)):
+        # the persisted gate applies even to digest-less resumes — a
+        # persist=False manifest means data_dir is absent or stale
+        if manifest.get("persisted", True) and (
+                digest is None
+                or manifest.get("config_digest") == digest):
             return ray.data.read_parquet(data_dir)
 
     t0 = time.time()
@@ -112,6 +115,11 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
     if not persist:
         ds = ds.materialize()
         os.makedirs(stage_dir, exist_ok=True)
+        # invalidate any previous persisted attempt BEFORE writing the
+        # new manifest: a crash between the two file ops must never
+        # leave a stale marker alongside a persisted:false manifest
+        if os.path.exists(marker):
+            os.remove(marker)
         manifest = {
             "stage": name,
             "rows": ds.count(),
@@ -123,8 +131,6 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
         }
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=1)
-        if os.path.exists(marker):
-            os.remove(marker)
         return ds
     os.makedirs(data_dir, exist_ok=True)
     for old in os.listdir(data_dir):  # clear a partial previous attempt
@@ -138,12 +144,18 @@ def stage_checkpoint(name: str, out_dir: str, compute, cfg=None,
         # downstream dies. Persist one typed empty file instead.
         import pyarrow as pa
 
-        schema = ds.schema()
-        base = getattr(schema, "base_schema", schema)
-        if not isinstance(base, pa.Schema):
-            # an all-empty computed Dataset can lose its schema
-            # entirely; callers with a fixed stage schema pass it
+        if isinstance(empty_schema, pa.Schema):
+            # prefer the caller-declared schema: ds.schema() on the
+            # already-consumed lazy dataset re-executes upstream plan
+            # fragments just to recover the schema
             base = empty_schema
+        else:
+            schema = ds.schema()
+            base = getattr(schema, "base_schema", schema)
+            if not isinstance(base, pa.Schema):
+                # an all-empty computed Dataset can lose its schema
+                # entirely; callers with a fixed stage schema pass it
+                base = empty_schema
         if isinstance(base, pa.Schema):
             pq.write_table(base.empty_table(),
                            os.path.join(data_dir, "empty.parquet"))

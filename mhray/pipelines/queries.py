@@ -3170,9 +3170,10 @@ ORACLE_SQL["d_pack_sequences"] = f"""
     d AS (
         SELECT part, doc_id, n_tokens,
                LEAST(n_tokens, 128) AS eff,
-               ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY part
+                                  ORDER BY doc_id, n_tokens) AS rn,
                SUM(LEAST(n_tokens, 128)) OVER (
-                   PARTITION BY part ORDER BY doc_id) AS cs
+                   PARTITION BY part ORDER BY doc_id, n_tokens) AS cs
         FROM parts
     ),
     nmax AS (SELECT part, MAX(rn) AS n FROM d GROUP BY part),

@@ -104,8 +104,15 @@ def _levenshtein(a: str, b: str) -> int:
 def alignment_identity(s1: str, s2: str) -> tuple[float, int]:
     """(identity, alignment_length): matches/length of a global
     alignment — the getScore semantics (EstimateROC.java:665-716) with
-    unit gap costs; length = max(len) lower-bounds the alignment."""
-    length = max(len(s1), len(s2))
+    unit gap costs; length = max(len) lower-bounds the alignment.
+    Length is measured in UTF-16 code units — the SAME coordinate
+    space _levenshtein edits in (and Java String.length()) — so
+    identity stays in [0, 1] for astral (non-BMP) text; counting code
+    points here while editing code units deflated identity below 0
+    for emoji-bearing pairs."""
+    l1 = len(s1.encode("utf-16-le")) // 2
+    l2 = len(s2.encode("utf-16-le")) // 2
+    length = max(l1, l2)
     if length == 0:
         return 1.0, 0
     d = _levenshtein(s1, s2)

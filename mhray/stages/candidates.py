@@ -194,19 +194,7 @@ def make_emit_pairs_packed(cap: int, num_parts: int | None = None):
         lo, hi, capped, dropped = _pairs_within_groups(keys, iids, cap)
         if dropped:
             print(f"[mhray] candidate group cap: dropped {dropped} ids in one partition")
-        tbl = pa.table({
-            "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
-            "capped": pa.array(capped),
-            "n": pa.array(np.ones(len(lo), np.int64)),
-        })
-        agg = tbl.group_by(["lo", "hi"]).aggregate([("n", "sum"), ("capped", "max")])
-        agg = agg.rename_columns(["lo", "hi", "partial_count", "capped"])
-        if num_parts is not None:
-            agg = agg.append_column("pair_part", pa.array(_pair_part(
-                np.asarray(agg.column("lo"), np.int64),
-                np.asarray(agg.column("hi"), np.int64), num_parts),
-                pa.int32()))
-        return agg
+        return aggregate_pair_partials(lo, hi, capped, num_parts)
 
     return emit_pairs_packed
 
@@ -271,6 +259,31 @@ def _pairs_within_groups(keys: np.ndarray, iids: np.ndarray, cap: int,
     return lo, hi, capped, dropped
 
 
+def aggregate_pair_partials(lo: np.ndarray, hi: np.ndarray,
+                            capped: np.ndarray,
+                            num_parts: int | None = None) -> pa.Table:
+    """(lo, hi, capped) pair arrays -> grouped (lo, hi, partial_count,
+    capped[, pair_part]) partial-count table. ONE definition for every
+    pair emitter (minhash, packed, incremental cross): the positional
+    rename after ``group_by().aggregate()`` is load-bearing — it
+    assumes the pinned pyarrow emits group keys first — so a pyarrow
+    ordering change must be fixed in exactly one place."""
+    tbl = pa.table({
+        "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
+        "capped": pa.array(capped),
+        "n": pa.array(np.ones(len(lo), np.int64)),
+    })
+    agg = tbl.group_by(["lo", "hi"]).aggregate([("n", "sum"),
+                                                ("capped", "max")])
+    agg = agg.rename_columns(["lo", "hi", "partial_count", "capped"])
+    if num_parts is not None:
+        agg = agg.append_column("pair_part", pa.array(_pair_part(
+            np.asarray(agg.column("lo"), np.int64),
+            np.asarray(agg.column("hi"), np.int64), num_parts),
+            pa.int32()))
+    return agg
+
+
 def make_emit_pairs(cap: int, with_payload: bool = False,
                     payload_cols: tuple = ("phash",),
                     num_parts: int | None = None):
@@ -315,19 +328,7 @@ def make_emit_pairs(cap: int, with_payload: bool = False,
                     np.asarray(agg.column("hi"), np.int64), num_parts),
                     pa.int32()))
             return agg
-        tbl = pa.table({
-            "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
-            "capped": pa.array(capped),
-            "n": pa.array(np.ones(len(lo), np.int64)),
-        })
-        agg = tbl.group_by(["lo", "hi"]).aggregate([("n", "sum"), ("capped", "max")])
-        agg = agg.rename_columns(["lo", "hi", "partial_count", "capped"])
-        if num_parts is not None:
-            agg = agg.append_column("pair_part", pa.array(_pair_part(
-                np.asarray(agg.column("lo"), np.int64),
-                np.asarray(agg.column("hi"), np.int64), num_parts),
-                pa.int32()))
-        return agg
+        return aggregate_pair_partials(lo, hi, capped, num_parts)
 
     return emit_pairs
 

@@ -158,6 +158,10 @@ def decontaminate(docs, bench, n: int = 8, *, id_col: str = "doc_id",
             "kpart": pa.array(_part_of(dk, num_parts), pa.int32()),
             "key": pa.array(dk, pa.int64()),
             "doc": pa.array(ids, pa.int64()),
+            # explicit role tag — a doc == -1 sentinel would collide
+            # with (or silently drop) legitimate negative doc ids,
+            # diverging from the broadcast path on the same input
+            "role": pa.array(np.zeros(len(dd), np.int8), pa.int8()),
         })
 
     def bench_keys(batch: pa.Table) -> pa.Table:
@@ -165,7 +169,8 @@ def decontaminate(docs, bench, n: int = 8, *, id_col: str = "doc_id",
         return pa.table({
             "kpart": pa.array(_part_of(k, num_parts), pa.int32()),
             "key": batch.column("key"),
-            "doc": pa.array(np.full(len(k), -1), pa.int64()),
+            "doc": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            "role": pa.array(np.ones(len(k), np.int8), pa.int8()),
         })
 
     both = docs.map_batches(corpus_shingles, batch_format="pyarrow",
@@ -178,9 +183,10 @@ def decontaminate(docs, bench, n: int = 8, *, id_col: str = "doc_id",
                              "hits": pa.array([], pa.int64())})
         k = np.asarray(part.column("key"), np.int64)
         d = np.asarray(part.column("doc"), np.int64)
-        # keys present on the bench side (doc == -1)
-        bk = np.unique(k[d == -1])
-        m = (d >= 0)
+        role = np.asarray(part.column("role"), np.int8)
+        # keys present on the bench side
+        bk = np.unique(k[role == 1])
+        m = role == 0
         if len(bk):
             posn = np.minimum(np.searchsorted(bk, k), len(bk) - 1)
             m &= bk[posn] == k

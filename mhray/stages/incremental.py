@@ -84,17 +84,9 @@ def make_emit_cross_pairs(cap: int, num_parts: int):
         hi = iv[np.repeat(istart[ij], tot) + t % ni_rep]
         capped = np.repeat(capped_g, tot)
 
-        tbl = pa.table({
-            "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
-            "capped": pa.array(capped),
-            "n": pa.array(np.ones(len(lo), np.int64)),
-        })
-        agg = tbl.group_by(["lo", "hi"]).aggregate([("n", "sum"),
-                                                    ("capped", "max")])
-        agg = agg.rename_columns(["lo", "hi", "partial_count", "capped"])
-        return agg.append_column("pair_part", pa.array(_pair_part(
-            np.asarray(agg.column("lo"), np.int64),
-            np.asarray(agg.column("hi"), np.int64), num_parts), pa.int32()))
+        from mhray.stages.candidates import aggregate_pair_partials
+
+        return aggregate_pair_partials(lo, hi, capped, num_parts)
 
     return emit_cross
 

@@ -16,6 +16,15 @@ sequence when the next doc does not fit. Cost is one ``searchsorted``
 per OUTPUT SEQUENCE (not per doc) against the token-count cumsum, so
 the Python loop runs sequences-not-rows times (budget >> median doc
 length in practice).
+
+Zero-token docs occupy no space, so next-fit leaves them in whatever
+sequence is open: one may share an oversized doc's sequence, and one
+arriving while a sequence is exactly full is recorded at
+``offset == budget`` (an empty slice — no token position is ever
+out of range). The SQL oracle computes the identical cumsum
+placements, so the two stay in lockstep on these edges. Duplicate
+doc_ids order by (id, n_tokens) — identical pairs are interchangeable
+— keeping the layout deterministic across block arrival orders.
 """
 
 from __future__ import annotations
@@ -96,7 +105,9 @@ def pack_sequences(ds, budget: int, *, id_col: str = "doc_id",
         ids = np.asarray(part.column(id_col), np.int64)
         nt = np.asarray(part.column("n_tokens"), np.int64)
         p = int(part.column("part")[0].as_py())
-        order = np.argsort(ids)
+        # (id, n_tokens) sort: a bare id argsort leaves duplicate ids
+        # ordered by block arrival — nondeterministic across runs
+        order = np.lexsort((nt, ids))
         seq, off, trunc = pack_next_fit(nt[order], budget)
         return pa.table({
             id_col: pa.array(ids[order], pa.int64()),
