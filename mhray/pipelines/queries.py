@@ -1416,6 +1416,28 @@ def q_ntile(sf_dir: str):
     return out.select_columns(["rk", "bucket"])
 
 
+def q_rank_in_group(sf_dir: str):
+    """Per-order DENSE_RANK of lineitems by extended price, descending
+    — the windowed-rank operator (``DENSE_RANK() OVER (PARTITION BY
+    ... ORDER BY ... DESC)``) behind every "keep each group's top-k
+    variants" curation rule, with a FULL hash-compared oracle. Dense
+    ranks are engine-independent under float ties (equal values share
+    a rank — no id tiebreak needed, unlike ROW_NUMBER) and the ranked
+    values are compared, never recomputed, so engine and SQL agree
+    bit-for-bit (:func:`mhray.stages.quantile.dense_rank_in_group`:
+    one hash partition by order key, then one lexsort + change-flag
+    cumsum per partition — no per-group Python)."""
+    from mhray.stages.quantile import dense_rank_in_group
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = dense_rank_in_group(li, "l_orderkey", "l_extendedprice",
+                              carry_cols=("l_linenumber",),
+                              rank_col="price_rank", descending=True)
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "price_rank"])
+
+
 def q_outer_join(sf_dir: str):
     """Per-customer order count INCLUDING zero-order customers — the
     left-outer-join shape, composed scale-first: aggregate the fact
@@ -2098,6 +2120,7 @@ QUERIES = {
     "m_audio_features": m_audio_features,
     "m_video_frames": m_video_frames,
     "m_image_resize": m_image_resize,
+    "q_rank_in_group": q_rank_in_group,
 }
 
 ORACLE_SQL = {
@@ -3505,6 +3528,13 @@ ORACLE_SQL["q_outer_join"] = """
            COUNT(o.o_orderkey) AS order_cnt
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
+"""
+
+ORACLE_SQL["q_rank_in_group"] = """
+    SELECT l_orderkey, l_linenumber,
+           DENSE_RANK() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_extendedprice DESC) AS price_rank
+    FROM lineitem
 """
 
 # Multimodal oracles: the engine runs the REAL codec paths (PPM

@@ -101,3 +101,61 @@ def ntile(ds, n_buckets: int, val_col: str, id_col: str,
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+def dense_rank_in_group(ds, key_col: str, val_col: str,
+                        carry_cols: tuple[str, ...] = (),
+                        rank_col: str = "rank",
+                        descending: bool = True,
+                        num_parts: int | None = None):
+    """Per-group DENSE_RANK: rank of each row's ``val_col`` within its
+    ``key_col`` group, ties sharing a rank with no gaps — the ANSI
+    ``DENSE_RANK() OVER (PARTITION BY key ORDER BY val [DESC])`` shape
+    every "keep each group's top-priced variants" curation rule needs.
+
+    Because equal values share a rank, the output is engine-independent
+    under ties without any id tiebreak (unlike ROW_NUMBER). One hash
+    partition by key, then one lexsort + two vectorized change-flag
+    cumsums per partition — no per-group Python. ``val_col`` must be
+    NaN-free (rank order over NaN is undefined; values are compared,
+    never recomputed, so float ties match SQL bit-for-bit)."""
+    from mhray.stages.candidates import _part_of, auto_parts
+
+    num_parts = auto_parts(num_parts)
+    cols = [key_col, val_col, *carry_cols]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column(key_col), dtype=np.int64)
+        out = {"__part": pa.array(_part_of(key, num_parts), pa.int32())}
+        for c in cols:
+            out[c] = batch.column(c)
+        return pa.table(out)
+
+    def ranks(group: pa.Table) -> pa.Table:
+        key = np.asarray(group.column(key_col), dtype=np.int64)
+        v = group.column(val_col).to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            raise ValueError(
+                f"dense_rank_in_group: {val_col} contains NaN — rank "
+                "order over NaN is undefined; filter or fill first")
+        n = len(key)
+        order = np.lexsort((-v if descending else v, key))
+        key_s, v_s = key[order], v[order]
+        new_key = np.ones(n, dtype=bool)
+        new_val = np.ones(n, dtype=bool)
+        if n > 1:
+            new_key[1:] = np.diff(key_s) != 0
+            new_val[1:] = (v_s[1:] != v_s[:-1]) | new_key[1:]
+        csum = np.cumsum(new_val.astype(np.int64))
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        base = np.repeat(csum[starts] - 1, seg_len) if n else csum
+        take = pa.array(order, pa.int64())
+        out = {c: group.column(c).take(take) for c in cols}
+        out[rank_col] = pa.array(csum - base, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part", num_partitions=num_parts) \
+        .map_groups(ranks, batch_format="pyarrow")

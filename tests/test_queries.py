@@ -78,7 +78,7 @@ ORACLE_CHECKED = [
     "e_dup_lsh", "ev_motif", "e_kmeans", "e_knn_ivf", "e_semdedup",
     "q_sample_percentiles", "d_cluster_components", "q_ntile",
     "q_outer_join", "m_image_features", "m_audio_features",
-    "m_video_frames", "m_image_resize",
+    "m_video_frames", "m_image_resize", "q_rank_in_group",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
