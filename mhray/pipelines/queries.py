@@ -1438,6 +1438,24 @@ def q_rank_in_group(sf_dir: str):
                                "price_rank"])
 
 
+def d_edit_pairs(sf_dir: str):
+    """Edit-distance similarity self-join: (lo, hi, dist) for doc
+    pairs within 4 Levenshtein edits, both texts >= 104 code points —
+    the fuzzy-typo near-dup geometry (Jaccard/SimHash/substring can
+    miss or over-match a handful of character edits), with a FULL
+    hash-compared oracle. Engine: char-8-gram prefix postings (each
+    doc posts its q*k+1 = 33 RAREST grams; completeness proof in
+    :mod:`mhray.stages.editjoin`), one hash shuffle, banded-Levenshtein
+    verify on candidates only. Oracle: a shared-20-char-window
+    pigeonhole join (complete because 4 edits leave a common run of
+    >= (104-4)/5 = 20 chars) + DuckDB ``levenshtein``. Distances are
+    integers, so engine and SQL agree bit-for-bit."""
+    from mhray.stages.editjoin import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return edit_distance_pairs(docs, k=4, q=8, min_len=104)
+
+
 def q_outer_join(sf_dir: str):
     """Per-customer order count INCLUDING zero-order customers — the
     left-outer-join shape, composed scale-first: aggregate the fact
@@ -2121,6 +2139,7 @@ QUERIES = {
     "m_video_frames": m_video_frames,
     "m_image_resize": m_image_resize,
     "q_rank_in_group": q_rank_in_group,
+    "d_edit_pairs": d_edit_pairs,
 }
 
 ORACLE_SQL = {
@@ -3535,6 +3554,33 @@ ORACLE_SQL["q_rank_in_group"] = """
            DENSE_RANK() OVER (PARTITION BY l_orderkey
                               ORDER BY l_extendedprice DESC) AS price_rank
     FROM lineitem
+"""
+
+# Edit-distance join oracle. Pigeonhole prefilter: Levenshtein <= 4
+# partitions an optimal alignment into <= 5 exact-match runs covering
+# >= min(len)-4 chars, so with both lengths >= 104 some run has
+# >= (104-4)/5 = 20 chars — every qualifying pair shares a verbatim
+# 20-char window, and the window equi-join is a complete candidate set
+# (the same pigeonhole the engine's q-gram prefix filter uses, in
+# window form so it is one SQL equi-join instead of a cross join).
+ORACLE_SQL["d_edit_pairs"] = """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 104
+    ),
+    pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 19)) AS i
+        FROM d
+    ),
+    w AS (SELECT doc_id, text, substr(text, i::INT, 20) AS win FROM pos),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi,
+                        a.text AS ta, b.text AS tb
+        FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        WHERE abs(length(a.text) - length(b.text)) <= 4
+    )
+    SELECT lo, hi, levenshtein(ta, tb) AS dist
+    FROM cand WHERE levenshtein(ta, tb) <= 4
 """
 
 # Multimodal oracles: the engine runs the REAL codec paths (PPM
