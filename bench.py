@@ -161,7 +161,8 @@ def run_catalog_queries(sf_dir: str) -> dict[str, float]:
              "ev_json_extract", "d_containment_pairs", "d_novelty",
              "ev_retention", "ev_anomaly", "d_sketch_align",
              "e_centroid_dist", "e_knn_label_vote", "d_suffix_pairs",
-             "q_sample_percentiles"]
+             "q_sample_percentiles", "q_rank_in_group", "d_edit_pairs",
+             "d_dup_triangles"]
     out = {}
     for name in names:
         t0 = time.time()

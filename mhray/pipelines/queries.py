@@ -1456,6 +1456,25 @@ def d_edit_pairs(sf_dir: str):
     return edit_distance_pairs(docs, k=4, q=8, min_len=104)
 
 
+def d_dup_triangles(sf_dir: str):
+    """Per-doc triangle participation counts over the exact
+    token-Jaccard dup graph (tau=0.8) — graph analytics one step past
+    connected components, with a FULL hash-compared oracle: a
+    component whose members share many triangles is a genuine dup
+    clique; a chain-shaped component with none is the θ-tail artifact
+    CALIBRATION.md characterizes. Edges are the oracle-green
+    d_jaccard_pairs set; counting is two distributed joins
+    (:func:`mhray.stages.cluster.triangle_counts`); the SQL oracle
+    re-derives the same edges and closes wedges with the same two
+    joins."""
+    from mhray.stages.cluster import triangle_counts
+    from mhray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), tau=0.8)
+    return triangle_counts(pairs, num_parts=_doc_parts(sf_dir))
+
+
 def q_outer_join(sf_dir: str):
     """Per-customer order count INCLUDING zero-order customers — the
     left-outer-join shape, composed scale-first: aggregate the fact
@@ -2140,6 +2159,7 @@ QUERIES = {
     "m_image_resize": m_image_resize,
     "q_rank_in_group": q_rank_in_group,
     "d_edit_pairs": d_edit_pairs,
+    "d_dup_triangles": d_dup_triangles,
 }
 
 ORACLE_SQL = {
@@ -3581,6 +3601,26 @@ ORACLE_SQL["d_edit_pairs"] = """
     )
     SELECT lo, hi, levenshtein(ta, tb) AS dist
     FROM cand WHERE levenshtein(ta, tb) <= 4
+"""
+
+# Triangle counts compose the d_jaccard_pairs oracle as the edge CTE
+# (one definition of the edge set — the two can never drift apart);
+# wedge join + composite-key closure mirror the engine's two
+# safe_joins, then each triangle contributes one row per corner.
+ORACLE_SQL["d_dup_triangles"] = f"""
+    WITH e AS ({ORACLE_SQL["d_jaccard_pairs"]}),
+    tri AS (
+        SELECT e1.lo_id AS a, e1.hi_id AS b, e2.hi_id AS c
+        FROM e e1
+        JOIN e e2 ON e2.lo_id = e1.hi_id
+        JOIN e e3 ON e3.lo_id = e1.lo_id AND e3.hi_id = e2.hi_id
+    ),
+    nodes AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_tri FROM nodes GROUP BY doc_id
 """
 
 # Multimodal oracles: the engine runs the REAL codec paths (PPM

@@ -215,3 +215,66 @@ def assign_clusters(sketches_ds, pair_clusters, num_partitions: int = 16,
         })
 
     return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def triangle_counts(edges, num_parts: int = 8,
+                    lo_col: str = "lo", hi_col: str = "hi"):
+    """Per-node triangle participation counts over an undirected edge
+    list — the cluster-density / cohesion metric one step past
+    connected components (a component whose members all share
+    triangles is a genuine dup clique; a chain-shaped component with
+    none is the θ-tail artifact the calibration curve characterizes).
+
+    ``edges`` must be canonical (lo < hi, one row per undirected
+    edge). Standard two-join formulation, both joins distributed
+    (:func:`mhray.rayutil.safe_join`): wedges = E ⋈ E on the middle
+    vertex (id-orientation already spreads clique work: a member of an
+    m-clique is the middle of rank·(m−rank) wedges, never m²), then a
+    composite-key semi-join against E closes each wedge. Exact — no
+    caps; wedge volume is Σ_b deg⁻(b)·deg⁺(b), the same
+    output-proportional bound the oracle's SQL joins pay. Returns
+    (doc_id, n_tri) for every vertex in ≥1 triangle."""
+    import pyarrow.compute as pc
+
+    from mhray.rayutil import safe_join
+
+    e = edges.map_batches(
+        lambda b: pa.table({"a": b.column(lo_col).cast(pa.int64()),
+                            "b": b.column(hi_col).cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    e_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    wedges = safe_join(
+        e,
+        e.map_batches(lambda t: pa.table({"b2": t.column("a"),
+                                          "c": t.column("b")}),
+                      batch_format="pyarrow", zero_copy_batch=True),
+        join_type="inner", num_partitions=num_parts,
+        on=("b",), right_on=("b2",),
+        left_schema=e_schema,
+        right_schema=pa.schema([("b2", pa.int64()), ("c", pa.int64())]))
+
+    tri = safe_join(
+        wedges,
+        e.map_batches(lambda t: pa.table({"a2": t.column("a"),
+                                          "c2": t.column("b")}),
+                      batch_format="pyarrow", zero_copy_batch=True),
+        join_type="inner", num_partitions=num_parts,
+        on=("a", "c"), right_on=("a2", "c2"),
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("c", pa.int64())]),
+        right_schema=pa.schema([("a2", pa.int64()), ("c2", pa.int64())]))
+
+    def explode_nodes(batch: pa.Table) -> pa.Table:
+        cols = [np.asarray(batch.column(c), dtype=np.int64)
+                for c in ("a", "b", "c")]
+        return pa.table({"doc_id": pa.array(np.concatenate(cols),
+                                            pa.int64())})
+
+    counted = tri.map_batches(explode_nodes, batch_format="pyarrow") \
+        .groupby("doc_id").count()
+    return counted.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "n_tri": pc.cast(t.column("count()"),
+                                             pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
