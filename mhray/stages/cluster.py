@@ -233,7 +233,15 @@ def triangle_counts(edges, num_parts: int = 8,
     composite-key semi-join against E closes each wedge. Exact — no
     caps; wedge volume is Σ_b deg⁻(b)·deg⁺(b), the same
     output-proportional bound the oracle's SQL joins pay. Returns
-    (doc_id, n_tri) for every vertex in ≥1 triangle."""
+    (doc_id, n_tri) for every vertex in ≥1 triangle.
+
+    Scale bound, stated plainly: triangle counting is Θ(Σ triangles)
+    BY DEFINITION — a clique of size m holds C(m,3). Run it on
+    per-cluster subgraphs or rep-collapsed graphs (the flagship's
+    exact-dup collapse), not on a whole clique-heavy corpus graph: the
+    sf0.1 dup graph holds ~1e9 triangles and no implementation makes
+    that number cheap (hence it is excluded from the sf0.1 bench list;
+    the driver witnesses it at sf0.01 — 1.88M triangles, ~8s)."""
     import pyarrow.compute as pc
 
     from mhray.rayutil import safe_join
