@@ -137,6 +137,12 @@ def run_headline(num_cpus: int, rows: int = BENCH_ROWS) -> dict:
     n_pairs = res["pairs"].count()
     n_clusters = res["clusters"].count()
     elapsed = time.time() - t0
+    # bench checkpoints are disposable — accumulated rep/leg out_dirs
+    # (2.4 GB each at 2M rows) once filled the disk mid-catalog and
+    # OOD-killed a shuffle; reclaim as soon as the counts are in hand
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     out = {
         "sec": round(elapsed, 2),
         "rows": rows,
