@@ -111,15 +111,56 @@ def find_matches(query_ds, index, cfg: MhapConfig,
     same config — AbstractMatchSearch streams query sketches, it never
     stores them); ``index`` is a previous run's ``s1_sketches``
     checkpoint directory or a sketch Dataset. Pass the SAME ``freq_ref``
-    the index run used or signatures will not line up."""
+    the index run used or signatures will not line up.
+
+    Rep-collapse (the flagship's own scale trick, applied to -q mode):
+    identical captions have identical sketches, so only one REP per
+    distinct caption enters the LSH exchange on each side — the stored
+    index already carries ``rep_iid`` from its s1 run, the query batch
+    gets the same min-iid-per-caption assignment here via one narrow
+    groupby — and every verified rep pair expands to all member cross
+    pairs afterwards (output-proportional joins). Without the collapse
+    a clustered corpus pays clique² × shared-band candidate rows
+    (measured 87M partial pairs for a 100k-query / 2M-index run); the
+    expansion reproduces EXACTLY the pairs the uncollapsed exchange
+    verifies, because verify scores depend only on caption sketches
+    (parity pytest: tests/test_incremental.py). An index Dataset
+    without ``rep_iid`` (any ad-hoc sketch table) skips the index-side
+    collapse and still gets the query-side one."""
     from mhray.stages.sketch import sketch_dataset
-    from mhray.rayutil import attach_payload
+    from mhray.rayutil import attach_payload, safe_join
 
     num_parts = auto_parts(num_parts)
-    index_sk = load_sketch_index(index).materialize()
-    query_sk = sketch_dataset(query_ds, cfg, freq_ref=freq_ref,
-                              decode_pixels=decode_pixels) \
+    index_full = load_sketch_index(index).materialize()
+    query_full = sketch_dataset(query_ds, cfg, freq_ref=freq_ref,
+                                decode_pixels=decode_pixels) \
         .filter(expr="valid == True").materialize()
+
+    # --- rep collapse, index side (rep_iid persisted by s1) ---------
+    index_has_reps = "rep_iid" in index_full.schema().names
+    if index_has_reps:
+        index_sk = index_full.filter(expr="iid == rep_iid").materialize()
+        index_members = index_full.select_columns(["rep_iid", "iid"])
+    else:
+        index_sk = index_full
+        index_members = None
+
+    # --- rep collapse, query side (min iid per caption_hash) --------
+    from ray.data.aggregate import Min
+
+    qreps = query_full.select_columns(["caption_hash", "iid"]) \
+        .groupby("caption_hash").aggregate(Min("iid", alias_name="qrep")) \
+        .map_batches(lambda b: pa.table({
+            "caption_hash": b.column("caption_hash"),
+            "qrep": b.column("qrep").cast(pa.int64())}),
+            batch_format="pyarrow")
+    q_tagged = attach_payload(
+        query_full, "caption_hash", qreps, "caption_hash", ("qrep",),
+        "q", num_parts,
+        side_schema=pa.schema([("caption_hash", pa.int64()),
+                               ("qrep", pa.int64())]))
+    query_sk = q_tagged.filter(expr="iid == qrep_q").materialize()
+    query_members = q_tagged.select_columns(["qrep_q", "iid"])
 
     def tag(role: int):
         def add_role(batch: pa.Table) -> pa.Table:
@@ -175,7 +216,55 @@ def find_matches(query_ds, index, cfg: MhapConfig,
                         pairs_schema=mid, side_schema=side_schema)
     from mhray.stages.verify import VerifyPairs
 
-    return vj.map_batches(
+    verified = vj.map_batches(
         VerifyPairs(cfg), batch_size=cfg.verify_batch_size,
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+    # --- expand verified REP pairs to member cross pairs ------------
+    # Identical captions share sketches, so every member pair inherits
+    # the rep pair's verify metrics verbatim. Two inner joins, both
+    # output-proportional in the TRUE (uncollapsed) result size.
+    metric_fields = [("shared_slots", pa.int64()),
+                     ("score", pa.float64()), ("raw_score", pa.float64()),
+                     ("a1", pa.int32()), ("a2", pa.int32()),
+                     ("b1", pa.int32()), ("b2", pa.int32())]
+    verified_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                 *metric_fields])
+
+    out = safe_join(
+        verified,
+        query_members.map_batches(
+            lambda t: pa.table({"_qm_rep": t.column("qrep_q"),
+                                "_qm_iid": t.column("iid")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        join_type="inner", num_partitions=max(2, min(8, num_parts)),
+        on=("lo",), right_on=("_qm_rep",),
+        left_schema=verified_schema,
+        right_schema=pa.schema([("_qm_rep", pa.int64()),
+                                ("_qm_iid", pa.int64())]))
+    if index_members is not None:
+        out = safe_join(
+            out,
+            index_members.map_batches(
+                lambda t: pa.table({"_im_rep": t.column("rep_iid"),
+                                    "_im_iid": t.column("iid")}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            join_type="inner", num_partitions=max(2, min(8, num_parts)),
+            on=("hi",), right_on=("_im_rep",),
+            left_schema=pa.schema(list(verified_schema)
+                                  + [pa.field("_qm_iid", pa.int64())]),
+            right_schema=pa.schema([("_im_rep", pa.int64()),
+                                    ("_im_iid", pa.int64())]))
+
+    def project_members(batch: pa.Table) -> pa.Table:
+        cols = {"lo": batch.column("_qm_iid"),
+                "hi": (batch.column("_im_iid")
+                       if "_im_iid" in batch.column_names
+                       else batch.column("hi"))}
+        for name, typ in metric_fields:
+            cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    return out.map_batches(project_members, batch_format="pyarrow",
+                           zero_copy_batch=True)

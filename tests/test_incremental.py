@@ -88,3 +88,57 @@ def test_find_matches_from_checkpoint_dir(ray_session, small_corpus,
     key = lambda rows: sorted((r["lo"], r["hi"]) for r in rows)
     assert key(from_dir) == key(from_ds)
     assert from_dir, "no matches found from checkpoint index"
+
+
+def test_index_rep_collapse_parity(ray_session, small_corpus):
+    """An index carrying rep_iid (the s1 checkpoint shape) must yield
+    EXACTLY the pairs+metrics of the same index without rep_iid — the
+    rep-collapse exchange + member expansion is a pure optimization."""
+    import ray.data
+
+    from mhray.stages.dedup import docs_as_images
+    from mhray.stages.incremental import find_matches
+    from mhray.stages.sketch import sketch_dataset
+
+    cfg = _cfg()
+    captions, ids, new_mask = _split(small_corpus)
+    # duplicate some OLD captions verbatim so index-side rep groups
+    # have real multi-member cliques to expand
+    old_caps = [c for c, m in zip(captions, new_mask) if not m]
+    old_ids = list(ids[~new_mask])
+    extra_base = max(ids) + 1
+    for j, c in enumerate(old_caps[:40]):
+        old_caps.append(c)
+        old_ids.append(extra_base + j)
+    old_ds = _docs_ds(old_caps, np.array(old_ids, np.int64))
+    new_ds = _docs_ds([c for c, m in zip(captions, new_mask) if m],
+                      ids[new_mask])
+
+    plain = sketch_dataset(docs_as_images(old_ds), cfg).materialize()
+
+    # rep_iid = min iid per caption_hash, computed exactly (driver side
+    # — the fixture is tiny)
+    tbl = pa.concat_tables([b for b in plain.iter_batches(
+        batch_format="pyarrow")], promote_options="default")
+    ch = np.asarray(tbl.column("caption_hash"), np.int64)
+    iid = np.asarray(tbl.column("iid"), np.int64)
+    order = np.lexsort((iid, ch))
+    rep = np.empty(len(ch), np.int64)
+    ch_s, iid_s = ch[order], iid[order]
+    first = np.ones(len(ch_s), bool)
+    first[1:] = np.diff(ch_s) != 0
+    grp = np.cumsum(first) - 1
+    rep[order] = iid_s[np.flatnonzero(first)][grp]
+    with_rep = ray.data.from_arrow(
+        tbl.append_column("rep_iid", pa.array(rep, pa.int64())))
+
+    def canon(rows):
+        return sorted((r["lo"], r["hi"], r["shared_slots"],
+                       round(r["score"], 12)) for r in rows)
+
+    got_plain = canon(find_matches(docs_as_images(new_ds), plain,
+                                   cfg).take_all())
+    got_rep = canon(find_matches(docs_as_images(new_ds), with_rep,
+                                 cfg).take_all())
+    assert got_plain, "no pairs in fixture; test is vacuous"
+    assert got_rep == got_plain, (len(got_rep), len(got_plain))
