@@ -1475,6 +1475,63 @@ def d_dup_triangles(sf_dir: str):
     return triangle_counts(pairs, num_parts=_doc_parts(sf_dir))
 
 
+def d_cluster_stats(sf_dir: str):
+    """Per-cluster dashboard row over the exact-Jaccard dup graph:
+    (cluster_id, n_members, n_edges) for every connected component —
+    with n_members and the internal edge count, density and
+    chain-vs-clique shape are one division away (kept as exact
+    integers here so the oracle compares bit-for-bit). Composes three
+    oracle-green pieces: the d_jaccard_pairs edge set, the
+    d_cluster_components min-label clustering, and one
+    threshold-guarded attach to tag each edge with its component
+    (both endpoints share one by definition, so tagging `lo`
+    suffices)."""
+    from mhray.rayutil import attach_payload, safe_join
+    from mhray.stages.cluster import cluster_edges
+    from mhray.stages.dedup import ngram_jaccard_pairs
+
+    num_parts = _doc_parts(sf_dir)
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        tau=0.8).materialize()  # consumed twice: clustering + tagging
+    comp = cluster_edges(pairs, num_partitions=num_parts).materialize()
+
+    members = comp.groupby("cluster_id").aggregate(
+        Count(alias_name="n_members")).map_batches(
+        lambda b: pa.table({
+            "cluster_id": b.column("cluster_id"),
+            "n_members": b.column("n_members").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    tagged = attach_payload(
+        pairs, "lo",
+        comp.map_batches(lambda b: pa.table({
+            "_cid_key": b.column("iid"),
+            "cluster_id": b.column("cluster_id")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "_cid_key", ("cluster_id",), "c", num_parts,
+        pairs_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+        side_schema=pa.schema([("_cid_key", pa.int64()),
+                               ("cluster_id", pa.int64())]))
+    edge_counts = tagged.groupby("cluster_id_c").aggregate(
+        Count(alias_name="n_edges")).map_batches(
+        lambda b: pa.table({
+            "cluster_id": b.column("cluster_id_c"),
+            "n_edges": b.column("n_edges").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    joined = safe_join(
+        members, edge_counts.rename_columns(
+            {"cluster_id": "_ec_cid"}),
+        join_type="inner", num_partitions=max(2, min(8, num_parts)),
+        on=("cluster_id",), right_on=("_ec_cid",),
+        left_schema=pa.schema([("cluster_id", pa.int64()),
+                               ("n_members", pa.int64())]),
+        right_schema=pa.schema([("_ec_cid", pa.int64()),
+                                ("n_edges", pa.int64())]))
+    return joined.select_columns(["cluster_id", "n_members", "n_edges"])
+
+
 def q_outer_join(sf_dir: str):
     """Per-customer order count INCLUDING zero-order customers — the
     left-outer-join shape, composed scale-first: aggregate the fact
@@ -2160,6 +2217,7 @@ QUERIES = {
     "q_rank_in_group": q_rank_in_group,
     "d_edit_pairs": d_edit_pairs,
     "d_dup_triangles": d_dup_triangles,
+    "d_cluster_stats": d_cluster_stats,
 }
 
 ORACLE_SQL = {
@@ -3621,6 +3679,25 @@ ORACLE_SQL["d_dup_triangles"] = f"""
         UNION ALL SELECT c FROM tri
     )
     SELECT doc_id, COUNT(*) AS n_tri FROM nodes GROUP BY doc_id
+"""
+
+# Cluster stats compose the components oracle (itself recursive) and
+# the edge CTE; every edge's lo carries the component id, so internal
+# edge counts are one grouped count.
+ORACLE_SQL["d_cluster_stats"] = f"""
+    WITH comp AS ({ORACLE_SQL["d_cluster_components"]}),
+    e AS ({ORACLE_SQL["d_jaccard_pairs"]}),
+    m AS (
+        SELECT cluster_id, COUNT(*) AS n_members
+        FROM comp GROUP BY cluster_id
+    ),
+    ec AS (
+        SELECT c.cluster_id, COUNT(*) AS n_edges
+        FROM e JOIN comp c ON c.doc_id = e.lo_id
+        GROUP BY c.cluster_id
+    )
+    SELECT m.cluster_id, m.n_members, ec.n_edges
+    FROM m JOIN ec ON ec.cluster_id = m.cluster_id
 """
 
 # Multimodal oracles: the engine runs the REAL codec paths (PPM

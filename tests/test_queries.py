@@ -79,7 +79,7 @@ ORACLE_CHECKED = [
     "q_sample_percentiles", "d_cluster_components", "q_ntile",
     "q_outer_join", "m_image_features", "m_audio_features",
     "m_video_frames", "m_image_resize", "q_rank_in_group",
-    "d_edit_pairs", "d_dup_triangles",
+    "d_edit_pairs", "d_dup_triangles", "d_cluster_stats",
 ]
 ROWS_ONLY = ["q_approx_percentiles", "d_curate", "e_pca",
              "d_compression_ratio", "d_sketch_align",
