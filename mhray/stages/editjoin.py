@@ -209,7 +209,15 @@ def edit_distance_pairs(ds, k: int = 4, q: int = 8, min_len: int = 104,
         grp_start = np.ones(n, dtype=bool)
         grp_start[1:] = g[1:] != g[:-1]
         gidx = np.cumsum(grp_start) - 1
-        BIG = np.int64(1) << np.int64(40)
+        # BIG must exceed max(len)+k so (gidx, len) packs injectively,
+        # but a FIXED 2^40 would overflow int64 once a partition holds
+        # ~8M postings (gidx * 2^40 >= 2^63) — size it to the data
+        BIG = np.int64(1) << np.int64(
+            max(int(ln.max() + k + 1), 2).bit_length())
+        if int(gidx[-1]) >= (1 << 62) // int(BIG):
+            raise OverflowError(
+                "edit-join partition too large for the packed "
+                "(group, len) window key — raise num_parts")
         ck = gidx * BIG + ln
         hi_idx = np.searchsorted(ck, gidx * BIG + ln + k, side="right")
         base = np.arange(n, dtype=np.int64)
