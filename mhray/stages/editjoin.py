@@ -93,7 +93,7 @@ def edit_distance_pairs(ds, k: int = 4, q: int = 8, min_len: int = 104,
     points. Exact (the q-gram prefix filter is complete — header)."""
     from mhray.kernels import hash_strings64  # noqa: F401  (doc parity)
     from mhray.kernels import shingle_hashes64
-    from mhray.rayutil import safe_join, scrub_blocks
+    from mhray.rayutil import attach_payload, scrub_blocks
 
     num_parts = auto_parts(num_parts)
     R = q * k + 1  # prefix postings per doc
@@ -249,24 +249,23 @@ def edit_distance_pairs(ds, k: int = 4, q: int = 8, min_len: int = 104,
                              ("count()", pa.int64())])
     cands = scrub_blocks(cands, cand_schema, num_parts)
 
-    side = docs
-    j = safe_join(
-        cands,
-        side.rename_columns({id_col: "_ilo", text_col: "t_lo"}),
-        join_type="inner", num_partitions=num_parts,
-        on=("lo",), right_on=("_ilo",),
-        left_schema=cand_schema,
-        right_schema=pa.schema([("_ilo", pa.int64()),
-                                ("t_lo", pa.string())]))
-    j = safe_join(
-        j,
-        side.rename_columns({id_col: "_ihi", text_col: "t_hi"}),
-        join_type="inner", num_partitions=num_parts,
-        on=("hi",), right_on=("_ihi",),
-        left_schema=pa.schema(list(cand_schema)
-                              + [pa.field("t_lo", pa.string())]),
-        right_schema=pa.schema([("_ihi", pa.int64()),
-                                ("t_hi", pa.string())]))
+    # threshold-guarded attach (broadcast below the row threshold,
+    # one-sort-shuffle above) — the repo's standard payload join; two
+    # safe_joins here cost four materialize barriers for the same work
+    side = docs.map_batches(
+        lambda b: pa.table({"_sid": b.column(id_col),
+                            "t": b.column(text_col)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    side_schema = pa.schema([("_sid", pa.int64()), ("t", pa.string())])
+    j = attach_payload(cands, "lo", side, "_sid", ("t",), "lo",
+                       num_parts, pairs_schema=cand_schema,
+                       side_schema=side_schema)
+    j = attach_payload(j, "hi", side, "_sid", ("t",), "hi",
+                       num_parts,
+                       pairs_schema=pa.schema(
+                           list(cand_schema)
+                           + [pa.field("t_lo", pa.string())]),
+                       side_schema=side_schema)
 
     def verify(batch: pa.Table) -> pa.Table:
         # length gate first: |len(a) - len(b)| <= k is necessary for
